@@ -1,0 +1,289 @@
+"""Headline relational queries over the TPC-H-ish fixtures.
+
+These exercise the generic DataFrame capability the rebuild layers the ER
+engine on (scan → filter → join → agg → window), expressed so Catalyst gets
+full pushdown/pruning/broadcast freedom. They double as the bench workload.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from dblink_spark.queries import load, register
+
+# Exact-decimal helpers (see package docstring for why).
+def dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def disc_price():
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+
+
+def charge():
+    return (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+        * (F.lit(1).cast("decimal(3,2)") + dec("l_tax", 4, 2))
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    survey_ref="flagship; SURVEY §2.7 aggregation family (G11 map-accumulators → groupBy/agg)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan + 8-way aggregate, fully whole-stage-codegen.
+
+    Scale: one shuffle on a 6-value grouping key; partial aggregation
+    (map-side combine) reduces the shuffle to ~|groups| rows per task.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount", 4, 2)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  o.o_orderdate AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+""",
+    survey_ref="SURVEY §2.8 join family (J2 inner-join + groupBy)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate. customer is small relative to lineitem: Catalyst
+    broadcast-joins it (AQE converts to broadcast at runtime from stats)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(l.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    survey_ref="SURVEY §2.8 multi-way join",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way star join; all dims broadcast, single shuffle for the final agg."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    survey_ref="SURVEY §2.2 filter family (P3 iteration filter shape)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg; all four predicates push into the parquet scan."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(dec("l_extendedprice") * dec("l_discount", 4, 2))).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_top_customers",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c.c_name AS name, c.c_mktsegment AS mktsegment, s.total_spend, s.n_orders,
+    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY s.total_spend DESC, c.c_custkey) AS rank
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT name, mktsegment, total_spend, n_orders, rank FROM ranked WHERE rank <= 5
+""",
+    survey_ref="SURVEY §2.7 G1 (per-key argmax via window row_number)",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group — the mostProbableClusters (G1) access pattern:
+    aggregate frequencies then row_number() over a partitioned ordering."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "total_spend",
+            "n_orders",
+            "rank",
+        )
+    )
+
+
+@register(
+    "q_orders_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    survey_ref="beyond-reference: grouping sets (absent category, SURVEY §2.12)",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregate — a capability category the reference lacks entirely."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+def load_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and work in integer microseconds (`ts_us`).
+    DuckDB side mirrors this with epoch_ns(ts) // 1000."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = load(spark, sf_dir, "events")
+    # integer DIV: float division of ~1e18 nanos loses precision past 2^53
+    return e.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+), seq AS (
+  SELECT user_id, ts_us,
+    LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+  FROM ev
+), flagged AS (
+  SELECT user_id, ts_us,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), sessions AS (
+  SELECT user_id, ts_us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+FROM sessions GROUP BY user_id, session_id
+""",
+    survey_ref="beyond-reference: sessionization (streaming-shaped batch op)",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum.
+    The streaming twin lives in dblink_spark.streaming."""
+    e = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = e.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+    ).withColumn("session_id", F.col("session_id").cast("bigint"))
