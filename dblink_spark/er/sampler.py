@@ -1,0 +1,147 @@
+"""Driver-side sampling loop: burn-in, thinning, buffered sample writes,
+diagnostics (ref: Sampler.scala:51-124, DiagnosticsWriter.scala:32-80).
+
+Linkage samples are stored flat — one row per non-isolated cluster:
+(iteration long, partition_id int, rec_ids array<string>) — instead of the
+reference's nested per-partition LinkageState (package.scala:94-96); same
+information, friendlier to Parquet/column pruning. Writes are buffered:
+`write_buffer_size` iterations of samples are unioned into one Parquet
+append (ref: util/BufferedRDDWriter.scala:30-74). Each sample DataFrame
+derives from a localCheckpoint'ed state, so the union is a cheap re-scan of
+materialized partitions, not a recompute.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dblink_spark.er.state import State, prior_log_likelihood_term, transition
+
+
+@dataclass
+class SamplerOptions:
+    sampler: str = "PCG-I"  # ref default: Sampler.scala:58-60
+    burnin_interval: int = 0
+    thinning_interval: int = 1
+    write_buffer_size: int = 10  # ref: Sampler.scala:57
+    diagnostics_path: str | None = None
+
+
+def linkage_sample(state: State) -> DataFrame:
+    """Current linkage structure as a DataFrame (ref: State.scala:102-112)."""
+    return (
+        state.df.filter(~F.col("is_summary") & (F.size("rec_ids") > 0))
+        .select(
+            F.lit(state.iteration).cast("long").alias("iteration"),
+            F.col("partition_id"),
+            F.col("rec_ids"),
+        )
+    )
+
+
+class DiagnosticsWriter:
+    """One CSV row of chain summaries per saved sample
+    (ref: DiagnosticsWriter.scala:39-72)."""
+
+    def __init__(self, path: str, state: State):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "w", newline="")
+        self._w = csv.writer(self._f)
+        attrs = [a.name for a in state.cache.attributes]
+        files = state.cache.file_ids
+        self._header_attrs = attrs
+        self._files = files
+        self._w.writerow(
+            ["iteration", "time_ms", "logLikelihood", "numIsolates"]
+            + [f"aggDist.{a}.{fid}" for a in attrs for fid in files]
+            + [f"recDist.{k}" for k in range(len(attrs) + 1)]
+        )
+        self._t0 = time.time()
+
+    def write(self, state: State) -> None:
+        s = state.summary
+        loglik = s.log_likelihood + prior_log_likelihood_term(
+            state.cache, state.theta, s.agg_distortions
+        )
+        self._w.writerow(
+            [state.iteration, int((time.time() - self._t0) * 1000), loglik, s.num_isolates]
+            + [int(x) for x in s.agg_distortions.ravel()]
+            + [int(x) for x in s.rec_distortions]
+        )
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def sample(
+    state: State,
+    sample_size: int,
+    options: SamplerOptions | None = None,
+    output_path: str | None = None,
+) -> State:
+    """Run the chain until `sample_size` samples are saved (after burn-in,
+    at `thinning_interval` spacing). Returns the final state; linkage samples
+    land in `{output_path}/linkage-chain.parquet` when output_path is set."""
+    opts = options or SamplerOptions()
+    diag = (
+        DiagnosticsWriter(opts.diagnostics_path, state)
+        if opts.diagnostics_path
+        else None
+    )
+    chain_path = (
+        os.path.join(output_path, "linkage-chain.parquet") if output_path else None
+    )
+    buffer: list[DataFrame] = []
+    first_flush = not _chain_exists(state, chain_path)
+
+    def flush():
+        nonlocal first_flush
+        if not buffer or chain_path is None:
+            buffer.clear()
+            return
+        df = buffer[0]
+        for d in buffer[1:]:
+            df = df.unionByName(d)
+        df.write.mode("overwrite" if first_flush else "append").parquet(chain_path)
+        first_flush = False
+        buffer.clear()
+
+    saved = 0
+    while saved < sample_size:
+        state = transition(state, opts.sampler)
+        it = state.iteration
+        past_burnin = it > opts.burnin_interval
+        on_thin = (it - opts.burnin_interval) % max(opts.thinning_interval, 1) == 0
+        if past_burnin and on_thin:
+            buffer.append(linkage_sample(state))
+            saved += 1
+            if diag:
+                diag.write(state)
+            if len(buffer) >= opts.write_buffer_size:
+                flush()
+    flush()
+    if diag:
+        diag.close()
+    return state
+
+
+def _chain_exists(state: State, chain_path: str | None) -> bool:
+    if chain_path is None:
+        return False
+    try:
+        state.df.sparkSession.read.parquet(chain_path).limit(1).collect()
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def read_linkage_chain(spark, output_path: str) -> DataFrame:
+    """Read samples back (ref: LinkageChain.scala:35-43)."""
+    return spark.read.parquet(os.path.join(output_path, "linkage-chain.parquet"))

@@ -1,0 +1,458 @@
+"""Markov-chain state as a DataFrame + the Spark-side transition operator.
+
+State layout (one row per entity cluster, ref concept: Partitions =
+RDD[(PartitionId, EntRecCluster)], package.scala:34,80-88):
+
+    partition_id  int      entity-space partition (kernel group key)
+    is_summary    boolean  per-partition summary rows ride along in-band
+    ent_values    array<int>
+    rec_ids       array<string>          linked records ([] = isolate)
+    rec_fids      array<int>             file index per linked record
+    rec_values    array<array<int>>
+    rec_dist      array<array<boolean>>
+    loglik / n_isolates / agg_dist / rec_dist_hist   (summary rows only)
+
+One iteration = groupBy("partition_id").applyInPandas(kernel) — a single
+Arrow round-trip per partition and a single hash shuffle (clusters migrate to
+the partition of their new entity values by virtue of the *next* groupBy),
+matching the reference's mapPartitions + partitionBy cadence
+(ref: GibbsUpdates.scala:124-153). Summaries are pre-aggregated inside the
+kernel and emitted as one in-band row per partition, so the per-iteration
+driver action collects only num_partitions tiny rows (the reference needed
+accumulator merges; ref: GibbsUpdates.scala:219-301).
+
+Seed discipline: kernel RNG = default_rng(seed + partition_id) — keyed on the
+partition *data value*, not the Spark task index, so task retries and AQE
+re-planning cannot change results (the reference seeds by task index and
+documents the weaker guarantee, State.scala:47-49).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dblink_spark.er.cache import RecordsCache, encode_records
+from dblink_spark.er.model import PartitionState, partition_summary, transition_partition
+from dblink_spark.er.rand import sample_from_probs
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("is_summary", BooleanType()),
+        StructField("ent_values", ArrayType(IntegerType())),
+        StructField("rec_ids", ArrayType(StringType())),
+        StructField("rec_fids", ArrayType(IntegerType())),
+        StructField("rec_values", ArrayType(ArrayType(IntegerType()))),
+        StructField("rec_dist", ArrayType(ArrayType(BooleanType()))),
+        StructField("loglik", DoubleType()),
+        StructField("n_isolates", LongType()),
+        StructField("agg_dist", ArrayType(LongType())),
+        StructField("rec_dist_hist", ArrayType(LongType())),
+    ]
+)
+
+
+@dataclass
+class SummaryVars:
+    """Per-iteration chain summaries (ref: package.scala:116-119)."""
+
+    num_isolates: int
+    log_likelihood: float
+    agg_distortions: np.ndarray  # (A, F) counts
+    rec_distortions: np.ndarray  # histogram over 0..A distorted attrs
+
+
+@dataclass
+class State:
+    """Full chain state (ref: State.scala:56-68)."""
+
+    iteration: int
+    df: DataFrame  # cluster rows + in-band summary rows
+    theta: np.ndarray  # (A, F) distortion probabilities
+    population_size: int
+    summary: SummaryVars
+    partition_fn: Callable[[np.ndarray], np.ndarray]
+    num_partitions: int
+    start_seed: int
+    current_seed: int
+    cache: RecordsCache
+    rng: np.random.Generator  # driver RNG (theta updates)
+
+
+# ---------------------------------------------------------------------------
+# pandas <-> kernel marshalling
+# ---------------------------------------------------------------------------
+
+
+def _pdf_to_partition_state(pdf: pd.DataFrame, num_attrs: int) -> PartitionState:
+    ents = np.array([np.asarray(v, dtype=np.int32) for v in pdf["ent_values"]])
+    rec_ids, rec_fids, rec_vals, rec_dist, link = [], [], [], [], []
+    for e, (ids, fids, vals, dist) in enumerate(
+        zip(pdf["rec_ids"], pdf["rec_fids"], pdf["rec_values"], pdf["rec_dist"])
+    ):
+        for j in range(len(ids)):
+            rec_ids.append(ids[j])
+            rec_fids.append(fids[j])
+            rec_vals.append(np.asarray(vals[j], dtype=np.int32))
+            rec_dist.append(np.asarray(dist[j], dtype=bool))
+            link.append(e)
+    R = len(rec_ids)
+    return PartitionState(
+        entities=ents.reshape(len(pdf), num_attrs),
+        rec_ids=np.array(rec_ids, dtype=object),
+        rec_fids=np.array(rec_fids, dtype=np.int32),
+        rec_values=(
+            np.stack(rec_vals) if R else np.empty((0, num_attrs), dtype=np.int32)
+        ),
+        rec_dist=np.stack(rec_dist) if R else np.empty((0, num_attrs), dtype=bool),
+        link=np.array(link, dtype=np.int64),
+    )
+
+
+def _partition_state_to_pdf(
+    ps: PartitionState, new_pids: np.ndarray, summary_pid: int, cache: RecordsCache
+) -> pd.DataFrame:
+    order = np.argsort(ps.link, kind="stable")
+    counts = np.bincount(ps.link, minlength=ps.num_entities)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    rows = []
+    for e in range(ps.num_entities):
+        rs = order[bounds[e] : bounds[e + 1]]
+        rows.append(
+            {
+                "partition_id": int(new_pids[e]),
+                "is_summary": False,
+                "ent_values": ps.entities[e].tolist(),
+                "rec_ids": [ps.rec_ids[r] for r in rs],
+                "rec_fids": ps.rec_fids[rs].tolist(),
+                "rec_values": [ps.rec_values[r].tolist() for r in rs],
+                "rec_dist": [ps.rec_dist[r].tolist() for r in rs],
+                "loglik": None,
+                "n_isolates": None,
+                "agg_dist": None,
+                "rec_dist_hist": None,
+            }
+        )
+    loglik, n_iso, agg_dist, hist = partition_summary(ps, cache)
+    rows.append(
+        {
+            "partition_id": summary_pid,
+            "is_summary": True,
+            "ent_values": None,
+            "rec_ids": None,
+            "rec_fids": None,
+            "rec_values": None,
+            "rec_dist": None,
+            "loglik": loglik,
+            "n_isolates": int(n_iso),
+            "agg_dist": agg_dist.tolist(),
+            "rec_dist_hist": hist.tolist(),
+        }
+    )
+    return pd.DataFrame(rows)
+
+
+def make_transition_kernel(
+    cache: RecordsCache,
+    theta: np.ndarray,
+    mode: str,
+    seed: int,
+    partition_fn: Callable[[np.ndarray], np.ndarray],
+):
+    """Build the applyInPandas kernel for one iteration. theta/seed are
+    captured in the closure — the Python-native equivalent of the reference's
+    per-iteration distProbs broadcast (ref: State.scala:83-84)."""
+    num_attrs = cache.num_attributes
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        pdf = pdf[~pdf["is_summary"]]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in STATE_SCHEMA.fields])
+        rng = np.random.default_rng(seed + pid)
+        ps = _pdf_to_partition_state(pdf, num_attrs)
+        ps = transition_partition(rng, ps, cache, theta, mode)
+        new_pids = partition_fn(ps.entities)
+        return _partition_state_to_pdf(ps, new_pids, pid, cache)
+
+    return kernel
+
+
+def transition(state: State, mode: str) -> State:
+    """One Markov transition (ref: State.scala:78-99 `nextState`):
+    θ update (driver Beta draws) → partition kernels (one shuffle) →
+    in-band summary collection."""
+    cache = state.cache
+    theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
+
+    kernel = make_transition_kernel(
+        cache, theta, mode, state.current_seed, state.partition_fn
+    )
+    new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
+    # Materialize + truncate lineage every iteration: the DataFrame analogue
+    # of the reference's persist + periodic checkpoint (ref: Sampler.scala:56,
+    # util/PeriodicCheckpointer.scala) — without this the plan grows per
+    # iteration and Catalyst analysis time dominates.
+    new_df = new_df.localCheckpoint(eager=True)
+
+    summary = collect_summary(new_df, cache)
+    old_df = state.df
+    new_state = replace(
+        state,
+        iteration=state.iteration + 1,
+        df=new_df,
+        theta=theta,
+        summary=summary,
+        current_seed=state.current_seed + state.num_partitions,
+    )
+    try:
+        old_df.unpersist()
+    except Exception:  # noqa: BLE001 — first iteration state may be unpersisted
+        pass
+    return new_state
+
+
+def draw_theta(
+    rng: np.random.Generator, cache: RecordsCache, agg_dist: np.ndarray
+) -> np.ndarray:
+    """θ_(attr,file) ~ Beta(α + D, β + n − D) on the driver
+    (ref: GibbsUpdates.scala:305-320)."""
+    A = cache.num_attributes
+    files = cache.file_ids
+    theta = np.empty((A, len(files)), dtype=np.float64)
+    for a, attr in enumerate(cache.attributes):
+        prior = attr.distortion_prior
+        for f, fid in enumerate(files):
+            n = cache.file_sizes[fid]
+            d = float(agg_dist[a, f])
+            theta[a, f] = rng.beta(prior.alpha + d, prior.beta + n - d)
+    return theta
+
+
+def collect_summary(state_df: DataFrame, cache: RecordsCache) -> SummaryVars:
+    """Collect the in-band per-partition summary rows (num_partitions of
+    them) and finish the reduction on the driver."""
+    rows = state_df.filter(F.col("is_summary")).select(
+        "loglik", "n_isolates", "agg_dist", "rec_dist_hist"
+    ).collect()
+    A = cache.num_attributes
+    Fn = len(cache.file_ids)
+    loglik = sum(r["loglik"] for r in rows)
+    n_iso = sum(r["n_isolates"] for r in rows)
+    agg = np.zeros(A * Fn, dtype=np.int64)
+    hist = np.zeros(A + 1, dtype=np.int64)
+    for r in rows:
+        agg += np.array(r["agg_dist"], dtype=np.int64)
+        hist += np.array(r["rec_dist_hist"], dtype=np.int64)
+    return SummaryVars(
+        num_isolates=int(n_iso),
+        log_likelihood=float(loglik),
+        agg_distortions=agg.reshape(A, Fn),
+        rec_distortions=hist,
+    )
+
+
+def prior_log_likelihood_term(
+    cache: RecordsCache, theta: np.ndarray, agg_dist: np.ndarray
+) -> float:
+    """Driver-side distortion-prior contribution to the log-likelihood
+    (ref: GibbsUpdates.scala:283-293)."""
+    total = 0.0
+    for a, attr in enumerate(cache.attributes):
+        prior = attr.distortion_prior
+        for f, fid in enumerate(cache.file_ids):
+            n = cache.file_sizes[fid]
+            d = float(agg_dist[a, f])
+            th = float(theta[a, f])
+            total += (prior.alpha + d - 1.0) * np.log(th) + (
+                prior.beta + n - d - 1.0
+            ) * np.log(1.0 - th)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Deterministic initialization (ref: State.scala:205-334)
+# ---------------------------------------------------------------------------
+
+
+def init_state(
+    spark: SparkSession,
+    records: DataFrame,
+    cache: RecordsCache,
+    partition_fn: Callable[[np.ndarray], np.ndarray],
+    num_partitions: int,
+    seed: int,
+    population_size: int | None = None,
+) -> State:
+    """Deterministic initial state: record i (in a stable global order) links
+    to entity i mod popSize; entity values copy the first linked record's
+    values with missing imputed from the empirical distributions; distortion
+    flags start true iff record and entity values disagree; leftover entity
+    ids become isolates with random values.
+
+    The reference initializes per-RDD-partition with a bin-packing heuristic
+    (State.scala:244-270); a stable global row_number gives the same model
+    semantics with cleaner determinism.
+    """
+    n_records = records.count()
+    pop = population_size if population_size is not None else n_records
+    if pop <= 0:
+        raise ValueError("population size must be positive")
+
+    encoded = encode_records(records, cache)
+    file_index = {fid: i for i, fid in enumerate(cache.file_ids)}
+    num_attrs = cache.num_attributes
+    indexes = cache.indexes
+
+    def _impute_and_cluster(vals: np.ndarray, rec_rows: pd.DataFrame, rng):
+        """One cluster row from a group of records (first record seeds the
+        entity values; missing imputed from the empirical distributions)."""
+        ent_values = vals[0].copy()
+        for a in range(num_attrs):
+            if ent_values[a] < 0:
+                ent_values[a] = sample_from_probs(rng, indexes[a].probs, 1)[0]
+        dist = (vals >= 0) & (vals != ent_values[None, :])
+        return {
+            "partition_id": 0,
+            "is_summary": False,
+            "ent_values": ent_values.tolist(),
+            "rec_ids": rec_rows["rec_id"].tolist(),
+            "rec_fids": [file_index[f] for f in rec_rows["file_id"]],
+            "rec_values": [v.tolist() for v in vals],
+            "rec_dist": [d.tolist() for d in dist],
+            "loglik": None,
+            "n_isolates": None,
+            "agg_dist": None,
+            "rec_dist_hist": None,
+        }
+
+    if pop >= n_records:
+        # Fast path (the common case): every record seeds its own entity —
+        # no shuffle at all, one mapInPandas over the encoded records.
+        # Imputation RNG is keyed on (seed, crc32(rec_id)) so results do not
+        # depend on input partitioning.
+        import zlib
+
+        def init_map(batches):
+            for pdf in batches:
+                rows = []
+                for i in range(len(pdf)):
+                    vals = np.asarray(pdf["values"].iloc[i], dtype=np.int32).reshape(
+                        1, num_attrs
+                    )
+                    rng = np.random.default_rng(
+                        (seed, zlib.crc32(str(pdf["rec_id"].iloc[i]).encode()))
+                    )
+                    rows.append(_impute_and_cluster(vals, pdf.iloc[i : i + 1], rng))
+                yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                    columns=[f.name for f in STATE_SCHEMA.fields]
+                )
+
+        clusters = encoded.mapInPandas(init_map, STATE_SCHEMA)
+    else:
+        # pop < n_records: records share entities round-robin over a stable
+        # global order (ref: State.scala:276 `i mod numEntities`).
+        from pyspark.sql import Window
+
+        w = Window.orderBy("file_id", "rec_id")
+        numbered = encoded.withColumn("__ridx", F.row_number().over(w) - 1).withColumn(
+            "__ent", (F.col("__ridx") % pop).cast("long")
+        )
+
+        def init_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            rng = np.random.default_rng((seed, int(key[0])))
+            pdf = pdf.sort_values("__ridx")
+            vals = np.stack([np.asarray(v, dtype=np.int32) for v in pdf["values"]])
+            return pd.DataFrame([_impute_and_cluster(vals, pdf, rng)])
+
+        clusters = numbered.groupBy("__ent").applyInPandas(init_kernel, STATE_SCHEMA)
+
+    if pop > n_records:
+        # isolates with empirical random values
+        iso_rows = []
+        rng = np.random.default_rng(seed + pop)
+        for e in range(n_records, pop):
+            ent_values = [
+                int(sample_from_probs(rng, indexes[a].probs, 1)[0])
+                for a in range(num_attrs)
+            ]
+            iso_rows.append(
+                (0, False, ent_values, [], [], [], [], None, None, None, None)
+            )
+        clusters = clusters.unionByName(spark.createDataFrame(iso_rows, STATE_SCHEMA))
+
+    # assign entity-space partitions via the fitted partition function
+    # (mapInPandas: narrow, no shuffle — the first groupBy in transition()
+    # does the co-location shuffle)
+    def assign_pid(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ents = np.stack([np.asarray(v, dtype=np.int32) for v in pdf["ent_values"]])
+            pdf = pdf.copy()
+            pdf["partition_id"] = partition_fn(ents).astype(np.int32)
+            yield pdf
+
+    clusters = clusters.mapInPandas(assign_pid, STATE_SCHEMA)
+    state_df = clusters.localCheckpoint(eager=True)
+
+    # initial summaries: distortion counts via DataFrame aggregation
+    # (loglik is reported from iteration 1; θ only needs agg_dist)
+    A, Fn = num_attrs, len(cache.file_ids)
+    pairs = (
+        state_df.filter(~F.col("is_summary"))
+        .select(F.explode(F.arrays_zip("rec_fids", "rec_dist")).alias("z"))
+        .select(F.col("z.rec_fids").alias("fid"), F.posexplode("z.rec_dist"))
+        .filter(F.col("col"))
+        .groupBy("fid", "pos")
+        .count()
+        .collect()
+    )
+    agg = np.zeros((A, Fn), dtype=np.int64)
+    for r in pairs:
+        agg[r["pos"], r["fid"]] = r["count"]
+    n_iso = state_df.filter(
+        ~F.col("is_summary") & (F.size("rec_ids") == 0)
+    ).count()
+    summary = SummaryVars(
+        num_isolates=int(n_iso),
+        log_likelihood=float("nan"),
+        agg_distortions=agg,
+        rec_distortions=np.zeros(A + 1, dtype=np.int64),
+    )
+
+    rng = np.random.default_rng(seed)
+    return State(
+        iteration=0,
+        df=state_df,
+        theta=np.array(
+            [
+                [a.distortion_prior.mean] * Fn
+                for a in cache.attributes
+            ]
+        ),
+        population_size=pop,
+        summary=summary,
+        partition_fn=partition_fn,
+        num_partitions=num_partitions,
+        start_seed=seed,
+        current_seed=seed + num_partitions,
+        cache=cache,
+        rng=rng,
+    )

@@ -1,0 +1,125 @@
+"""End-to-end MCMC smoke + invariant tests on synthetic RLdata.
+
+The reference has no kernel unit tests (SURVEY §5); these check the
+invariants it relies on implicitly: population size conserved, every record
+appears in exactly one cluster, distortion flags consistent with the state
+(non-distorted observed values always agree with the entity), and the chain
+actually links distorted duplicates (F1 beats the trivial baselines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dblink_spark.er.attributes import Attribute, BetaParams, ConstantSim, LevenshteinSim
+from dblink_spark.er.cache import build_records_cache
+from dblink_spark.er.datagen import make_rldata
+from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
+from dblink_spark.er.sampler import SamplerOptions, sample
+from dblink_spark.er.state import init_state, transition
+
+
+@pytest.fixture(scope="module")
+def rl_setup(spark):
+    pdf = make_rldata(n_records=150, dup_fraction=0.2, missing_fraction=0.02, seed=7)
+    records = spark.createDataFrame(pdf).withColumnRenamed("rec_id", "rec_id")
+    records = records.withColumn("file_id", records["rec_id"].substr(1, 0))  # ""
+    from pyspark.sql import functions as F
+
+    records = records.withColumn("file_id", F.lit("0"))
+    attrs = [
+        Attribute("by", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("bm", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("bd", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("fname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
+        Attribute("lname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
+    ]
+    cache = build_records_cache(records, attrs, expected_max_cluster_size=10)
+    return records, attrs, cache, pdf
+
+
+def _check_invariants(state, n_records, pop):
+    rows = state.df.filter("NOT is_summary").collect()
+    assert len(rows) == pop, "population size must be conserved"
+    all_recs = [r for row in rows for r in row["rec_ids"]]
+    assert len(all_recs) == n_records
+    assert len(set(all_recs)) == n_records, "records must partition across clusters"
+    for row in rows:
+        for vals, dist in zip(row["rec_values"], row["rec_dist"]):
+            for a, (v, d) in enumerate(zip(vals, dist)):
+                if v >= 0 and not d:
+                    assert v == row["ent_values"][a], (
+                        "non-distorted observed value must equal entity value"
+                    )
+
+
+@pytest.mark.parametrize("mode", ["Gibbs-Sequential", "Gibbs", "PCG-I", "PCG-II"])
+def test_transition_invariants(spark, rl_setup, mode):
+    records, attrs, cache, pdf = rl_setup
+    state = init_state(
+        spark, records, cache, SinglePartition(), 1, seed=123,
+    )
+    n = len(pdf)
+    _check_invariants(state, n, n)
+    for _ in range(3):
+        state = transition(state, mode)
+    _check_invariants(state, n, n)
+    assert state.iteration == 3
+    assert np.isfinite(state.summary.log_likelihood)
+    assert state.summary.agg_distortions.sum() >= 0
+
+
+def test_chain_links_duplicates(spark, rl_setup, tmp_path):
+    """After a modest PCG-I run, the sMPC point estimate should recover a
+    decent share of the true duplicate pairs with high precision.
+
+    Mixing from the cold start is gradual (the reference runs 1,000
+    iterations on RLdata500; this smoke runs 80), so thresholds are loose —
+    the point is "the kernel links distorted duplicates", not convergence.
+    """
+    from dblink_spark.er.chain import most_probable_clusters, shared_most_probable_clusters
+    from dblink_spark.er.metrics import evaluate_pairwise
+    from dblink_spark.er.analysis import membership_to_clusters
+    import pyspark.sql.functions as F
+
+    records, attrs, cache, pdf = rl_setup
+    state = init_state(spark, records, cache, SinglePartition(), 1, seed=11)
+    out = str(tmp_path / "chain")
+    state = sample(
+        state,
+        sample_size=10,
+        options=SamplerOptions(sampler="PCG-I", burnin_interval=30, thinning_interval=5),
+        output_path=out,
+    )
+    chain = state.df.sparkSession.read.parquet(out + "/linkage-chain.parquet")
+    assert chain.select("iteration").distinct().count() == 10
+    assert state.iteration == 80
+
+    smpc = shared_most_probable_clusters(most_probable_clusters(chain))
+    truth = membership_to_clusters(
+        spark.createDataFrame(pdf[["rec_id", "ent_id"]]).select(
+            "rec_id", F.col("ent_id").alias("ent_id")
+        )
+    )
+    m = evaluate_pairwise(smpc, truth)
+    assert m.recall > 0.25, f"recall {m.recall:.2f} too low — kernel is not linking"
+    assert m.precision > 0.6, f"precision {m.precision:.2f} too low"
+
+
+def test_kdtree_partitioned_run(spark, rl_setup):
+    """2-partition KD-tree run: same invariants, clusters migrate freely."""
+    records, attrs, cache, pdf = rl_setup
+    import pyspark.sql.functions as F
+
+    state = init_state(spark, records, cache, SinglePartition(), 1, seed=5)
+    part = KDTreePartitioner(num_levels=1, attribute_ids=[3])  # split on fname
+    part.fit(state.df.filter("NOT is_summary").select("ent_values"))
+    assert part.num_partitions == 2
+    state.partition_fn = part
+    state.num_partitions = 2
+    for _ in range(3):
+        state = transition(state, "PCG-I")
+    _check_invariants(state, len(pdf), len(pdf))
+    pids = {r["partition_id"] for r in state.df.filter("NOT is_summary").select("partition_id").distinct().collect()}
+    assert pids == {0, 1}, f"expected both partitions populated, got {pids}"
