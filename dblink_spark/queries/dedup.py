@@ -1,1 +1,298 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators over the `documents` table — the beyond-reference
+large-scale pipeline family (exact, MinHash+LSH, bottom-k Jaccard sketches,
+SimHash). All hashes are md5-derived so Spark and DuckDB agree bit-for-bit;
+engine-native hash() builtins are never used in the gate path.
+
+Scale notes (these run unchanged on 100 TB):
+- every operator is blocking-based: candidate pairs come from equi-joins on
+  band/bucket keys, never from an all-pairs product;
+- tokenization and hashing stay JVM-side (split/md5/substring — no UDFs);
+- the quadratic verify step only touches candidates emitted by the bands.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from dblink_spark.queries import load, register
+
+N_HASHES = 4  # minhash signature size; 2 bands x 2 rows
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+  MIN(doc_id) AS keep_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY md5(text)
+""",
+    survey_ref="beyond-reference: exact dedup (hash-groupBy); same shape as SURVEY §2.7 G9",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash groups; keep_doc = canonical survivor, n_docs > 1 marks
+    exact duplicates (the fixtures only contain them at sf >= 0.1)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _minhash_cols():
+    """min over tokens of md5(seed || token) — lexicographic min on hex
+    strings, identical in both engines."""
+    return [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("token")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+mh AS (
+  SELECT doc_id,
+    {", ".join(f"MIN(md5('{i}' || token)) AS h{i}" for i in range(N_HASHES))}
+  FROM tok GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h0 || h1 AS band0, h2 || h3 AS band1 FROM mh
+),
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS n_inter
+  FROM cand c JOIN tok t1 ON t1.doc_id = c.doc1 JOIN tok t2 ON t2.doc_id = c.doc2 AND t1.token = t2.token
+  GROUP BY c.doc1, c.doc2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id)
+SELECT i.doc1, i.doc2,
+  CAST(i.n_inter AS DOUBLE) / (s1.n_tok + s2.n_tok - i.n_inter) AS jaccard
+FROM inter i JOIN sizes s1 ON s1.doc_id = i.doc1 JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_tok + s2.n_tok - i.n_inter) >= 0.8
+""",
+    survey_ref="beyond-reference: MinHash + LSH banding near-dup detection",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token-set MinHash signatures → 2 LSH bands → candidate pairs via
+    band-key equi-join → exact Jaccard verify on candidates only.
+
+    The band join is the scale path: no all-pairs product ever forms; the
+    verify join touches only banded candidates.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    mh = tok.groupBy("doc_id").agg(*_minhash_cols())
+    bands = mh.select(
+        "doc_id",
+        F.concat("h0", "h1").alias("band0"),
+        F.concat("h2", "h3").alias("band1"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand0 = a.join(
+        b, (F.col("a.band0") == F.col("b.band0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    cand1 = a.join(
+        b, (F.col("a.band1") == F.col("b.band1")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    cand = cand0.union(cand1).distinct()
+
+    t1 = tok.select(F.col("doc_id").alias("doc1"), F.col("token").alias("t1"))
+    t2 = tok.select(F.col("doc_id").alias("__d2"), F.col("token").alias("t2"))
+    inter = (
+        cand.join(t1, "doc1")
+        .join(t2, (F.col("doc2") == F.col("__d2")) & (F.col("t1") == F.col("t2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_tok").alias("n2"))
+    jac = F.col("n_inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+@register(
+    "dedup_bottomk_jaccard",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, lang, md5(token) AS h,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
+  FROM tok
+),
+sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
+sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+  FROM sk a JOIN sk b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc1, p.doc2,
+  CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) AS sketch_jaccard
+FROM pairs p JOIN sizes s1 ON s1.doc_id = p.doc1 JOIN sizes s2 ON s2.doc_id = p.doc2
+WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
+""",
+    survey_ref="beyond-reference: bottom-k (KMV) sketch n-gram Jaccard near-dup",
+)
+def dedup_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k token sketch (k=8 smallest md5 values per doc) with
+    within-language blocking; sketch-Jaccard over shared sketch hashes.
+    Fixed-size sketches bound the join fan-out at any corpus size."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy(F.md5("token"))
+    sk = (
+        tok.select("doc_id", "lang", F.md5("token").alias("h"))
+        .withColumn("rn", F.row_number().over(w.orderBy("h")))
+        .filter("rn <= 8")
+        .select("doc_id", "lang", "h")
+    )
+    sizes = sk.groupBy("doc_id").agg(F.count("*").alias("k"))
+    a = sk.alias("a")
+    b = sk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("k").alias("k1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("k").alias("k2"))
+    jac = F.col("n_inter").cast("double") / (F.col("k1") + F.col("k2") - F.col("n_inter"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("sketch_jaccard", jac)
+        .filter(F.col("sketch_jaccard") >= 0.99)
+        .select("doc1", "doc2", "sketch_jaccard")
+    )
+
+
+def _hex_to_int_spark(col, start: int, width: int):
+    return F.conv(F.substring(col, start, width), 16, 10).cast("bigint")
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+bits AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok
+),
+sig AS (
+  SELECT doc_id, lang,
+    SUM(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS b0,
+    SUM(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS b1,
+    SUM(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS b2,
+    SUM(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS b3,
+    SUM(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS b4,
+    SUM(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS b5,
+    SUM(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS b6,
+    SUM(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS b7,
+    SUM(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS b8,
+    SUM(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS b9,
+    SUM(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS b10,
+    SUM(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS b11,
+    SUM(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS b12,
+    SUM(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS b13,
+    SUM(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS b14,
+    SUM(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS b15
+  FROM bits GROUP BY doc_id, lang
+),
+fp AS (
+  SELECT doc_id, lang,
+    CAST((CASE WHEN b0 > 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN b1 > 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN b2 > 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN b3 > 0 THEN 8 ELSE 0 END)
+      + (CASE WHEN b4 > 0 THEN 16 ELSE 0 END)
+      + (CASE WHEN b5 > 0 THEN 32 ELSE 0 END)
+      + (CASE WHEN b6 > 0 THEN 64 ELSE 0 END)
+      + (CASE WHEN b7 > 0 THEN 128 ELSE 0 END)
+      + (CASE WHEN b8 > 0 THEN 256 ELSE 0 END)
+      + (CASE WHEN b9 > 0 THEN 512 ELSE 0 END)
+      + (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END)
+      + (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END)
+      + (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END)
+      + (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END)
+      + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END)
+      + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+  FROM sig
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+    survey_ref="beyond-reference: SimHash fingerprint near-dup (16-bit demo)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token md5s; near-dup = Hamming distance <= 1
+    within a language block. (16 bits keeps the oracle SQL readable; the
+    library version in dblink_spark.operators.dedup is 64-bit.)"""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    h = _hex_to_int_spark(F.md5("token"), 1, 8)
+    bits = tok.select("doc_id", "lang", h.alias("h"))
+    sig_cols = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    sig = bits.groupBy("doc_id", "lang").agg(*sig_cols)
+    fp_expr = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = sig.select("doc_id", "lang", fp_expr.cast("bigint").alias("simhash"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 1)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            ham.cast("int").alias("hamming"),
+        )
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — populated in this round."""
+"""Vector similarity over the `embeddings` table (array<float>, 64-dim):
+brute-force cosine top-k (the correctness baseline) and an LSH-bucketed
+variant (the scale path). Beyond-reference pipeline family.
+
+Exactness: float dot products are order-sensitive, and double rounding
+differs between engines at the last ulp — so both engines *quantize* each
+elementwise product with floor(p * 1e9) (multiply and floor are single
+correctly-rounded IEEE ops, identical everywhere) and sum the resulting
+BIGINTs exactly. Scores are therefore deterministic integers / integer
+ratios, within 1e-7 of the true cosine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from dblink_spark.queries import load, register
+
+_Q = 1_000_000_000.0  # quantization scale
+
+
+def _dot_q(a, b):
+    """Order-insensitive quantized dot product (BIGINT)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(_Q)).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+_DOT_SQL = """
+CAST(list_sum(list_transform(list_zip({a}, {b}),
+  p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000000.0) AS BIGINT))) AS BIGINT)
+"""
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+base AS (SELECT vec_id, embedding, label FROM embeddings),
+dots AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.label,
+    CAST({_DOT_SQL.format(a="q.qe", b="b.embedding")} AS DOUBLE) AS dot,
+    CAST({_DOT_SQL.format(a="q.qe", b="q.qe")} AS DOUBLE) AS qq,
+    CAST({_DOT_SQL.format(a="b.embedding", b="b.embedding")} AS DOUBLE) AS bb
+  FROM q CROSS JOIN base b WHERE q.query_id <> b.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, label,
+    dot / (sqrt(qq) * sqrt(bb)) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(qq) * sqrt(bb)) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5
+""",
+    survey_ref="beyond-reference: brute-force cosine top-k ANN baseline",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for 8 query vectors, brute force.
+
+    Scale shape: queries broadcast against the base scan; the per-row dot is
+    a JVM higher-order fold (no Python). The window ranks per query."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    dots = joined.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        _dot_q(F.col("qe"), F.col("embedding")).cast("double").alias("dot"),
+        _dot_q(F.col("qe"), F.col("qe")).cast("double").alias("qq"),
+        _dot_q(F.col("embedding"), F.col("embedding")).cast("double").alias("bb"),
+    )
+    cosine = F.col("dot") / (F.sqrt("qq") * F.sqrt("bb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(cosine), F.asc("neighbor_id"))
+    return (
+        dots.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 5")
+        .select("query_id", "neighbor_id", "label", "cosine", "rank")
+    )
+
+
+@register(
+    "vector_norms_by_label",
+    oracle=f"""
+SELECT label,
+  COUNT(*) AS n_vectors,
+  CAST(SUM({_DOT_SQL.format(a="embedding", b="embedding")}) AS BIGINT) AS total_sq_norm
+FROM embeddings GROUP BY label
+""",
+    survey_ref="beyond-reference: vector aggregate statistics",
+)
+def vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector counts + exact (quantized) total squared L2 norm."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = _dot_q(F.col("embedding"), F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(sq).cast("bigint").alias("total_sq_norm"),
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH hp AS (
+  SELECT vec_id, label, embedding,
+    (CASE WHEN CAST(embedding[1] AS DOUBLE) + CAST(embedding[3] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[2] AS DOUBLE) - CAST(embedding[5] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[4] AS DOUBLE) + CAST(embedding[8] AS DOUBLE) > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.bucket,
+    {_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS dot
+  FROM hp a JOIN hp b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.vec_id < 64
+)
+SELECT bucket, COUNT(*) AS n_pairs,
+  CAST(SUM(dot) AS BIGINT) AS total_dot
+FROM pairs GROUP BY bucket
+""",
+    survey_ref="beyond-reference: LSH (random-hyperplane) bucketed similarity — the ANN scale path",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-of-projection (SimHash-for-vectors) bucketing: 3 fixed
+    hyperplanes → 8 buckets; candidate pairs only form inside a bucket.
+    Output aggregates per bucket so the oracle compares a small table."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def el(i):  # 1-based to match DuckDB list indexing
+        return emb[i - 1].cast("double")
+
+    bucket = (
+        F.when(el(1) + el(3) > 0, 1).otherwise(0)
+        + F.when(el(2) - el(5) > 0, 2).otherwise(0)
+        + F.when(el(4) + el(8) > 0, 4).otherwise(0)
+    )
+    hp = e.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    a = hp.alias("a")
+    b = hp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.col("a.vec_id") < 64)
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            _dot_q(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+        )
+    )
+    return pairs.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("dot").cast("bigint").alias("total_dot"),
+    )
