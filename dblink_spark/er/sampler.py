@@ -95,23 +95,15 @@ def sample(
         if opts.diagnostics_path
         else None
     )
-    chain_path = (
-        os.path.join(output_path, "linkage-chain.parquet") if output_path else None
-    )
-    buffer: list[DataFrame] = []
-    first_flush = not _chain_exists(state, chain_path)
+    writer = None
+    if output_path is not None:
+        from dblink_spark.sources.chain import BufferedChainWriter
 
-    def flush():
-        nonlocal first_flush
-        if not buffer or chain_path is None:
-            buffer.clear()
-            return
-        df = buffer[0]
-        for d in buffer[1:]:
-            df = df.unionByName(d)
-        df.write.mode("overwrite" if first_flush else "append").parquet(chain_path)
-        first_flush = False
-        buffer.clear()
+        writer = BufferedChainWriter(
+            output_path,
+            buffer_size=opts.write_buffer_size,
+            append=state.iteration > 0,  # resumed chain appends to existing samples
+        )
 
     saved = 0
     while saved < sample_size:
@@ -120,28 +112,21 @@ def sample(
         past_burnin = it > opts.burnin_interval
         on_thin = (it - opts.burnin_interval) % max(opts.thinning_interval, 1) == 0
         if past_burnin and on_thin:
-            buffer.append(linkage_sample(state))
+            if writer:
+                writer.append(linkage_sample(state))
             saved += 1
             if diag:
                 diag.write(state)
-            if len(buffer) >= opts.write_buffer_size:
-                flush()
-    flush()
+    if writer:
+        writer.flush()
     if diag:
         diag.close()
     return state
 
 
-def _chain_exists(state: State, chain_path: str | None) -> bool:
-    if chain_path is None:
-        return False
-    try:
-        state.df.sparkSession.read.parquet(chain_path).limit(1).collect()
-        return True
-    except Exception:  # noqa: BLE001
-        return False
+def read_linkage_chain(spark, output_path: str, cutoff: int | None = None) -> DataFrame:
+    """Read samples back (ref: LinkageChain.scala:35-43); delegates to
+    dblink_spark.sources.chain."""
+    from dblink_spark.sources.chain import read_linkage_chain as _read
 
-
-def read_linkage_chain(spark, output_path: str) -> DataFrame:
-    """Read samples back (ref: LinkageChain.scala:35-43)."""
-    return spark.read.parquet(os.path.join(output_path, "linkage-chain.parquet"))
+    return _read(spark, output_path, cutoff)

@@ -1,0 +1,69 @@
+"""Chain-state save/resume (ref: State.scala:122-193, S4/S5).
+
+Two artifacts, mirroring the reference's split:
+
+- ``state.parquet`` — the cluster DataFrame (workers' share), a straight
+  columnar round-trip (ref: State.scala:144-149/182-185 Parquet save/load).
+- ``driver-state.pkl`` — driver scalars: iteration, θ, seeds, summaries,
+  the fitted partition function, the records cache, and the driver RNG
+  (NumPy ``Generator`` pickles with its exact bit-state), replacing the
+  reference's Java ``ObjectOutputStream`` blob (ref: State.scala:122-150).
+
+Resume is bit-exact: kernel seeds derive from ``current_seed`` +
+``partition_id`` (data values, not task indexes), and the driver RNG
+restores mid-stream, so save→load→sample produces the same chain as an
+uninterrupted run (tested in tests/test_sources.py).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+from pyspark.sql import SparkSession
+
+from dblink_spark.er.state import State
+
+STATE_DIRNAME = "state.parquet"
+DRIVER_BLOB = "driver-state.pkl"
+
+
+def save_state(state: State, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    state.df.write.mode("overwrite").parquet(os.path.join(path, STATE_DIRNAME))
+    blob = {
+        "iteration": state.iteration,
+        "theta": state.theta,
+        "population_size": state.population_size,
+        "summary": state.summary,
+        "partition_fn": state.partition_fn,
+        "num_partitions": state.num_partitions,
+        "start_seed": state.start_seed,
+        "current_seed": state.current_seed,
+        "cache": state.cache,
+        "rng": state.rng,
+    }
+    with open(os.path.join(path, DRIVER_BLOB), "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_state(spark: SparkSession, path: str) -> State:
+    with open(os.path.join(path, DRIVER_BLOB), "rb") as f:
+        blob = pickle.load(f)
+    df = spark.read.parquet(os.path.join(path, STATE_DIRNAME))
+    # Materialize so the first transition starts from a truncated lineage,
+    # same as mid-chain states (ref: PeriodicCheckpointer discipline).
+    df = df.localCheckpoint(eager=True)
+    return State(
+        iteration=blob["iteration"],
+        df=df,
+        theta=blob["theta"],
+        population_size=blob["population_size"],
+        summary=blob["summary"],
+        partition_fn=blob["partition_fn"],
+        num_partitions=blob["num_partitions"],
+        start_seed=blob["start_seed"],
+        current_seed=blob["current_seed"],
+        cache=blob["cache"],
+        rng=blob["rng"],
+    )
