@@ -53,10 +53,16 @@ def membership_to_clusters(membership: DataFrame) -> DataFrame:
 def clusters_to_membership(clusters: DataFrame) -> DataFrame:
     """Clusters -> (rec_id, synthetic ent_id)
     (ref: analysis/package.scala:77-84, G7)."""
-    return clusters.select(
-        F.monotonically_increasing_id().alias("ent_id"),
-        F.explode("cluster").alias("rec_id"),
-    ).select("rec_id", "ent_id")
+    # id must be assigned BEFORE exploding: nondeterministic expressions in the
+    # same projection as a generator are evaluated once per *generated* row,
+    # which would put every member in its own cluster.
+    return (
+        clusters.select(
+            F.monotonically_increasing_id().alias("ent_id"), "cluster"
+        )
+        .select("ent_id", F.explode("cluster").alias("rec_id"))
+        .select("rec_id", "ent_id")
+    )
 
 
 def exact_match_clusters(records: DataFrame, attr_names: list[str]) -> DataFrame:

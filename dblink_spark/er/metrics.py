@@ -86,7 +86,9 @@ def adjusted_rand_index(table: DataFrame) -> float:
     expected = float(pred_comb) * float(true_comb) / comb2(n) if n >= 2 else 0.0
     max_index = (float(pred_comb) + float(true_comb)) / 2.0
     if max_index == expected:
-        return float("nan")
+        # Degenerate: both clusterings are all-singletons (or single-cluster)
+        # and therefore identical — ARI is 1 by convention (sklearn agrees).
+        return 1.0
     return (total - expected) / (max_index - expected)
 
 

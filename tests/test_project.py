@@ -1,0 +1,186 @@
+"""Config parser + config-driven pipeline tests.
+
+The config shape mirrors the reference's examples/RLdata500.conf (HOCON with
+comments, substitutions, arrays of objects) without copying its data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dblink_spark.config import ConfigError, parse_config
+
+HOCON = """
+// comment style 1
+# comment style 2
+dblink : {
+    data : {
+        path : "/tmp/somewhere.csv"
+        recordIdentifier : "rec_id",
+        fileIdentifier : file_id   // unquoted value
+        entityIdentifier : "ent_id"
+        nullValue : "NA"
+        matchingAttributes : [
+            {name : "fname", similarityFunction : {name : "LevenshteinSimilarityFn",
+                parameters : {threshold : 7.0, maxSimilarity : 10.0}},
+             distortionPrior : {alpha : 0.5, beta : 50.0}},
+            {name : "by", similarityFunction : {name : "ConstantSimilarityFn"},
+             distortionPrior : {alpha : 0.5, beta : 50.0}}
+        ]
+    }
+    randomSeed : 319158
+    expectedMaxClusterSize : 10
+    partitioner : {name : "KDTreePartitioner",
+                   parameters : {numLevels : 1, matchingAttributes : ["by"]}}
+    outputPath : ${dblink.data.path}
+    steps : [
+        {name : "sample", parameters : {sampleSize : 10, sampler : "PCG-I"}},
+        {name : "evaluate", parameters : {lowerIterationCutoff : 0,
+                                          metrics : ["pairwise", "cluster"]}}
+    ]
+}
+"""
+
+
+class TestConfigParser:
+    def test_reference_shape(self):
+        cfg = parse_config(HOCON)
+        d = cfg["dblink"]
+        assert d["data"]["recordIdentifier"] == "rec_id"
+        assert d["data"]["fileIdentifier"] == "file_id"
+        assert d["data"]["nullValue"] == "NA"
+        attrs = d["data"]["matchingAttributes"]
+        assert [a["name"] for a in attrs] == ["fname", "by"]
+        assert attrs[0]["similarityFunction"]["parameters"]["threshold"] == 7.0
+        assert d["randomSeed"] == 319158
+        # ${dblink.data.path} substitution resolved
+        assert d["outputPath"] == "/tmp/somewhere.csv"
+        assert [s["name"] for s in d["steps"]] == ["sample", "evaluate"]
+
+    def test_json_is_accepted(self):
+        cfg = parse_config('{"a": {"b": [1, 2.5, true, null, "x"]}}')
+        assert cfg == {"a": {"b": [1, 2.5, True, None, "x"]}}
+
+    def test_duplicate_object_keys_merge(self):
+        cfg = parse_config("a { x : 1 }\na { y : 2 }")
+        assert cfg["a"] == {"x": 1, "y": 2}
+
+    def test_errors(self):
+        with pytest.raises(ConfigError):
+            parse_config('a : "unterminated')
+        with pytest.raises(ConfigError):
+            parse_config("a : ${nowhere.at.all}")
+
+
+@pytest.fixture(scope="module")
+def project_dirs(tmp_path_factory):
+    """Tiny RLdata-style CSV + config file + output dir."""
+    from dblink_spark.er.datagen import make_rldata
+
+    root = tmp_path_factory.mktemp("proj")
+    data_csv = str(root / "records.csv")
+    out_dir = str(root / "out") + os.sep
+    copy_dir = str(root / "copied")
+    make_rldata(n_records=60, dup_fraction=0.15, seed=7).to_csv(
+        data_csv, index=False
+    )
+    conf = root / "project.conf"
+    conf.write_text(
+        f"""
+dblink {{
+    data {{
+        path : "{data_csv}"
+        recordIdentifier : "rec_id"
+        entityIdentifier : "ent_id"
+        matchingAttributes : [
+            {{name : "fname", similarityFunction : {{name : "LevenshteinSimilarityFn",
+                 parameters : {{threshold : 7.0, maxSimilarity : 10.0}}}},
+              distortionPrior : {{alpha : 0.5, beta : 50.0}}}},
+            {{name : "lname", similarityFunction : {{name : "LevenshteinSimilarityFn",
+                 parameters : {{threshold : 7.0, maxSimilarity : 10.0}}}},
+              distortionPrior : {{alpha : 0.5, beta : 50.0}}}},
+            {{name : "by", similarityFunction : {{name : "ConstantSimilarityFn"}},
+              distortionPrior : {{alpha : 0.5, beta : 50.0}}}},
+            {{name : "bm", similarityFunction : {{name : "ConstantSimilarityFn"}},
+              distortionPrior : {{alpha : 0.5, beta : 50.0}}}}
+        ]
+    }}
+    randomSeed : 11
+    expectedMaxClusterSize : 10
+    outputPath : "{out_dir}"
+    steps : [
+        {{name : "sample", parameters : {{sampleSize : 12, sampler : "PCG-I",
+                                          burninInterval : 4}}}},
+        {{name : "summarize", parameters : {{lowerIterationCutoff : 4,
+            quantities : ["cluster-size-distribution", "partition-sizes",
+                          "shared-most-probable-clusters"]}}}},
+        {{name : "evaluate", parameters : {{lowerIterationCutoff : 4,
+            useExistingSMPC : true, metrics : ["pairwise", "cluster"]}}}},
+        {{name : "copy-files", parameters : {{destinationPath : "{copy_dir}"}}}}
+    ]
+}}
+"""
+    )
+    return str(conf), out_dir, copy_dir
+
+
+class TestProjectPipeline:
+    def test_end_to_end(self, spark, project_dirs):
+        from dblink_spark.project import Project
+
+        conf_path, out_dir, copy_dir = project_dirs
+        project = Project.from_config_file(spark, conf_path)
+        assert [a.name for a in project.matching_attrs] == [
+            "fname", "lname", "by", "bm",
+        ]
+        results = project.run()
+
+        # sample step produced a chain + state + diagnostics
+        assert results["sample"]["iteration"] == 16  # 4 burn-in + 12 samples
+        assert os.path.exists(os.path.join(out_dir, "linkage-chain.parquet"))
+        assert os.path.exists(os.path.join(out_dir, "final-state"))
+        assert os.path.exists(os.path.join(out_dir, "diagnostics.csv"))
+        assert os.path.exists(os.path.join(out_dir, "run.txt"))
+
+        # summarize wrote the three CSVs
+        for f in (
+            "cluster-size-distribution.csv",
+            "partition-sizes.csv",
+            "shared-most-probable-clusters.csv",
+        ):
+            assert os.path.exists(os.path.join(out_dir, f)), f
+
+        # evaluate: sane metric ranges; ER on near-duplicates should beat 0
+        ev = results["evaluate"]
+        assert 0.0 <= ev["pairwise"]["precision"] <= 1.0
+        assert 0.0 <= ev["pairwise"]["recall"] <= 1.0
+        assert -1.0 <= ev["cluster"]["adjusted_rand_index"] <= 1.0
+        assert os.path.exists(os.path.join(out_dir, "evaluation-results.txt"))
+
+        # copy-files copied the run artifacts
+        copied = results["copy-files"]["copied"]
+        assert len(copied) == 3
+        for name in ("diagnostics.csv", "evaluation-results.txt", "run.txt"):
+            assert os.path.exists(os.path.join(copy_dir, name))
+
+    def test_resume_appends_chain(self, spark, project_dirs):
+        """A second sample step with resume=true continues the saved chain."""
+        from dblink_spark.project import Project
+        from dblink_spark.sources import read_linkage_chain
+
+        conf_path, out_dir, _ = project_dirs
+        project = Project.from_config_file(spark, conf_path)
+        project.steps = [
+            {"name": "sample",
+             "parameters": {"sampleSize": 3, "resume": True, "sampler": "PCG-I"}}
+        ]
+        results = project.run()
+        assert results["sample"]["iteration"] == 19  # resumed from 16
+        chain = read_linkage_chain(spark, out_dir)
+        its = sorted(
+            r["iteration"] for r in chain.select("iteration").distinct().collect()
+        )
+        assert its[-1] == 19
+        assert 17 in its and 18 in its
