@@ -63,6 +63,7 @@ from dblink_spark.queries import dedup  # noqa: E402,F401
 from dblink_spark.queries import text  # noqa: E402,F401
 from dblink_spark.queries import vectors  # noqa: E402,F401
 from dblink_spark.queries import stats  # noqa: E402,F401
+from dblink_spark.queries import multimodal  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

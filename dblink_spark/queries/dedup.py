@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dblink_spark.queries import load, register
 
-N_HASHES = 4  # minhash signature size; 2 bands x 2 rows
+N_HASHES = 16  # minhash signature size; 4 bands x 4 rows (S-curve midpoint ~0.84)
+N_BANDS = 4
+ROWS_PER_BAND = 4
 
 
 @register(
@@ -43,13 +45,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols():
-    """min over tokens of md5(seed || token) — lexicographic min on hex
-    strings, identical in both engines."""
+def _band_defs():
+    """band key = md5 of the concatenated row hashes (32-char join key)."""
     return [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("token")))).alias(f"h{i}")
-        for i in range(N_HASHES)
+        (f"band{b}", [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)
     ]
+
+
+_MH_SQL = ", ".join(f"MIN(md5('{i}' || token)) AS h{i}" for i in range(N_HASHES))
+_BANDS_SQL = ", ".join(
+    f"md5({' || '.join(cols)}) AS {name}" for name, cols in _band_defs()
+)
+_CAND_SQL = " UNION ".join(
+    f"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a "
+    f"JOIN bands b ON a.{name} = b.{name} AND a.doc_id < b.doc_id"
+    for name, _ in _band_defs()
+)
 
 
 @register(
@@ -58,77 +70,114 @@ def _minhash_cols():
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
-mh AS (
-  SELECT doc_id,
-    {", ".join(f"MIN(md5('{i}' || token)) AS h{i}" for i in range(N_HASHES))}
+docs AS (
+  SELECT doc_id, {_MH_SQL},
+    list_sort(list(token)) AS toks, COUNT(*) AS n_tok
   FROM tok GROUP BY doc_id
 ),
-bands AS (
-  SELECT doc_id, h0 || h1 AS band0, h2 || h3 AS band1 FROM mh
+bands AS (SELECT doc_id, {_BANDS_SQL} FROM docs),
+cand AS ({_CAND_SQL}),
+verified AS (
+  SELECT c.doc1, c.doc2
+  FROM cand c
+  JOIN docs s1 ON s1.doc_id = c.doc1
+  JOIN docs s2 ON s2.doc_id = c.doc2
+  WHERE CAST(len(list_intersect(s1.toks, s2.toks)) AS DOUBLE)
+        / (s1.n_tok + s2.n_tok - len(list_intersect(s1.toks, s2.toks))) >= 0.8
 ),
-cand AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-  UNION
-  SELECT a.doc_id, b.doc_id
-  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+adj AS (
+  SELECT doc1 AS doc_id, doc2 AS partner FROM verified
+  UNION ALL
+  SELECT doc2, doc1 FROM verified
 ),
-inter AS (
-  SELECT c.doc1, c.doc2, COUNT(*) AS n_inter
-  FROM cand c JOIN tok t1 ON t1.doc_id = c.doc1 JOIN tok t2 ON t2.doc_id = c.doc2 AND t1.token = t2.token
-  GROUP BY c.doc1, c.doc2
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id)
-SELECT i.doc1, i.doc2,
-  CAST(i.n_inter AS DOUBLE) / (s1.n_tok + s2.n_tok - i.n_inter) AS jaccard
-FROM inter i JOIN sizes s1 ON s1.doc_id = i.doc1 JOIN sizes s2 ON s2.doc_id = i.doc2
-WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_tok + s2.n_tok - i.n_inter) >= 0.8
+grouped AS (
+  SELECT doc_id, COUNT(*) AS n_near_dups, MIN(partner) AS min_partner
+  FROM adj GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(g.n_near_dups, 0) AS n_near_dups,
+  LEAST(d.doc_id, COALESCE(g.min_partner, d.doc_id)) AS rep_doc
+FROM (SELECT doc_id FROM documents) d LEFT JOIN grouped g ON g.doc_id = d.doc_id
 """,
     survey_ref="beyond-reference: MinHash + LSH banding near-dup detection",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token-set MinHash signatures → 2 LSH bands → candidate pairs via
-    band-key equi-join → exact Jaccard verify on candidates only.
+    """Token-set MinHash (16 hashes) → 4 LSH bands of 4 rows → candidate
+    pairs via band-key equi-joins → exact Jaccard >= 0.8 verify on
+    candidates only → per-doc dedup decision
+    ``(doc_id, n_near_dups, rep_doc)``.
 
-    The band join is the scale path: no all-pairs product ever forms; the
-    verify join touches only banded candidates.
+    Scale shape:
+    - signatures, token arrays and sizes come from ONE groupBy over the
+      exploded tokens (single shuffle on doc_id);
+    - no all-pairs product ever forms — candidates only via band equi-join
+      (4×4 banding puts the S-curve midpoint at ~0.84, so candidate volume
+      tracks true near-dup volume, not N²);
+    - the verify is two hash joins back to the per-doc arrays plus a JVM
+      ``array_intersect`` — never a token-level join (a token-level verify
+      multiplies candidate rows by tokens-per-doc);
+    - the output is the per-doc keep/drop decision, which stays linear in
+      the corpus even when near-dup cliques make the pair set quadratic
+      (this corpus: 2.9M true pairs at sf0.1 from 5k docs).
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
-    mh = tok.groupBy("doc_id").agg(*_minhash_cols())
-    bands = mh.select(
+    docs = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("token")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+        F.sort_array(F.collect_list("token")).alias("toks"),
+        F.count("*").alias("n_tok"),
+    )
+    bands = docs.select(
         "doc_id",
-        F.concat("h0", "h1").alias("band0"),
-        F.concat("h2", "h3").alias("band1"),
+        *[F.md5(F.concat(*cols)).alias(name) for name, cols in _band_defs()],
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand0 = a.join(
-        b, (F.col("a.band0") == F.col("b.band0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-    cand1 = a.join(
-        b, (F.col("a.band1") == F.col("b.band1")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-    cand = cand0.union(cand1).distinct()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = None
+    for name, _ in _band_defs():
+        part = a.join(
+            b,
+            (F.col(f"a.{name}") == F.col(f"b.{name}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        cand = part if cand is None else cand.union(part)
+    cand = cand.distinct()
 
-    t1 = tok.select(F.col("doc_id").alias("doc1"), F.col("token").alias("t1"))
-    t2 = tok.select(F.col("doc_id").alias("__d2"), F.col("token").alias("t2"))
-    inter = (
-        cand.join(t1, "doc1")
-        .join(t2, (F.col("doc2") == F.col("__d2")) & (F.col("t1") == F.col("t2")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_inter"))
+    s1 = docs.select(
+        F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"), F.col("n_tok").alias("n1")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_tok").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_tok").alias("n2"))
-    jac = F.col("n_inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
-    return (
-        inter.join(s1, "doc1")
+    s2 = docs.select(
+        F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"), F.col("n_tok").alias("n2")
+    )
+    n_inter = F.size(F.array_intersect("toks1", "toks2"))
+    verified = (
+        cand.join(s1, "doc1")
         .join(s2, "doc2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc1", "doc2", "jaccard")
+        .filter(
+            n_inter.cast("double") / (F.col("n1") + F.col("n2") - n_inter) >= 0.8
+        )
+        .select("doc1", "doc2")
+    )
+    adj = verified.select(
+        F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner")
+    ).unionAll(
+        verified.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("partner"))
+    )
+    grouped = adj.groupBy("doc_id").agg(
+        F.count("*").alias("n_near_dups"), F.min("partner").alias("min_partner")
+    )
+    return (
+        d.select("doc_id")
+        .join(grouped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            F.least(
+                F.col("doc_id"), F.coalesce("min_partner", F.col("doc_id"))
+            ).alias("rep_doc"),
+        )
     )
 
 

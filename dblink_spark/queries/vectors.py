@@ -115,6 +115,57 @@ def vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label1, b.label AS label2,
+    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, label1 AS label, cosine
+FROM pairs WHERE cosine >= 0.35
+""",
+    survey_ref="beyond-reference: embedding-cosine near-duplicate detection",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by cosine >= 0.35, blocked by label (the
+    cluster id plays the LSH-bucket role, so the join is per-block, not
+    N^2 global — at 100 TB the block key would be an LSH band).
+
+    Quantized dots (see module docstring) make the cosine a deterministic
+    function of BIGINTs, identical across engines."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cosine = (
+        _dot_q(F.col("a.embedding"), F.col("b.embedding")).cast("double")
+        / (F.sqrt(F.col("a.sq").cast("double")) * F.sqrt(F.col("b.sq").cast("double")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.label").alias("label"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@register(
     "ann_lsh_bucketed",
     oracle=f"""
 WITH hp AS (

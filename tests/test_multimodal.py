@@ -1,0 +1,123 @@
+"""Unit tests for the multimodal binary-column operators
+(dblink_spark.operators.multimodal): schema, batch plumbing, and the
+deterministic byte math of the fake codec path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dblink_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    frame_sample,
+    resize_image,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "hello world"),
+        (1, "a" * 300),
+        (2, "xyz"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+class TestAttachMedia:
+    def test_schema_and_bytes(self, docs):
+        m = attach_media(docs)
+        fields = dict(m.dtypes)
+        assert fields["media"] == "binary"
+        assert fields["media_meta"].startswith("struct<media_type:string")
+        rows = {r["doc_id"]: r for r in m.collect()}
+        assert bytes(rows[0]["media"]) == b"hello world"
+        assert rows[0]["media_meta"]["num_bytes"] == 11
+
+    def test_media_type_cycles_by_doc_id(self, docs):
+        rows = {r["doc_id"]: r["media_meta"]["media_type"] for r in attach_media(docs).collect()}
+        assert rows == {0: "image", 1: "audio", 2: "video", 3: "image"}
+
+    def test_image_dims_only_for_images(self, docs):
+        rows = {r["doc_id"]: r["media_meta"] for r in attach_media(docs).collect()}
+        assert rows[0]["width"] is not None and rows[0]["height"] is not None
+        assert rows[1]["width"] is None and rows[1]["sample_rate"] == 16000
+        assert rows[2]["width"] is None and rows[2]["sample_rate"] is None
+
+
+class TestDecodeMedia:
+    def test_fake_decode_stats(self, docs):
+        out = {r["doc_id"]: r for r in decode_media(attach_media(docs)).collect()}
+        # "hello world": 11 bytes, sum of ASCII values
+        expect_sum = sum(b"hello world")
+        assert out[0]["n_samples"] == 11
+        assert out[0]["byte_sum"] == expect_sum
+        assert out[0]["mean_level"] == pytest.approx(expect_sum / 11)
+        assert out[1]["n_samples"] == 300
+        assert out[1]["byte_sum"] == 300 * ord("a")
+
+    def test_custom_decoder(self, docs):
+        out = decode_media(
+            attach_media(docs), decoder=lambda buf: np.array([len(buf)])
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[2]["n_samples"] == 1 and by_id[2]["byte_sum"] == 3
+
+
+class TestExtractFeatures:
+    def test_histogram_normalized(self, docs):
+        out = {r["doc_id"]: r for r in extract_features(attach_media(docs), dim=8).collect()}
+        feats = out[1]["features"]  # 300 x 'a' (97): bucket 97 % 8 == 1
+        assert len(feats) == 8
+        assert feats[1] == pytest.approx(1.0)
+        assert sum(feats) == pytest.approx(1.0)
+
+    def test_exact_bucket_counts(self, docs):
+        out = {r["doc_id"]: r for r in extract_features(attach_media(docs), dim=4).collect()}
+        sig = np.frombuffer(b"hello world", dtype=np.uint8)
+        expect = np.bincount(sig % 4, minlength=4) / len(sig)
+        assert out[0]["features"] == pytest.approx(expect.tolist(), abs=1e-6)
+
+
+class TestFrameSample:
+    def test_non_overlapping(self, docs):
+        out = {r["doc_id"]: r for r in frame_sample(attach_media(docs), 128, 128).collect()}
+        assert out[1]["n_frames"] == 3  # 300 bytes -> 128,128,44
+        sizes = [len(bytes(f)) for f in out[1]["frames"]]
+        assert sizes == [128, 128, 44]
+        # reassembly is lossless for stride == frame_size
+        assert b"".join(bytes(f) for f in out[1]["frames"]) == b"a" * 300
+
+    def test_overlapping_stride(self, docs):
+        out = {r["doc_id"]: r for r in frame_sample(attach_media(docs), 8, 4).collect()}
+        frames = [bytes(f) for f in out[0]["frames"]]  # 11 bytes
+        assert frames[0] == b"hello wo"
+        assert frames[1] == b"o world"
+        assert frames[2] == b"rld"
+        assert out[0]["n_frames"] == 3
+
+    def test_short_payload_single_frame(self, docs):
+        out = {r["doc_id"]: r for r in frame_sample(attach_media(docs), 128, 128).collect()}
+        assert out[2]["n_frames"] == 1
+        assert bytes(out[2]["frames"][0]) == b"xyz"
+
+    def test_bad_stride(self, docs):
+        with pytest.raises(ValueError):
+            frame_sample(attach_media(docs), 8, 0)
+
+
+class TestResizeImage:
+    def test_fixed_output_size(self, docs):
+        out = {r["doc_id"]: r for r in resize_image(attach_media(docs), 4, 3).collect()}
+        for r in out.values():
+            assert len(bytes(r["pixels"])) == 12
+            assert (r["width"], r["height"]) == (4, 3)
+
+    def test_nearest_neighbor_sampling(self, docs):
+        out = {r["doc_id"]: r for r in resize_image(attach_media(docs), 2, 2).collect()}
+        sig = np.frombuffer(b"xyz", dtype=np.uint8)
+        idx = (np.arange(4) * 3) // 4  # 0,0,1,2
+        assert bytes(out[2]["pixels"]) == sig[idx].tobytes()
