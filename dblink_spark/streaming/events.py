@@ -1,0 +1,199 @@
+"""Streaming event analytics: the streaming twins of the batch event queries.
+
+Design for scale:
+
+- Aggregations are **watermarked** so state is bounded: late rows beyond the
+  watermark are dropped and completed windows are evicted from the state
+  store. Without a watermark a 100 TB stream accumulates state forever.
+- Session windows use the built-in ``F.session_window`` (JVM-side state
+  merge, whole-stage codegen on the agg) rather than a Python stateful op.
+- The one custom stateful operator (``user_running_stats``) uses
+  ``applyInPandasWithState`` — Arrow-batched per-group state, the PySpark
+  analogue of flatMapGroupsWithState — for semantics window functions can't
+  express incrementally (cumulative per-key counters emitted per batch).
+
+The events fixture stores TIMESTAMP(NANOS), which Spark's parquet reader
+only accepts as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``); we
+convert to a proper timestamp column via integer µs, matching the batch
+side (`dblink_spark.queries.tpch.load_events_us`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of the events fixture with nanosAsLong enabled (ts is int64 nanos)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over a directory of events parquet files.
+
+    Emits ``event_id, user_id, event_type, value, ts_us bigint,
+    event_time timestamp`` — integer-µs plus a real timestamp column for
+    window/watermark operators.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(events_dir)
+    ts_us = F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("event_time"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type.
+
+    Watermarked so the state store evicts completed windows; output in
+    append mode emits each window exactly once after the watermark passes.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization — the streaming twin of the batch
+    ``q_events_sessionize`` query (same 30-min inactivity gap).
+
+    ``F.session_window`` keeps per-(user, open-session) state JVM-side and
+    merges overlapping windows as events arrive; the watermark closes and
+    emits sessions once no more late data can extend them.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "duration_us",
+        )
+    )
+
+
+_RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+_RUNNING_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Cumulative per-user counters via ``applyInPandasWithState``.
+
+    Emits one row per user per micro-batch with the running event count,
+    value sum, and latest-seen µs timestamp — the custom-stateful-operator
+    pattern (state is an explicit struct, updated Arrow batch by Arrow
+    batch, never rebuilt from history)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n, total, last_us) = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts_us"].max()))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events_total": [n],
+                "total_value": [total],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUT,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream into an in-memory table with ``trigger(availableNow)``
+    — processes everything currently in the source, then stops. Used by
+    tests and local verification; production would writeStream to parquet
+    with a checkpoint location."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

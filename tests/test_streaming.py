@@ -1,0 +1,195 @@
+"""Structured Streaming tests: the streaming event queries must agree with
+their batch twins once the watermark has passed all real data.
+
+Technique: stage the fixture events as file 1 and a single far-future
+sentinel event as file 2 (later mtime, so FileStreamSource processes it in
+a later micro-batch). With maxFilesPerTrigger=1 the sentinel batch advances
+the watermark past every real event, so append-mode windows/sessions all
+emit. Batch expectations are computed over the real events only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from dblink_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory_sink,
+    sessionize_stream,
+    user_running_stats,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SENTINEL_US = 4102444800 * 1_000_000  # 2100-01-01, beyond any fixture event
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    real = d / "part-000-real.parquet"
+    shutil.copy(f"{SF_DIR}/events.parquet", real)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sentinel = spark.createDataFrame(
+        [(10**9, SENTINEL_US * 1000, 10**6, "sentinel", 0.0, "{}")],
+        "event_id: long, ts: long, user_id: long, event_type: string, "
+        "value: double, props: string",
+    )
+    sent_dir = d / "_sentinel_build"
+    sentinel.coalesce(1).write.parquet(str(sent_dir))
+    part = next(p for p in os.listdir(sent_dir) if p.endswith(".parquet"))
+    shutil.move(str(sent_dir / part), d / "part-001-sentinel.parquet")
+    shutil.rmtree(sent_dir)
+    now = os.path.getmtime(d / "part-001-sentinel.parquet")
+    os.utime(real, (now - 60, now - 60))  # real file strictly older
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    """Batch twin of read_event_stream over the real fixture only."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts_us = F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("event_time"),
+    )
+
+
+def _stream(spark, events_dir):
+    return read_event_stream(spark, events_dir, max_files_per_trigger=1)
+
+
+class TestWindowedCounts:
+    def test_matches_batch(self, spark, events_dir, batch_events):
+        run_to_memory_sink(
+            windowed_event_counts(_stream(spark, events_dir)), "win_counts"
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.table("win_counts").collect()
+            if r["event_type"] != "sentinel"
+        }
+        expect = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in (
+                batch_events.groupBy(F.window("event_time", "1 hour"), "event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum("value").alias("total_value"),
+                )
+                .select(
+                    F.col("window.start").alias("window_start"),
+                    "event_type",
+                    "n_events",
+                    "total_value",
+                )
+            ).collect()
+        }
+        assert set(got) == set(expect)
+        for k, (n, tv) in expect.items():
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(tv)
+
+
+class TestSessionize:
+    def test_matches_batch_session_windows(self, spark, events_dir, batch_events):
+        run_to_memory_sink(
+            sessionize_stream(_stream(spark, events_dir)), "sessions"
+        )
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["duration_us"])
+            for r in spark.table("sessions").collect()
+            if r["user_id"] != 10**6
+        }
+        expect = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["duration_us"])
+            for r in (
+                batch_events.groupBy(
+                    F.session_window("event_time", "30 minutes"), "user_id"
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+                )
+                .select(
+                    "user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    "n_events",
+                    "duration_us",
+                )
+            ).collect()
+        }
+        assert got == expect
+
+    def test_agrees_with_batch_lag_formulation(self, spark, events_dir, batch_events):
+        """Session *count and sizes* match the batch lag/running-sum
+        sessionization (q_events_sessionize) — same 30-min gap rule."""
+        from pyspark.sql import Window
+
+        sessions = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.table("sessions").collect()
+            if r["user_id"] != 10**6
+        }
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        wrun = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        lag_sessions = (
+            batch_events.withColumn("prev_us", F.lag("ts_us").over(w))
+            .withColumn(
+                "new_session",
+                F.when(
+                    F.col("prev_us").isNull()
+                    | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("session_id", F.sum("new_session").over(wrun))
+            .groupBy("user_id", "session_id")
+            .count()
+        )
+        expect_sizes = sorted(r["count"] for r in lag_sessions.collect())
+        assert sorted(sessions.values()) == expect_sizes
+
+
+class TestUserRunningStats:
+    def test_final_state_matches_batch_totals(self, spark, events_dir, batch_events):
+        run_to_memory_sink(
+            user_running_stats(_stream(spark, events_dir)),
+            "running",
+            output_mode="update",
+        )
+        # update mode appends one row per (user, micro-batch); the final
+        # cumulative row per user is the one with the max running count.
+        rows = [r for r in spark.table("running").collect() if r["user_id"] != 10**6]
+        final = {}
+        for r in rows:
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events_total"] > cur["n_events_total"]:
+                final[r["user_id"]] = r
+        expect = {
+            r["user_id"]: r
+            for r in batch_events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("total"),
+                F.max("ts_us").alias("last_us"),
+            )
+            .collect()
+        }
+        assert set(final) == set(expect)
+        for uid, e in expect.items():
+            assert final[uid]["n_events_total"] == e["n"]
+            assert final[uid]["total_value"] == pytest.approx(e["total"])
+            assert final[uid]["last_ts_us"] == e["last_us"]
