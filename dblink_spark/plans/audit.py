@@ -1,0 +1,139 @@
+"""Parse `explain("formatted")` output into checkable plan properties.
+
+Used two ways:
+
+- tests assert plan shape for the headline queries (pushdown reached the
+  parquet scan, dimension joins broadcast, shuffle counts don't regress);
+- ``python -m dblink_spark.plans.audit [sf_dir [query ...]]`` prints an
+  audit table over the whole query registry — the per-operator answer to
+  "would this plan survive a 100× scale-up?".
+
+Parsing the formatted text keeps this independent of py4j internals; the
+formatted mode is a stable public surface (used by Spark's own SQL tests).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The physical plan in `formatted` mode as a string."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@dataclass
+class ScanInfo:
+    """One `Scan parquet` node."""
+
+    location: str = ""
+    read_schema: str = ""
+    pushed_filters: list[str] = field(default_factory=list)
+
+    @property
+    def read_columns(self) -> list[str]:
+        return re.findall(r"(\w+):", self.read_schema)
+
+
+def scan_infos(plan: str) -> list[ScanInfo]:
+    """All parquet scans with their pushed filters and read schemas."""
+    scans = []
+    # formatted mode lists node details as "(N) Scan parquet\n<attrs...>"
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if not block.startswith("Scan parquet"):
+            continue
+        info = ScanInfo()
+        m = re.search(r"Location:.*?\[(.*?)\]", block)
+        if m:
+            info.location = m.group(1)
+        m = re.search(r"ReadSchema: struct<(.*?)>", block, re.DOTALL)
+        if m:
+            info.read_schema = m.group(1)
+        m = re.search(r"PushedFilters: \[(.*?)\]", block, re.DOTALL)
+        if m and m.group(1).strip():
+            info.pushed_filters = [f.strip() for f in m.group(1).split(",")]
+        scans.append(info)
+    return scans
+
+
+def exchange_count(plan: str) -> int:
+    """Shuffle exchanges in the plan (BroadcastExchange excluded — those
+    are the cheap kind we *want*)."""
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def broadcast_join_count(plan: str) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+
+
+def sortmerge_join_count(plan: str) -> int:
+    return len(re.findall(r"SortMergeJoin", plan))
+
+
+def codegen_span_count(plan: str) -> int:
+    """WholeStageCodegen spans — wider/fewer is better (more operators fused
+    into single JVM loops)."""
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)
+
+
+@dataclass
+class PlanAudit:
+    n_scans: int
+    scans_with_pushdown: int
+    total_read_columns: int
+    exchanges: int
+    broadcast_joins: int
+    sortmerge_joins: int
+    codegen_spans: int
+    python_ops: int  # ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+
+
+def audit_plan(df: DataFrame) -> PlanAudit:
+    plan = formatted_plan(df)
+    scans = scan_infos(plan)
+    return PlanAudit(
+        n_scans=len(scans),
+        scans_with_pushdown=sum(1 for s in scans if s.pushed_filters),
+        total_read_columns=sum(len(s.read_columns) for s in scans),
+        exchanges=exchange_count(plan),
+        broadcast_joins=broadcast_join_count(plan),
+        sortmerge_joins=sortmerge_join_count(plan),
+        codegen_spans=codegen_span_count(plan),
+        python_ops=len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+    )
+
+
+def _main() -> None:  # pragma: no cover - exercised via CLI
+    import sys
+
+    from dblink_spark import queries as q
+    from dblink_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(q.REGISTRY)
+    spark = get_spark()
+    hdr = f"{'query':34s} scans pushed cols xchg bcast smj codegen pyops"
+    print(hdr)
+    print("-" * len(hdr))
+    for name in names:
+        a = audit_plan(q.REGISTRY[name].fn(spark, sf_dir))
+        print(
+            f"{name:34s} {a.n_scans:5d} {a.scans_with_pushdown:6d} "
+            f"{a.total_read_columns:4d} {a.exchanges:4d} {a.broadcast_joins:5d} "
+            f"{a.sortmerge_joins:3d} {a.codegen_spans:7d} {a.python_ops:5d}"
+        )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

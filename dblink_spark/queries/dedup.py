@@ -54,14 +54,14 @@ def _band_defs():
 
 
 _MH_SQL = ", ".join(f"MIN(md5('{i}' || token)) AS h{i}" for i in range(N_HASHES))
-_BANDS_SQL = ", ".join(
-    f"md5({' || '.join(cols)}) AS {name}" for name, cols in _band_defs()
-)
-_CAND_SQL = " UNION ".join(
-    f"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a "
-    f"JOIN bands b ON a.{name} = b.{name} AND a.doc_id < b.doc_id"
-    for name, _ in _band_defs()
-)
+# band key = md5(band_idx || row hashes): the band index inside the hash
+# input lets all bands share ONE join column (no cross-band key collisions).
+_BAND_KEYS_SQL = [
+    f"md5('{b}' || {' || '.join(cols)})" for b, (_, cols) in enumerate(_band_defs())
+]
+_BANDS_SQL = f"""
+  SELECT doc_id, unnest([{", ".join(_BAND_KEYS_SQL)}]) AS band_key FROM docs
+"""
 
 
 @register(
@@ -75,8 +75,11 @@ docs AS (
     list_sort(list(token)) AS toks, COUNT(*) AS n_tok
   FROM tok GROUP BY doc_id
 ),
-bands AS (SELECT doc_id, {_BANDS_SQL} FROM docs),
-cand AS ({_CAND_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
 verified AS (
   SELECT c.doc1, c.doc2
   FROM cand c
@@ -113,6 +116,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     - no all-pairs product ever forms — candidates only via band equi-join
       (4×4 banding puts the S-curve midpoint at ~0.84, so candidate volume
       tracks true near-dup volume, not N²);
+    - all bands share one exploded ``(doc_id, band_key)`` relation (band
+      index baked into the key hash), so candidates come from a SINGLE
+      self-join instead of one join per band;
+    - the signature table is persisted: it feeds the band join (twice),
+      both verify sides, and the output join — without it the
+      tokenize+groupBy pipeline re-executes per consumer (a 100-TB replay);
+      at production scale this is "write the signature table to parquet";
     - the verify is two hash joins back to the per-doc arrays plus a JVM
       ``array_intersect`` — never a token-level join (a token-level verify
       multiplies candidate rows by tokens-per-doc);
@@ -129,21 +139,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sort_array(F.collect_list("token")).alias("toks"),
         F.count("*").alias("n_tok"),
-    )
+    ).persist()
+    band_keys = [
+        F.md5(F.concat(F.lit(str(b)), *cols))
+        for b, (_, cols) in enumerate(_band_defs())
+    ]
     bands = docs.select(
-        "doc_id",
-        *[F.md5(F.concat(*cols)).alias(name) for name, cols in _band_defs()],
+        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = None
-    for name, _ in _band_defs():
-        part = a.join(
+    cand = (
+        a.join(
             b,
-            (F.col(f"a.{name}") == F.col(f"b.{name}"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        cand = part if cand is None else cand.union(part)
-    cand = cand.distinct()
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
 
     s1 = docs.select(
         F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"), F.col("n_tok").alias("n1")

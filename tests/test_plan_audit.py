@@ -1,0 +1,90 @@
+"""Plan-shape regression tests: the properties that make queries survive a
+100× scale-up, asserted against explain("formatted") via
+dblink_spark.plans.audit. These fail if a refactor silently loses filter
+pushdown, column pruning, a broadcast, or reintroduces a recompute storm."""
+
+from __future__ import annotations
+
+import pytest
+
+from dblink_spark import queries as q
+from dblink_spark.plans.audit import audit_plan, formatted_plan, scan_infos
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _audit(spark, name):
+    return audit_plan(q.REGISTRY[name].fn(spark, SF_DIR))
+
+
+class TestPushdownAndPruning:
+    def test_q6_filters_reach_parquet_scan(self, spark):
+        df = q.REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR)
+        scans = scan_infos(formatted_plan(df))
+        assert len(scans) == 1
+        assert scans[0].pushed_filters, "q6 predicates must push into the scan"
+        # only the 4 referenced lineitem columns read, out of 16
+        assert len(scans[0].read_columns) <= 4
+
+    def test_q1_column_pruning(self, spark):
+        df = q.REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+        scans = scan_infos(formatted_plan(df))
+        assert all(len(s.read_columns) <= 7 for s in scans)
+
+    def test_iteration_filter_pushdown(self, spark):
+        a = _audit(spark, "iteration_filter")
+        assert a.scans_with_pushdown >= 1
+
+
+class TestBroadcastStrategy:
+    def test_q5_dimensions_broadcast(self, spark):
+        """region/nation/supplier sides must broadcast — a shuffle join of
+        lineitem against a 5-row region would be absurd at scale."""
+        a = _audit(spark, "q5_local_supplier_volume")
+        assert a.broadcast_joins >= 3
+        assert a.sortmerge_joins == 0
+
+    def test_q3_dimensions_broadcast(self, spark):
+        a = _audit(spark, "q3_shipping_priority")
+        assert a.broadcast_joins >= 2
+
+    def test_ann_query_vectors_broadcast(self, spark):
+        a = _audit(spark, "ann_topk_cosine")
+        assert a.broadcast_joins >= 1
+
+
+class TestShuffleBudget:
+    def test_dedup_exact_single_shuffle(self, spark):
+        a = _audit(spark, "dedup_exact")
+        assert a.exchanges == 1  # one groupBy, nothing else
+
+    def test_minhash_lsh_no_recompute_storm(self, spark):
+        """The signature table feeds 5 consumers; with persist + single
+        band join the plan must stay small (regression: 21 scans / 26
+        exchanges before the rewrite)."""
+        a = _audit(spark, "dedup_minhash_lsh")
+        assert a.n_scans <= 3
+        assert a.exchanges <= 8
+        assert a.python_ops == 0  # tokenize/hash/verify all JVM-side
+
+    def test_q1_single_shuffle(self, spark):
+        a = _audit(spark, "q1_pricing_summary")
+        assert a.exchanges <= 1
+
+
+class TestPythonBoundary:
+    def test_multimodal_kernels_are_arrow_batched(self, spark):
+        """Multimodal decode runs as MapInPandas (Arrow), and only the
+        kernel is Python — aggregation stays JVM-side."""
+        a = _audit(spark, "multimodal_decode_stats")
+        assert a.python_ops >= 1
+
+    def test_sql_queries_have_no_python_ops(self, spark):
+        for name in (
+            "q1_pricing_summary",
+            "q_events_sessionize",
+            "dedup_simhash",
+            "text_quality_score",
+            "ann_topk_cosine",
+        ):
+            assert _audit(spark, name).python_ops == 0, name
