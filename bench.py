@@ -62,7 +62,49 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        out["er_mcmc_iters_per_sec"] = round(mcmc_iters_per_sec(spark), 3)
+    except Exception as e:  # never let the ER probe break the contract line
+        print(f"# er bench skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
+
+
+def mcmc_iters_per_sec(spark, n_records: int = 300, n_iters: int = 10) -> float:
+    """ER-engine throughput probe (BASELINE.md planned metric): PCG-I
+    transitions/sec on an RLdata-shaped synthetic, single partition.
+    No in-repo reference number exists (the reference publishes none), so
+    this is regression-tracked round over round."""
+    from pyspark.sql import functions as F
+
+    from dblink_spark.er.attributes import Attribute, BetaParams, ConstantSim, LevenshteinSim
+    from dblink_spark.er.cache import build_records_cache
+    from dblink_spark.er.datagen import make_rldata
+    from dblink_spark.er.partition import SinglePartition
+    from dblink_spark.er.state import init_state, transition
+
+    pdf = make_rldata(n_records=n_records, dup_fraction=0.2, missing_fraction=0.02, seed=7)
+    records = spark.createDataFrame(pdf).withColumn("file_id", F.lit("0"))
+    attrs = [
+        Attribute("by", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("bm", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("bd", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("fname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
+        Attribute("lname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
+    ]
+    cache = build_records_cache(records, attrs, expected_max_cluster_size=10)
+    state = init_state(spark, records, cache, SinglePartition(), 1, seed=123)
+    state = transition(state, "PCG-I")  # warm (codegen + arrow setup)
+    # effective sampler cadence: thinning 10 via fused sweeps (the
+    # single-partition fast path used by sample())
+    from dblink_spark.er.state import transition_fused
+
+    t0 = time.time()
+    for _ in range(n_iters // 10 or 1):
+        state = transition_fused(state, "PCG-I", 10)
+    dt = time.time() - t0
+    iters = 10 * (n_iters // 10 or 1)
+    print(f"# er_mcmc: {iters} fused PCG-I iters on {n_records} recs in {dt:.2f}s", file=sys.stderr)
+    return iters / dt
 
 
 if __name__ == "__main__":

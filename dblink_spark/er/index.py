@@ -150,7 +150,11 @@ def build_attribute_index(
     b = dom_df.select(F.col("id").alias("b_id"), F.col("value").alias("b_value"))
     unit_floor = sim_fn.threshold / sim_fn.max_similarity
     pairs = (
-        a.crossJoin(b)
+        # broadcast the right side: BroadcastNestedLoopJoin keeps the task
+        # count at |a|'s partitioning (a plain cartesian would multiply the
+        # two sides' partition counts — 32x32 = 1024 tasks for a 240-value
+        # domain).
+        a.crossJoin(F.broadcast(b))
         # length-band prune: best-case unit similarity must clear the threshold
         .filter(
             sim_fn.unit_upper_bound_column(F.length("a_value"), F.length("b_value"))

@@ -21,7 +21,12 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from dblink_spark.er.state import State, prior_log_likelihood_term, transition
+from dblink_spark.er.state import (
+    State,
+    prior_log_likelihood_term,
+    transition,
+    transition_fused,
+)
 
 
 @dataclass
@@ -31,6 +36,11 @@ class SamplerOptions:
     thinning_interval: int = 1
     write_buffer_size: int = 10  # ref: Sampler.scala:57
     diagnostics_path: str | None = None
+    #: single-partition chains: run all iterations between save points as
+    #: fused sweeps inside one Spark job (see state.transition_fused). Saves
+    #: the per-job scheduling floor; diagnostics are still written once per
+    #: saved sample (matching the reference, Sampler.scala:107-108).
+    fuse_sweeps: bool = True
 
 
 def linkage_sample(state: State) -> DataFrame:
@@ -106,8 +116,18 @@ def sample(
         )
 
     saved = 0
+    thin = max(opts.thinning_interval, 1)
     while saved < sample_size:
-        state = transition(state, opts.sampler)
+        if opts.fuse_sweeps and state.num_partitions == 1:
+            # jump straight to the next save point in one Spark job
+            base = max(state.iteration + 1, opts.burnin_interval + 1)
+            r = (base - opts.burnin_interval) % thin
+            next_emit = base if r == 0 else base + (thin - r)
+            state = transition_fused(
+                state, opts.sampler, next_emit - state.iteration
+            )
+        else:
+            state = transition(state, opts.sampler)
         it = state.iteration
         past_burnin = it > opts.burnin_interval
         on_thin = (it - opts.burnin_interval) % max(opts.thinning_interval, 1) == 0

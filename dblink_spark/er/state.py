@@ -174,20 +174,36 @@ def make_transition_kernel(
     mode: str,
     seed: int,
     partition_fn: Callable[[np.ndarray], np.ndarray],
+    n_sweeps: int = 1,
+    num_partitions: int = 1,
 ):
-    """Build the applyInPandas kernel for one iteration. theta/seed are
-    captured in the closure — the Python-native equivalent of the reference's
-    per-iteration distProbs broadcast (ref: State.scala:83-84)."""
+    """Build the applyInPandas kernel for one iteration (or, with
+    ``n_sweeps > 1``, several fused iterations — single-partition only; see
+    ``transition_fused``). theta/seed are captured in the closure — the
+    Python-native equivalent of the reference's per-iteration distProbs
+    broadcast (ref: State.scala:83-84). Sweep ``j`` uses rng seed
+    ``seed + j*num_partitions + pid``, exactly the seed the unfused path
+    would give iteration ``j``."""
     num_attrs = cache.num_attributes
+    num_files = len(cache.file_ids)
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         pdf = pdf[~pdf["is_summary"]]
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in STATE_SCHEMA.fields])
-        rng = np.random.default_rng(seed + pid)
         ps = _pdf_to_partition_state(pdf, num_attrs)
-        ps = transition_partition(rng, ps, cache, theta, mode)
+        th = theta
+        for j in range(n_sweeps):
+            rng = np.random.default_rng(seed + j * num_partitions + pid)
+            if j > 0:
+                # In-kernel θ redraw between fused sweeps: with ONE
+                # partition the local distortion counts are the global
+                # counts, so this is the same Beta posterior the driver
+                # would sample (M15) — only the RNG stream differs.
+                _, _, agg, _ = partition_summary(ps, cache)
+                th = draw_theta(rng, cache, agg.reshape(num_attrs, num_files))
+            ps = transition_partition(rng, ps, cache, th, mode)
         new_pids = partition_fn(ps.entities)
         return _partition_state_to_pdf(ps, new_pids, pid, cache)
 
@@ -205,11 +221,13 @@ def transition(state: State, mode: str) -> State:
         cache, theta, mode, state.current_seed, state.partition_fn
     )
     new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
-    # Materialize + truncate lineage every iteration: the DataFrame analogue
-    # of the reference's persist + periodic checkpoint (ref: Sampler.scala:56,
+    # Truncate lineage every iteration: the DataFrame analogue of the
+    # reference's persist + periodic checkpoint (ref: Sampler.scala:56,
     # util/PeriodicCheckpointer.scala) — without this the plan grows per
-    # iteration and Catalyst analysis time dominates.
-    new_df = new_df.localCheckpoint(eager=True)
+    # iteration and Catalyst analysis time dominates. Lazy: the summary
+    # collect right below materializes the checkpoint, so each transition
+    # costs ONE job instead of two.
+    new_df = new_df.localCheckpoint(eager=False)
 
     summary = collect_summary(new_df, cache)
     old_df = state.df
@@ -224,6 +242,52 @@ def transition(state: State, mode: str) -> State:
     try:
         old_df.unpersist()
     except Exception:  # noqa: BLE001 — first iteration state may be unpersisted
+        pass
+    return new_state
+
+
+def transition_fused(state: State, mode: str, n_sweeps: int) -> State:
+    """``n_sweeps`` Markov transitions in ONE Spark job.
+
+    Only valid for single-partition chains: no clusters can migrate, and the
+    partition's distortion counts are the global counts, so the per-sweep θ
+    update (M15) can run inside the kernel. This removes the per-iteration
+    job-scheduling floor that dominates wall-clock between saved samples —
+    the Spark-first answer to "thinning_interval=10 costs 10 jobs per
+    sample". The chain is statistically identical to the unfused sampler
+    (same kernels, same seeds per sweep); only θ's RNG stream differs, so a
+    fused run is not bit-identical to an unfused one.
+    """
+    if state.num_partitions != 1:
+        raise ValueError("transition_fused requires a single-partition chain")
+    if n_sweeps < 1:
+        raise ValueError("n_sweeps must be >= 1")
+    cache = state.cache
+    theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
+    kernel = make_transition_kernel(
+        cache,
+        theta,
+        mode,
+        state.current_seed,
+        state.partition_fn,
+        n_sweeps=n_sweeps,
+        num_partitions=state.num_partitions,
+    )
+    new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
+    new_df = new_df.localCheckpoint(eager=False)
+    summary = collect_summary(new_df, cache)
+    old_df = state.df
+    new_state = replace(
+        state,
+        iteration=state.iteration + n_sweeps,
+        df=new_df,
+        theta=theta,
+        summary=summary,
+        current_seed=state.current_seed + n_sweeps * state.num_partitions,
+    )
+    try:
+        old_df.unpersist()
+    except Exception:  # noqa: BLE001
         pass
     return new_state
 

@@ -15,24 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from dblink_spark.functions.vector import quantized_dot as _dot_q
 from dblink_spark.queries import load, register
-
-_Q = 1_000_000_000.0  # quantization scale
-
-
-def _dot_q(a, b):
-    """Order-insensitive quantized dot product (BIGINT)."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(_Q)).cast(
-                "bigint"
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
 
 
 _DOT_SQL = """
