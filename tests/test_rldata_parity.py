@@ -1,0 +1,106 @@
+"""Flagship parity test: the reference's own RLdata500 workload, end to end.
+
+Parses the reference's actual HOCON config (examples/RLdata500.conf —
+similarity functions, Beta(0.5, 50) distortion priors, seed, step list),
+runs our full Project pipeline (sample → summarize → evaluate) on the
+reference's RLdata500.csv, and checks the linkage quality against the
+shipped ground truth — the reference's own end-to-end test strategy
+(SURVEY.md §5: metric-quality validation, examples/RLdata500.conf:60-77).
+
+Run length is cut to 300 iterations (the reference example runs 1,000) to
+bound test time; thresholds are set from a measured run at this length
+(P=0.89 / R=0.64 / F1=0.74 / ARI=0.74) with slack for kernel evolution.
+The chain is fully seeded, so regressions here are real changes, not noise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF_CONF = "/root/reference/examples/RLdata500.conf"
+REF_CSV = "/root/reference/examples/RLdata500.csv"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(REF_CONF) and os.path.exists(REF_CSV)),
+    reason="reference RLdata500 example not available",
+)
+
+
+@pytest.fixture(scope="module")
+def results(spark, tmp_path_factory):
+    from dblink_spark.config import load_config
+    from dblink_spark.project import Project
+
+    out = tmp_path_factory.mktemp("rl500")
+    cfg = load_config(REF_CONF)
+    d = cfg["dblink"]
+    d["data"]["path"] = REF_CSV
+    d["outputPath"] = str(out) + "/"
+    d["checkpointPath"] = str(out / "ckpt")
+    d["steps"][0]["parameters"]["sampleSize"] = 30  # 300 iters (ref: 1000)
+    d["steps"][2]["parameters"]["lowerIterationCutoff"] = 100
+    project = Project.from_config(spark, cfg)
+    return project, project.run(), str(out)
+
+
+def test_config_parsed_like_reference(results):
+    project, _, _ = results
+    assert [a.name for a in project.matching_attrs] == [
+        "by", "bm", "bd", "fname_c1", "lname_c1",
+    ]
+    sims = [type(a.sim_fn).__name__ for a in project.matching_attrs]
+    assert sims == ["ConstantSim"] * 3 + ["LevenshteinSim"] * 2
+    lev = project.matching_attrs[3].sim_fn
+    assert (lev.threshold, lev.max_similarity) == (7.0, 10.0)
+    prior = project.matching_attrs[0].distortion_prior
+    assert (prior.alpha, prior.beta) == (0.5, 50.0)
+    assert project.random_seed == 319158
+
+
+def test_chain_ran_to_configured_length(results):
+    _, res, _ = results
+    assert res["sample"]["iteration"] == 300
+    assert res["sample"]["num_partitions"] == 1
+
+
+def test_linkage_quality_vs_ground_truth(results):
+    _, res, _ = results
+    pw = res["evaluate"]["pairwise"]
+    assert pw["precision"] > 0.70, pw
+    assert pw["recall"] > 0.45, pw
+    assert pw["f1"] > 0.55, pw
+    assert res["evaluate"]["cluster"]["adjusted_rand_index"] > 0.50
+
+
+def test_artifacts_written(results):
+    _, _, out = results
+    for name in (
+        "run.txt",
+        "diagnostics.csv",
+        "cluster-size-distribution.csv",
+        "evaluation-results.txt",
+        "linkage-chain.parquet",
+    ):
+        assert os.path.exists(os.path.join(out, name)), name
+
+
+def test_diagnostics_loglik_stabilizes(results):
+    """The chain's log-likelihood trace — the reference's
+    convergence-assessment signal (docs/guide.md:157-158) — must be finite
+    and settle into a plateau. (It *declines* from the deterministic init,
+    which starts at an artificial zero-distortion perfect-fit state, then
+    equilibrates; monotone increase is not the expectation.)"""
+    import csv
+    import math
+
+    _, _, out = results
+    with open(os.path.join(out, "diagnostics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 30
+    trace = [float(r["logLikelihood"]) for r in rows]
+    assert all(math.isfinite(x) for x in trace)
+    mid = sum(trace[10:20]) / 10
+    late = sum(trace[20:]) / 10
+    assert abs(late - mid) / abs(mid) < 0.05, (mid, late)
