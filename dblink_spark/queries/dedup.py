@@ -235,6 +235,7 @@ def dedup_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w.orderBy("h")))
         .filter("rn <= 8")
         .select("doc_id", "lang", "h")
+        .persist()  # feeds sizes + both join sides
     )
     sizes = sk.groupBy("doc_id").agg(F.count("*").alias("k"))
     a = sk.alias("a")
@@ -313,18 +314,26 @@ fp AS (
       + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END)
       + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
   FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+adj AS (
+  SELECT doc1 AS doc_id, doc2 AS partner FROM pairs
+  UNION ALL SELECT doc2, doc1 FROM pairs
 )
-SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+SELECT doc_id, COUNT(*) AS n_near_dups, MIN(partner) AS min_partner
+FROM adj GROUP BY doc_id
 """,
     survey_ref="beyond-reference: SimHash fingerprint near-dup (16-bit demo)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over token md5s; near-dup = Hamming distance <= 1
-    within a language block. (16 bits keeps the oracle SQL readable; the
-    library version in dblink_spark.operators.dedup is 64-bit.)"""
+    within a language block; output rolled up per doc (this corpus's
+    near-dup cliques make the raw pair set quadratic — ~1M pairs at sf0.1
+    from 5k docs). 16 bits keeps the oracle SQL readable."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
@@ -343,18 +352,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp_expr = term if fp_expr is None else fp_expr + term
     fp = sig.select("doc_id", "lang", fp_expr.cast("bigint").alias("simhash"))
+    fp = fp.persist()  # feeds both sides of the self-join
     a = fp.alias("a")
     b = fp.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(ham <= 1)
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            ham.cast("int").alias("hamming"),
-        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    )
+    adj = pairs.select(
+        F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner")
+    ).unionAll(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("partner")))
+    return adj.groupBy("doc_id").agg(
+        F.count("*").alias("n_near_dups"), F.min("partner").alias("min_partner")
     )

@@ -240,9 +240,11 @@ def pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = same-region pairs over a capped customer subset."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
     n = load(spark, sf_dir, "nation")
+    # persisted: cust feeds both sides of two self-joins (4 consumers) —
+    # without it the scan+join re-executes per consumer
     cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", "c_nationkey", "n_regionkey"
-    )
+    ).persist()
     a = cust.alias("a")
     b = cust.alias("b")
     pred = a.join(
