@@ -244,6 +244,38 @@ def load_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_asof_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts_us,
+  p.value AS value_asof, p.ts_us AS ts_us_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+""",
+    survey_ref="beyond-reference: as-of join (operators/asof.py, union+window formulation)",
+)
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the same user's latest preceding purchase —
+    the as-of join pattern. Spark side is the union+window operator
+    (one shuffle, no range-join nested loops); the oracle is DuckDB's
+    native ASOF LEFT JOIN, so the formulations are fully independent."""
+    from dblink_spark.operators.asof import asof_join
+
+    e = load_events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join(clicks, purchases, on="ts_us", by="user_id", value_cols=["value"])
+
+
+@register(
     "q_events_sessionize",
     oracle="""
 WITH ev AS (
