@@ -276,6 +276,36 @@ def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_error_click_band",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+clk AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click')
+SELECT e.event_id AS l_event_id, e.user_id AS l_user_id, e.ts_us AS l_ts_us,
+  c.event_id AS r_event_id, c.ts_us AS r_ts_us
+FROM err e JOIN clk c
+  ON e.user_id = c.user_id AND ABS(e.ts_us - c.ts_us) <= 3600000000
+""",
+    survey_ref="beyond-reference: banded range join (operators/rangejoin.py, bucket blocking)",
+)
+def q_events_error_click_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors paired with same-user clicks within ±1 hour — the bounded
+    range join. Spark side blocks by delta-buckets (equi-join + band
+    filter, fan-out bounded by local density); the oracle is DuckDB's
+    plain inequality join — independent formulations."""
+    from dblink_spark.operators.rangejoin import band_join
+
+    e = load_events_us(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_us")
+    clk = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    return band_join(
+        err, clk, on="ts_us", by="user_id", delta=3_600_000_000
+    ).select("l_event_id", "l_user_id", "l_ts_us", "r_event_id", "r_ts_us")
+
+
+@register(
     "q_events_sessionize",
     oracle="""
 WITH ev AS (
