@@ -349,3 +349,196 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
     ).withColumn("session_id", F.col("session_id").cast("bigint"))
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""",
+    survey_ref="beyond-reference: left-semi join (EXISTS decorrelation)",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery as a left-semi join. The semi join
+    needs no dedup of the probe side (semantics built into the join type)
+    and shuffles only the join key column of lineitem after pushdown."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+    survey_ref="beyond-reference: outer join + two-level aggregation (TPC-H Q13)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving customers with zero orders, then a
+    distribution-of-counts second aggregate. The outer join's extra
+    predicate lives in the join condition (not a post-filter), which is
+    semantically different and exercises conditional outer-join planning."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS promo_rev,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev,
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    survey_ref="beyond-reference: conditional aggregation over broadcast join (TPC-H Q14)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share: conditional (CASE) aggregate over a
+    lineitem-part join. part is the small side -> broadcast; the month
+    filter pushes into the lineitem scan so the join probes ~1/72 of it."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price())).cast("double").alias("promo_rev"),
+            F.sum(disc_price()).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_revenue"),
+    )
+
+
+@register(
+    "q16_idle_parts",
+    oracle="""
+SELECT p.p_brand AS brand, COUNT(*) AS idle_parts
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00')
+GROUP BY p.p_brand
+""",
+    survey_ref="beyond-reference: left-anti join (NOT EXISTS decorrelation)",
+)
+def q16_idle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts with no shipments in Jan 1996, counted by brand — NOT EXISTS
+    as a left-anti join. The date filter pushes into the lineitem scan;
+    only the join-key column survives to the anti join."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("idle_parts"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c.c_name AS name, o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+  o.o_totalprice AS totalprice, b.total_qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    survey_ref="beyond-reference: aggregate-then-filter (HAVING) + join back (TPC-H Q18)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 250, joined back to order and
+    customer detail. The HAVING survivor set is tiny (~p99 cut), so it is
+    broadcast into the orders/customer joins — no big-table shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q19_brand_band_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    survey_ref="beyond-reference: disjunctive predicate pushdown (TPC-H Q19)",
+)
+def q19_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of conjunctive bands across both join sides. Catalyst
+    factors the single-side conjuncts out of the OR (p_brand IN (...),
+    l_quantity range) and pushes them below the join; the residual mixed
+    predicate evaluates post-join in codegen."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(F.sum(disc_price()).cast("double").alias("revenue"))
