@@ -24,7 +24,11 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q_top_customers",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "q_events_sessionize",
+    "q_events_asof_attribution",
+    "q_events_error_click_band",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
