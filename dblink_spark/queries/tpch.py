@@ -542,3 +542,66 @@ def q19_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 30))
     )
     return j.filter(band).agg(F.sum(disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "q_events_type_pivot",
+    oracle="""
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+    survey_ref="beyond-reference: pivot (wide conditional aggregation)",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as a wide table — Spark's native pivot
+    with an explicit value list (no extra distinct-values job; one shuffle
+    on user_id, conditional counts fused in codegen)."""
+    e = load_events_us(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing combinations null; the oracle's FILTER counts give 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(k) for k in kinds]
+    )
+
+
+@register(
+    "q_customer_setops",
+    oracle="""
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'building_and_urgent' AS cohort, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM urgent)
+UNION ALL
+SELECT 'building_not_urgent' AS cohort, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM urgent)
+""",
+    survey_ref="beyond-reference: set operations (INTERSECT / EXCEPT / UNION ALL)",
+)
+def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort algebra over key sets: INTERSECT and EXCEPT (each planned as
+    an aggregate + semi/anti join under AQE) unioned into one summary."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = building.intersect(urgent).agg(F.count("*").alias("n")).select(
+        F.lit("building_and_urgent").alias("cohort"), "n"
+    )
+    only = building.exceptAll(urgent.select("c_custkey")).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("building_not_urgent").alias("cohort"), "n")
+    return both.unionAll(only)

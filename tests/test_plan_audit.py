@@ -72,6 +72,47 @@ class TestShuffleBudget:
         assert a.exchanges <= 1
 
 
+class TestJoinShapes:
+    def test_q4_semi_join_prunes_probe_columns(self, spark):
+        """The semi join must read only l_orderkey+l_returnflag from
+        lineitem — the EXISTS probe never needs the payload columns."""
+        df = q.REGISTRY["q4_order_priority"].fn(spark, SF_DIR)
+        scans = scan_infos(formatted_plan(df))
+        li = [s for s in scans if "lineitem" in s.location]
+        assert li and all(len(s.read_columns) <= 2 for s in li)
+
+    def test_q16_anti_join_pushdown(self, spark):
+        """The anti join's date filter must reach the lineitem scan: at
+        scale the anti side is 1/72 of the table, not all of it."""
+        df = q.REGISTRY["q16_idle_parts"].fn(spark, SF_DIR)
+        scans = scan_infos(formatted_plan(df))
+        li = [s for s in scans if "lineitem" in s.location]
+        assert li and li[0].pushed_filters
+
+    def test_q18_having_survivors_broadcast(self, spark):
+        a = _audit(spark, "q18_large_orders")
+        assert a.broadcast_joins >= 1
+        assert a.python_ops == 0
+
+    def test_band_join_single_shuffle_pair(self, spark):
+        """band_join is one equi-join after bucket explode — no nested-loop
+        (cartesian/broadcast-nested-loop) node may appear."""
+        df = q.REGISTRY["q_events_error_click_band"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_asof_join_no_join_node(self, spark):
+        """asof_join is union+window — it must plan with zero join
+        operators (the whole point: one shuffle, no range join)."""
+        df = q.REGISTRY["q_events_asof_attribution"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.broadcast_joins == 0
+        assert a.sortmerge_joins == 0
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+
+
 class TestPythonBoundary:
     def test_multimodal_kernels_are_arrow_batched(self, spark):
         """Multimodal decode runs as MapInPandas (Arrow), and only the
