@@ -605,3 +605,35 @@ def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     ).select(F.lit("building_not_urgent").alias("cohort"), "n")
     return both.unionAll(only)
+
+
+@register(
+    "q_events_bucket_rollup",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events
+)
+SELECT CAST(ts_us // 3600000000 AS BIGINT) AS hour_bucket, event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM ev GROUP BY 1, 2
+""",
+    survey_ref="beyond-reference: hypertable-style time-bucket rollup",
+)
+def q_events_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly continuous-aggregate shape: bucket the time axis with integer
+    division, roll up count / distinct users / value per (bucket, type).
+    One shuffle; count-distinct is planned as a partial two-phase expand.
+    The streaming twin is the watermarked windowed count in
+    dblink_spark.streaming.events."""
+    e = load_events_us(spark, sf_dir)
+    return (
+        e.withColumn("hour_bucket", F.expr("CAST(ts_us DIV 3600000000 AS BIGINT)"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
