@@ -196,7 +196,12 @@ def update_links_indexed(
             for other in lists[1:]:
                 if cands.shape[0] == 0:
                     break
-                cands = cands[np.isin(cands, other, assume_unique=True)]
+                # posting lists are sorted (stable argsort of row ids), so
+                # intersect via searchsorted — np.isin re-sorts per call and
+                # its table/min-max heuristics dominated the sweep profile
+                pos = np.searchsorted(other, cands)
+                pos_c = np.minimum(pos, other.shape[0] - 1)
+                cands = cands[other[pos_c] == cands]
         if cands.shape[0] == 0:
             # unreachable under the model invariant (the record's current
             # entity always matches on non-distorted attrs)
