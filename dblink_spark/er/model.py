@@ -299,6 +299,32 @@ def _base_dist(idx, k: int) -> np.ndarray:
 def _draw_value_collapsed(rng, idx, attr_id, rows, vals_a, rec_fids, theta, k):
     """ref: GibbsUpdates.scala:576-599 + perturbedDistYCollapsed :534-570."""
     base = _base_dist(idx, k)
+    if k == 1:
+        # Fast path for the dominant case (singleton clusters): the sparse
+        # perturbation weights come from ONE record, so skip the dict merge
+        # and operate on the value's neighbor arrays directly. RNG draw
+        # order matches the general path exactly (chain bit-parity).
+        r = rows[0]
+        v = int(vals_a[r])
+        th = float(theta[attr_id, rec_fids[r]])
+        p_v = float(idx.probs[v])
+        if idx.is_constant:
+            total = 1.0 / th - 1.0  # pert = base[v]*(w_v-1) = p_v*(1/th-1)/p_v
+            if rng.random() < 1.0 / (1.0 + total):
+                return sample_from_probs(rng, base, 1)[0]
+            rng.random()  # general path draws for the 1-key cdf; keep stream
+            return v
+        keys = idx.neighbor_ids[v]  # sorted, always contains v
+        pert = base[keys] * (idx.neighbor_expsims[v] - 1.0)
+        pert[np.searchsorted(keys, v)] += base[v] * (1.0 / th - 1.0) / (
+            p_v * float(idx.sim_norms[v])
+        )
+        pert = np.maximum(pert, 0.0)
+        total = pert.sum()
+        if rng.random() < 1.0 / (1.0 + total):
+            return sample_from_probs(rng, base, 1)[0]
+        cdf = np.cumsum(pert)
+        return keys[np.searchsorted(cdf, rng.random() * total, "right")]
     # perturbation weights, sparse over candidate values
     w: dict[int, float] = {}
     for r in rows:
