@@ -80,10 +80,19 @@ class SummaryVars:
 
 @dataclass
 class State:
-    """Full chain state (ref: State.scala:56-68)."""
+    """Full chain state (ref: State.scala:56-68).
+
+    The cluster rows live either in a Spark DataFrame (`_df`, the
+    distributed representation) or — for single-partition chains being
+    advanced with `transition_fused` — in a driver-local `PartitionState`
+    (`local_ps`). `state.df` is a lazy view: when only the local form
+    exists, it materializes a DataFrame on first access (createDataFrame of
+    the marshalled rows, including the in-band summary row), so every
+    DataFrame consumer (chain writer, state save, analysis) is oblivious to
+    which form is current."""
 
     iteration: int
-    df: DataFrame  # cluster rows + in-band summary rows
+    _df: DataFrame | None  # cluster rows + in-band summary rows
     theta: np.ndarray  # (A, F) distortion probabilities
     population_size: int
     summary: SummaryVars
@@ -93,6 +102,20 @@ class State:
     current_seed: int
     cache: RecordsCache
     rng: np.random.Generator  # driver RNG (theta updates)
+    local_ps: "PartitionState | None" = None  # driver-local single-partition state
+    spark: SparkSession | None = None
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            pdf = _partition_state_to_pdf(
+                self.local_ps,
+                self.partition_fn(self.local_ps.entities),
+                0,
+                self.cache,
+            )
+            self._df = self.spark.createDataFrame(pdf, STATE_SCHEMA)
+        return self._df
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +191,37 @@ def _partition_state_to_pdf(
     return pd.DataFrame(rows)
 
 
+def run_fused_sweeps(
+    ps: PartitionState,
+    cache: RecordsCache,
+    theta: np.ndarray,
+    mode: str,
+    seed: int,
+    num_partitions: int,
+    pid: int,
+    n_sweeps: int,
+) -> PartitionState:
+    """`n_sweeps` consecutive Markov transitions over one partition's state.
+
+    Shared by the Spark `applyInPandas` kernel and the driver-local fused
+    path (`transition_fused(local=True)`) so both produce bit-identical
+    chains. Sweep ``j`` uses rng seed ``seed + j*num_partitions + pid`` —
+    exactly the seed the unfused path gives iteration ``j``. Between fused
+    sweeps θ is redrawn in place (single partition ⇒ local distortion counts
+    are the global counts, so this is the same Beta posterior the driver
+    would sample; ref: GibbsUpdates.scala:305-320)."""
+    num_attrs = cache.num_attributes
+    num_files = len(cache.file_ids)
+    th = theta
+    for j in range(n_sweeps):
+        rng = np.random.default_rng(seed + j * num_partitions + pid)
+        if j > 0:
+            _, _, agg, _ = partition_summary(ps, cache)
+            th = draw_theta(rng, cache, agg.reshape(num_attrs, num_files))
+        ps = transition_partition(rng, ps, cache, th, mode)
+    return ps
+
+
 def make_transition_kernel(
     cache: RecordsCache,
     theta: np.ndarray,
@@ -185,7 +239,6 @@ def make_transition_kernel(
     ``seed + j*num_partitions + pid``, exactly the seed the unfused path
     would give iteration ``j``."""
     num_attrs = cache.num_attributes
-    num_files = len(cache.file_ids)
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -193,17 +246,9 @@ def make_transition_kernel(
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in STATE_SCHEMA.fields])
         ps = _pdf_to_partition_state(pdf, num_attrs)
-        th = theta
-        for j in range(n_sweeps):
-            rng = np.random.default_rng(seed + j * num_partitions + pid)
-            if j > 0:
-                # In-kernel θ redraw between fused sweeps: with ONE
-                # partition the local distortion counts are the global
-                # counts, so this is the same Beta posterior the driver
-                # would sample (M15) — only the RNG stream differs.
-                _, _, agg, _ = partition_summary(ps, cache)
-                th = draw_theta(rng, cache, agg.reshape(num_attrs, num_files))
-            ps = transition_partition(rng, ps, cache, th, mode)
+        ps = run_fused_sweeps(
+            ps, cache, theta, mode, seed, num_partitions, pid, n_sweeps
+        )
         new_pids = partition_fn(ps.entities)
         return _partition_state_to_pdf(ps, new_pids, pid, cache)
 
@@ -230,33 +275,42 @@ def transition(state: State, mode: str) -> State:
     new_df = new_df.localCheckpoint(eager=False)
 
     summary = collect_summary(new_df, cache)
-    old_df = state.df
+    old_df = state._df
     new_state = replace(
         state,
         iteration=state.iteration + 1,
-        df=new_df,
+        _df=new_df,
+        local_ps=None,
         theta=theta,
         summary=summary,
         current_seed=state.current_seed + state.num_partitions,
     )
-    try:
-        old_df.unpersist()
-    except Exception:  # noqa: BLE001 — first iteration state may be unpersisted
-        pass
+    if old_df is not None:
+        try:
+            old_df.unpersist()
+        except Exception:  # noqa: BLE001 — first iteration state may be unpersisted
+            pass
     return new_state
 
 
-def transition_fused(state: State, mode: str, n_sweeps: int) -> State:
-    """``n_sweeps`` Markov transitions in ONE Spark job.
+def transition_fused(
+    state: State, mode: str, n_sweeps: int, local: bool = True
+) -> State:
+    """``n_sweeps`` Markov transitions without per-iteration Spark jobs.
 
     Only valid for single-partition chains: no clusters can migrate, and the
     partition's distortion counts are the global counts, so the per-sweep θ
-    update (M15) can run inside the kernel. This removes the per-iteration
-    job-scheduling floor that dominates wall-clock between saved samples —
-    the Spark-first answer to "thinning_interval=10 costs 10 jobs per
-    sample". The chain is statistically identical to the unfused sampler
-    (same kernels, same seeds per sweep); only θ's RNG stream differs, so a
-    fused run is not bit-identical to an unfused one.
+    update (M15) can run inside the sweep loop. A single-partition chain has
+    no distributable work — it IS a driver-sized problem (the reference runs
+    these on local[1], docs/guide.md:132-141) — so by default the sweeps run
+    driver-local on the cached numpy state, skipping the Arrow round-trip
+    and job-scheduling floor entirely; `state.df` rematerializes lazily when
+    a DataFrame consumer (chain writer, save) needs it. ``local=False``
+    keeps the Spark `applyInPandas` execution (one job per call). Both paths
+    call `run_fused_sweeps`, so they produce bit-identical chains. The chain
+    is statistically identical to the unfused sampler (same kernels, same
+    seeds per sweep); only θ's RNG stream differs, so a fused run is not
+    bit-identical to an unfused one.
     """
     if state.num_partitions != 1:
         raise ValueError("transition_fused requires a single-partition chain")
@@ -264,31 +318,76 @@ def transition_fused(state: State, mode: str, n_sweeps: int) -> State:
         raise ValueError("n_sweeps must be >= 1")
     cache = state.cache
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
-    kernel = make_transition_kernel(
-        cache,
-        theta,
-        mode,
-        state.current_seed,
-        state.partition_fn,
-        n_sweeps=n_sweeps,
-        num_partitions=state.num_partitions,
-    )
-    new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
-    new_df = new_df.localCheckpoint(eager=False)
-    summary = collect_summary(new_df, cache)
-    old_df = state.df
-    new_state = replace(
-        state,
-        iteration=state.iteration + n_sweeps,
-        df=new_df,
-        theta=theta,
-        summary=summary,
-        current_seed=state.current_seed + n_sweeps * state.num_partitions,
-    )
-    try:
-        old_df.unpersist()
-    except Exception:  # noqa: BLE001
-        pass
+    if local:
+        ps = state.local_ps
+        if ps is None:
+            pdf = state.df.toPandas()
+            ps = _pdf_to_partition_state(
+                pdf[~pdf["is_summary"]], cache.num_attributes
+            )
+        ps = run_fused_sweeps(
+            ps, cache, theta, mode, state.current_seed, 1, 0, n_sweeps
+        )
+        # Canonicalize record order (stable-grouped by entity) — the exact
+        # normalization a DataFrame round trip applies via
+        # _partition_state_to_pdf — so local continuation, save/resume, and
+        # the Spark fused path all see identical array layouts and produce
+        # bit-identical chains and float sums.
+        order = np.argsort(ps.link, kind="stable")
+        ps = PartitionState(
+            entities=ps.entities,
+            rec_ids=ps.rec_ids[order],
+            rec_fids=ps.rec_fids[order],
+            rec_values=ps.rec_values[order],
+            rec_dist=ps.rec_dist[order],
+            link=ps.link[order],
+        )
+        loglik, n_iso, agg, hist = partition_summary(ps, cache)
+        A, Fn = cache.num_attributes, len(cache.file_ids)
+        summary = SummaryVars(
+            num_isolates=int(n_iso),
+            log_likelihood=float(loglik),
+            agg_distortions=agg.reshape(A, Fn),
+            rec_distortions=hist,
+        )
+        old_df = state._df
+        new_state = replace(
+            state,
+            iteration=state.iteration + n_sweeps,
+            _df=None,
+            local_ps=ps,
+            theta=theta,
+            summary=summary,
+            current_seed=state.current_seed + n_sweeps,
+        )
+    else:
+        kernel = make_transition_kernel(
+            cache,
+            theta,
+            mode,
+            state.current_seed,
+            state.partition_fn,
+            n_sweeps=n_sweeps,
+            num_partitions=state.num_partitions,
+        )
+        new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
+        new_df = new_df.localCheckpoint(eager=False)
+        summary = collect_summary(new_df, cache)
+        old_df = state._df
+        new_state = replace(
+            state,
+            iteration=state.iteration + n_sweeps,
+            _df=new_df,
+            local_ps=None,
+            theta=theta,
+            summary=summary,
+            current_seed=state.current_seed + n_sweeps * state.num_partitions,
+        )
+    if old_df is not None:
+        try:
+            old_df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     return new_state
 
 
@@ -504,7 +603,8 @@ def init_state(
     rng = np.random.default_rng(seed)
     return State(
         iteration=0,
-        df=state_df,
+        _df=state_df,
+        spark=spark,
         theta=np.array(
             [
                 [a.distortion_prior.mean] * Fn

@@ -30,7 +30,15 @@ DRIVER_BLOB = "driver-state.pkl"
 
 def save_state(state: State, path: str) -> None:
     os.makedirs(path, exist_ok=True)
-    state.df.write.mode("overwrite").parquet(os.path.join(path, STATE_DIRNAME))
+    df = state.df
+    if state.num_partitions == 1:
+        # One part file so the scan preserves row order exactly: resume
+        # bit-exactness needs the reloaded entity-row order to equal the
+        # in-memory order (Spark packs multi-file scans by size, not name).
+        # Single-partition states are driver-sized by construction, so one
+        # file is also the right layout.
+        df = df.coalesce(1)
+    df.write.mode("overwrite").parquet(os.path.join(path, STATE_DIRNAME))
     blob = {
         "iteration": state.iteration,
         "theta": state.theta,
@@ -56,7 +64,8 @@ def load_state(spark: SparkSession, path: str) -> State:
     df = df.localCheckpoint(eager=True)
     return State(
         iteration=blob["iteration"],
-        df=df,
+        _df=df,
+        spark=spark,
         theta=blob["theta"],
         population_size=blob["population_size"],
         summary=blob["summary"],

@@ -123,3 +123,37 @@ def test_kdtree_partitioned_run(spark, rl_setup):
     _check_invariants(state, len(pdf), len(pdf))
     pids = {r["partition_id"] for r in state.df.filter("NOT is_summary").select("partition_id").distinct().collect()}
     assert pids == {0, 1}, f"expected both partitions populated, got {pids}"
+
+
+def test_fused_local_vs_spark_bit_parity(spark, rl_setup):
+    """transition_fused(local=True) must produce the SAME chain as the
+    applyInPandas execution (local=False): both run run_fused_sweeps with
+    identical seeds, so linkage structure, θ, log-likelihood, and distortion
+    counts are bit-identical. Guards the driver-local fast path against
+    drifting from the distributed kernel."""
+    from dblink_spark.er.state import transition_fused
+
+    records, attrs, cache, pdf = rl_setup
+    s_loc = init_state(spark, records, cache, SinglePartition(), 1, seed=31)
+    s_spk = init_state(spark, records, cache, SinglePartition(), 1, seed=31)
+    s_loc = transition_fused(s_loc, "PCG-I", 4, local=True)
+    s_loc = transition_fused(s_loc, "PCG-I", 3, local=True)  # local→local continuation
+    s_spk = transition_fused(s_spk, "PCG-I", 4, local=False)
+    s_spk = transition_fused(s_spk, "PCG-I", 3, local=False)
+
+    assert s_loc.iteration == s_spk.iteration == 7
+    assert s_loc.current_seed == s_spk.current_seed
+    assert (s_loc.theta == s_spk.theta).all()
+    assert s_loc.summary.log_likelihood == s_spk.summary.log_likelihood
+    assert (s_loc.summary.agg_distortions == s_spk.summary.agg_distortions).all()
+    assert s_loc.summary.num_isolates == s_spk.summary.num_isolates
+
+    def links(st):
+        rows = st.df.filter("NOT is_summary AND size(rec_ids) > 0").collect()
+        return sorted(
+            (r["ent_values"], sorted(r["rec_ids"])) for r in rows
+        )
+
+    assert links(s_loc) == links(s_spk)
+    # lazy DataFrame view materialized from local state must keep invariants
+    _check_invariants(s_loc, len(pdf), len(pdf))
