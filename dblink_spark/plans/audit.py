@@ -64,6 +64,35 @@ def scan_infos(plan: str) -> list[ScanInfo]:
     return scans
 
 
+def broadcast_hinted_relations(df: DataFrame) -> list[tuple[str, bool]]:
+    """Base relations sitting under an explicit broadcast hint, read from the
+    ANALYZED logical plan (the optimizer erases ``ResolvedHint`` nodes into
+    join-node hints, so the analyzed plan is where a forced ``F.broadcast()``
+    is still visible as a distinct operator).
+
+    Returns ``[(first_column_of_relation, hint_subtree_has_limit), ...]`` —
+    the first column identifies the table (``n_nationkey`` → nation), and
+    ``has_limit`` marks frames whose cardinality is bounded by a LIMIT
+    regardless of SF (e.g. a top-k query-vector frame), which are safe to
+    broadcast at any scale.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    out: list[tuple[str, bool]] = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        has_limit = False
+        for nxt in lines[i + 1 :]:
+            if "GlobalLimit" in nxt or "LocalLimit" in nxt:
+                has_limit = True
+            m = re.search(r"Relation \[([A-Za-z_][A-Za-z0-9_]*)#", nxt)
+            if m:
+                out.append((m.group(1), has_limit))
+                break
+    return out
+
+
 def exchange_count(plan: str) -> int:
     """Shuffle exchanges in the plan (BroadcastExchange excluded — those
     are the cheap kind we *want*)."""

@@ -86,8 +86,10 @@ GROUP BY l.l_orderkey, o.o_orderdate
     survey_ref="SURVEY §2.8 join family (J2 inner-join + groupBy)",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + aggregate. customer is small relative to lineitem: Catalyst
-    broadcast-joins it (AQE converts to broadcast at runtime from stats)."""
+    """3-way join + aggregate. customer/orders SCALE with the data, so they
+    carry NO broadcast hint: AQE picks broadcast-vs-SMJ from runtime stats
+    (broadcast at small SF, sort-merge at 100 TB). A forced broadcast here
+    would be an OOM at scale, not a slow plan."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -96,8 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     return (
-        F.broadcast(c)
-        .join(o, c.c_custkey == o.o_custkey)
+        c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy(l.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
@@ -122,7 +123,11 @@ GROUP BY n.n_name
     survey_ref="SURVEY §2.8 multi-way join",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way star join; all dims broadcast, single shuffle for the final agg."""
+    """6-way star join, single shuffle for the final agg. Only the
+    FIXED-cardinality dims (nation: 25 rows, region: 5 rows) carry explicit
+    broadcast hints; orders/customer/supplier grow linearly with SF, so AQE
+    chooses their join strategy from runtime stats (broadcast at test SF,
+    shuffle join at 100 TB)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -130,10 +135,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -425,15 +430,17 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion revenue share: conditional (CASE) aggregate over a
-    lineitem-part join. part is the small side -> broadcast; the month
-    filter pushes into the lineitem scan so the join probes ~1/72 of it."""
+    lineitem-part join. The month filter pushes into the lineitem scan so
+    the join probes ~1/72 of it. part scales with SF (no forced broadcast);
+    AQE broadcasts it while it fits and falls back to a shuffle join when
+    it doesn't."""
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     p = load(spark, sf_dir, "part")
     agg = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", disc_price())).cast("double").alias("promo_rev"),
             F.sum(disc_price()).cast("double").alias("total_rev"),
@@ -492,8 +499,10 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total quantity exceeds 250, joined back to order and
-    customer detail. The HAVING survivor set is tiny (~p99 cut), so it is
-    broadcast into the orders/customer joins — no big-table shuffle."""
+    customer detail. The HAVING survivor set is a fixed FRACTION (~p99 cut)
+    of orders, i.e. it still grows linearly with SF — so no forced
+    broadcast: AQE sees the post-aggregate size at runtime and broadcasts
+    only while it actually fits."""
     l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
@@ -504,8 +513,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        F.broadcast(big)
-        .join(o, big.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_name").alias("name"),
@@ -535,7 +543,7 @@ def q19_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate evaluates post-join in codegen."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     band = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 20))

@@ -54,8 +54,13 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: queries broadcast against the base scan; the per-row dot is
     a JVM higher-order fold (no Python). The window ranks per query."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # .limit(8) is a semantic no-op (the filter yields exactly 8 rows) but
+    # makes the frame's fixed cardinality explicit in the logical plan, which
+    # is what licenses the broadcast hint at any SF (plan-audit checked).
+    q = (
+        e.filter(F.col("vec_id") < 8)
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     )
     joined = F.broadcast(q).crossJoin(
         e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")

@@ -8,7 +8,12 @@ from __future__ import annotations
 import pytest
 
 from dblink_spark import queries as q
-from dblink_spark.plans.audit import audit_plan, formatted_plan, scan_infos
+from dblink_spark.plans.audit import (
+    audit_plan,
+    broadcast_hinted_relations,
+    formatted_plan,
+    scan_infos,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -51,6 +56,31 @@ class TestBroadcastStrategy:
     def test_ann_query_vectors_broadcast(self, spark):
         a = _audit(spark, "ann_topk_cosine")
         assert a.broadcast_joins >= 1
+
+
+class TestBroadcastHintDiscipline:
+    """A forced F.broadcast() on a relation that grows with the data is an
+    OOM at 100 TB, not a slow plan. Explicit hints are allowed ONLY on
+    fixed-cardinality frames: the nation (25-row) / region (5-row) dims and
+    LIMIT-bounded frames (top-k query vectors). Everything that scales with
+    SF must be left to AQE's runtime stats. Asserted on the analyzed
+    LOGICAL plan — at small SF AQE legitimately broadcasts scaling tables
+    from size stats; the anti-pattern is the *hint*, not the choice."""
+
+    FIXED_CARDINALITY_COLS = {"n_nationkey", "r_regionkey"}
+
+    def test_no_sf_scaling_relation_is_broadcast_hinted(self, spark):
+        offenders = {}
+        for name, entry in q.REGISTRY.items():
+            df = entry.fn(spark, SF_DIR)
+            bad = [
+                col
+                for col, has_limit in broadcast_hinted_relations(df)
+                if col not in self.FIXED_CARDINALITY_COLS and not has_limit
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, f"broadcast hints on SF-scaling relations: {offenders}"
 
 
 class TestShuffleBudget:
