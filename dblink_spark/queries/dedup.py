@@ -333,7 +333,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over token md5s; near-dup = Hamming distance <= 1
     within a language block; output rolled up per doc (this corpus's
     near-dup cliques make the raw pair set quadratic — ~1M pairs at sf0.1
-    from 5k docs). 16 bits keeps the oracle SQL readable."""
+    from 5k docs). 16 bits keeps the oracle SQL readable.
+
+    Scale shape — pigeonhole banding: for Hamming <= 1 over 16 bits, any
+    qualifying pair agrees EXACTLY on at least one of 2 disjoint 8-bit
+    bands (a single flipped bit lives in only one band). So each doc
+    explodes to 2 ``(band_idx, band_bits)`` rows and candidates come from
+    an equi-join on ``(lang, band_idx, band_bits)``, Hamming-verified on
+    the carried full fingerprint. Candidate volume tracks near-dup volume
+    (docs sharing an 8-bit half-fingerprint), not N²-per-language — the
+    all-pairs-within-lang join this replaces was N²/|langs| at 100 TB."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
@@ -352,17 +361,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp_expr = term if fp_expr is None else fp_expr + term
     fp = sig.select("doc_id", "lang", fp_expr.cast("bigint").alias("simhash"))
-    fp = fp.persist()  # feeds both sides of the self-join
-    a = fp.alias("a")
-    b = fp.alias("b")
+    fp = fp.persist()  # feeds both sides of the banded self-join
+    bands = fp.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.col("simhash").bitwiseAND(F.lit(0xFF)).alias("band_bits"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.shiftright("simhash", 8).alias("band_bits"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "lang", "simhash", "band.band_idx", "band.band_bits")
+    a = bands.alias("a")
+    b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     pairs = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(ham <= 1)
+        # Hamming-0 pairs agree on BOTH bands -> emitted twice; dedup before
+        # the per-doc rollup counts them.
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
     )
     adj = pairs.select(
         F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner")

@@ -97,6 +97,16 @@ class TestShuffleBudget:
         assert a.exchanges <= 8
         assert a.python_ops == 0  # tokenize/hash/verify all JVM-side
 
+    def test_simhash_pair_join_keyed_on_band(self, spark):
+        """The simhash candidate join must be keyed on the exploded
+        (band_idx, band_bits) — the lang-only blocking it replaces was
+        all-pairs within each language (N²/|langs| at scale)."""
+        df = q.REGISTRY["dedup_simhash"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "band_bits" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_q1_single_shuffle(self, spark):
         a = _audit(spark, "q1_pricing_summary")
         assert a.exchanges <= 1
