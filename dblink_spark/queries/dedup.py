@@ -194,6 +194,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bottomk_sketches(d: DataFrame, k: int = 8) -> DataFrame:
+    """Per-doc bottom-k (KMV) token sketch as a SORTED array + its size:
+    ``(doc_id, lang, sketch array<string>, k)``. One shuffle (groupBy doc)."""
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy(F.md5("token"))
+    return (
+        tok.select("doc_id", "lang", F.md5("token").alias("h"))
+        .withColumn("rn", F.row_number().over(w.orderBy("h")))
+        .filter(f"rn <= {k}")
+        .groupBy("doc_id", "lang")
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"), F.count("*").alias("k"))
+    )
+
+
+def bottomk_prefix(docs: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin prefix relation ``(doc_id, lang, h)``.
+
+    A pair with sketch-Jaccard >= t must share n >= ceil(t*k_doc) hashes
+    with EACH member's sketch (n/(k1+k2-n) >= t implies n >= t*k1 and
+    n >= t*k2), and the smallest common hash then necessarily lies within
+    each doc's first ``k_doc - ceil(t*k_doc) + 1`` sorted hashes — so the
+    candidate join only needs the prefixes. At t=0.99 the prefix is ONE
+    hash per doc (its KMV minimum): join fan-in drops k-fold, and a
+    ubiquitous token only collides the docs whose *minimum* it is, not
+    every doc whose bottom-k contains it (the hot-key quadratic this
+    replaces)."""
+    plen = (F.col("k") - F.ceil(F.col("k") * F.lit(threshold)) + 1).cast("int")
+    return docs.select(
+        "doc_id", "lang", F.explode(F.slice("sketch", F.lit(1), plen)).alias("h")
+    )
+
+
+def bottomk_sketch_pairs(
+    d: DataFrame, k: int = 8, threshold: float = 0.99
+) -> DataFrame:
+    """Bottom-k sketch-Jaccard near-dup pairs ``(doc1, doc2, sketch_jaccard)``
+    with within-language blocking, prefix-filtered (see bottomk_prefix) and
+    exactly verified via array_intersect over the candidate pairs only."""
+    docs = bottomk_sketches(d, k).persist()  # feeds prefix + both verify sides
+    pre = bottomk_prefix(docs, threshold)
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = docs.select(
+        F.col("doc_id").alias("doc1"), F.col("sketch").alias("sk1"), F.col("k").alias("k1")
+    )
+    s2 = docs.select(
+        F.col("doc_id").alias("doc2"), F.col("sketch").alias("sk2"), F.col("k").alias("k2")
+    )
+    n_inter = F.size(F.array_intersect("sk1", "sk2"))
+    jac = n_inter.cast("double") / (F.col("k1") + F.col("k2") - n_inter)
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("sketch_jaccard", jac)
+        .filter(F.col("sketch_jaccard") >= threshold)
+        .select("doc1", "doc2", "sketch_jaccard")
+    )
+
+
 @register(
     "dedup_bottomk_jaccard",
     oracle="""
@@ -222,44 +294,9 @@ WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
 def dedup_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k token sketch (k=8 smallest md5 values per doc) with
     within-language blocking; sketch-Jaccard over shared sketch hashes.
-    Fixed-size sketches bound the join fan-out at any corpus size."""
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy(F.md5("token"))
-    sk = (
-        tok.select("doc_id", "lang", F.md5("token").alias("h"))
-        .withColumn("rn", F.row_number().over(w.orderBy("h")))
-        .filter("rn <= 8")
-        .select("doc_id", "lang", "h")
-        .persist()  # feeds sizes + both join sides
-    )
-    sizes = sk.groupBy("doc_id").agg(F.count("*").alias("k"))
-    a = sk.alias("a")
-    b = sk.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("k").alias("k1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("k").alias("k2"))
-    jac = F.col("n_inter").cast("double") / (F.col("k1") + F.col("k2") - F.col("n_inter"))
-    return (
-        pairs.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn("sketch_jaccard", jac)
-        .filter(F.col("sketch_jaccard") >= 0.99)
-        .select("doc1", "doc2", "sketch_jaccard")
-    )
+    Fixed-size sketches bound each doc's contribution; the prefix filter
+    bounds per-key join fan-out (see bottomk_prefix)."""
+    return bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
 
 
 def _hex_to_int_spark(col, start: int, width: int):
