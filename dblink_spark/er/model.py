@@ -55,6 +55,44 @@ class PartitionState:
         return self.rec_ids.shape[0]
 
 
+def canonicalize_partition_state(ps: PartitionState) -> PartitionState:
+    """Reorder a PartitionState into a canonical, content-determined order.
+
+    Kernel RNG consumption follows array order, so without this the chain
+    would depend on the order rows arrive from the shuffle fetch — which
+    Spark does not guarantee across retries/AQE for multi-partition chains.
+    Canonical order: entities sorted by (smallest linked rec_id, "" for
+    isolates; tie-break entity values), records sorted by (entity, rec_id).
+    Identical isolates are interchangeable, so the order is determined by
+    partition CONTENT alone. Cost is two argsorts + one Python keyed sort
+    per kernel invocation — negligible next to the sweep itself.
+    """
+    n_e = ps.num_entities
+    first = np.full(n_e, "", dtype=object)
+    seen = np.zeros(n_e, dtype=bool)
+    for r in np.argsort(ps.rec_ids, kind="stable"):
+        e = ps.link[r]
+        if not seen[e]:
+            seen[e] = True
+            first[e] = ps.rec_ids[r]
+    perm = sorted(range(n_e), key=lambda e: (first[e], tuple(ps.entities[e])))
+    perm = np.asarray(perm, dtype=np.int64)
+    inv = np.empty(n_e, dtype=np.int64)
+    inv[perm] = np.arange(n_e)
+    new_link = inv[ps.link]
+    # two stable argsorts == lexsort by (new_link, rec_id)
+    o1 = np.argsort(ps.rec_ids, kind="stable")
+    order = o1[np.argsort(new_link[o1], kind="stable")]
+    return PartitionState(
+        entities=ps.entities[perm],
+        rec_ids=ps.rec_ids[order],
+        rec_fids=ps.rec_fids[order],
+        rec_values=ps.rec_values[order],
+        rec_dist=ps.rec_dist[order],
+        link=new_link[order],
+    )
+
+
 def _expsim_lookup(index, value: int, ent_col: np.ndarray) -> np.ndarray:
     """exp(sim(value, w)) for each w in ent_col; 1.0 for non-neighbors."""
     out = np.ones(ent_col.shape[0], dtype=np.float64)
@@ -325,6 +363,14 @@ def _draw_value_collapsed(rng, idx, attr_id, rows, vals_a, rec_fids, theta, k):
             return sample_from_probs(rng, base, 1)[0]
         cdf = np.cumsum(pert)
         return keys[np.searchsorted(cdf, rng.random() * total, "right")]
+    return _draw_value_collapsed_general(
+        rng, idx, attr_id, rows, vals_a, rec_fids, theta, base
+    )
+
+
+def _draw_value_collapsed_general(rng, idx, attr_id, rows, vals_a, rec_fids, theta, base):
+    """General (any-k) collapsed draw — split out so tests can pin the k=1
+    fast path's RNG stream equivalence against it on cloned Generators."""
     # perturbation weights, sparse over candidate values
     w: dict[int, float] = {}
     for r in rows:

@@ -61,17 +61,22 @@ class DiagnosticsWriter:
 
     def __init__(self, path: str, state: State):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "w", newline="")
+        # resumed chains append (mirroring BufferedChainWriter's append flag;
+        # ref: DiagnosticsWriter.scala continueChain) — truncating would drop
+        # the prior run's trace
+        resume = state.iteration > 0 and os.path.exists(path)
+        self._f = open(path, "a" if resume else "w", newline="")
         self._w = csv.writer(self._f)
         attrs = [a.name for a in state.cache.attributes]
         files = state.cache.file_ids
         self._header_attrs = attrs
         self._files = files
-        self._w.writerow(
-            ["iteration", "time_ms", "logLikelihood", "numIsolates"]
-            + [f"aggDist.{a}.{fid}" for a in attrs for fid in files]
-            + [f"recDist.{k}" for k in range(len(attrs) + 1)]
-        )
+        if not resume:
+            self._w.writerow(
+                ["iteration", "time_ms", "logLikelihood", "numIsolates"]
+                + [f"aggDist.{a}.{fid}" for a in attrs for fid in files]
+                + [f"recDist.{k}" for k in range(len(attrs) + 1)]
+            )
         self._t0 = time.time()
 
     def write(self, state: State) -> None:

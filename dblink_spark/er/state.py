@@ -22,8 +22,11 @@ driver action collects only num_partitions tiny rows (the reference needed
 accumulator merges; ref: GibbsUpdates.scala:219-301).
 
 Seed discipline: kernel RNG = default_rng(seed + partition_id) — keyed on the
-partition *data value*, not the Spark task index, so task retries and AQE
-re-planning cannot change results (the reference seeds by task index and
+partition *data value*, not the Spark task index — and the kernel
+canonicalizes its row order on entry (model.canonicalize_partition_state),
+so RNG consumption order is determined by partition CONTENT alone. Together
+these make task retries and AQE re-planning unable to change results, for
+multi-partition chains included (the reference seeds by task index and
 documents the weaker guarantee, State.scala:47-49).
 """
 
@@ -48,7 +51,12 @@ from pyspark.sql.types import (
 )
 
 from dblink_spark.er.cache import RecordsCache, encode_records
-from dblink_spark.er.model import PartitionState, partition_summary, transition_partition
+from dblink_spark.er.model import (
+    PartitionState,
+    canonicalize_partition_state,
+    partition_summary,
+    transition_partition,
+)
 from dblink_spark.er.rand import sample_from_probs
 
 STATE_SCHEMA = StructType(
@@ -209,9 +217,15 @@ def run_fused_sweeps(
     exactly the seed the unfused path gives iteration ``j``. Between fused
     sweeps θ is redrawn in place (single partition ⇒ local distortion counts
     are the global counts, so this is the same Beta posterior the driver
-    would sample; ref: GibbsUpdates.scala:305-320)."""
+    would sample; ref: GibbsUpdates.scala:305-320).
+
+    The state is canonicalized on entry (content-determined row order), so
+    the chain does not depend on shuffle fetch order — the property that
+    makes the data-keyed seeds actually deliver retry/AQE-proof results on
+    multi-partition chains."""
     num_attrs = cache.num_attributes
     num_files = len(cache.file_ids)
+    ps = canonicalize_partition_state(ps)
     th = theta
     for j in range(n_sweeps):
         rng = np.random.default_rng(seed + j * num_partitions + pid)
@@ -383,6 +397,59 @@ def transition_fused(
             summary=summary,
             current_seed=state.current_seed + n_sweeps * state.num_partitions,
         )
+    if old_df is not None:
+        try:
+            old_df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    return new_state
+
+
+def assign_partitions(
+    state: State,
+    partition_fn: Callable[[np.ndarray], np.ndarray],
+    num_partitions: int,
+) -> State:
+    """Re-key every cluster row to a (newly fitted) partition function.
+
+    Init runs under SinglePartition (the KD-tree fits on the *initialized*
+    entity values), so without this remap the whole first transition would
+    execute as ONE kernel group in a single task — a memory/straggler trap
+    at scale. The reference initializes partitions with the fitted partition
+    function (ref: State.scala:244-270); this is the DataFrame equivalent:
+    a narrow mapInPandas (no shuffle — the first groupBy in transition()
+    co-locates), re-checkpointed so the remap computes once.
+    """
+    def assign_pid(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            mask = ~pdf["is_summary"]
+            if mask.any():
+                ents = np.stack(
+                    [np.asarray(v, dtype=np.int32) for v in pdf.loc[mask, "ent_values"]]
+                )
+                pdf.loc[mask, "partition_id"] = partition_fn(ents).astype(np.int32)
+            pdf["partition_id"] = pdf["partition_id"].astype(np.int32)
+            yield pdf
+
+    new_df = state.df.mapInPandas(assign_pid, STATE_SCHEMA).localCheckpoint(eager=True)
+    old_df = state._df
+    new_state = replace(
+        state,
+        _df=new_df,
+        local_ps=None,
+        partition_fn=partition_fn,
+        num_partitions=num_partitions,
+        # fresh chains get the seed an init at P partitions would have had;
+        # a mid-chain re-partition (not the normal path) keeps its stream
+        current_seed=(
+            state.start_seed + num_partitions
+            if state.iteration == 0
+            else state.current_seed
+        ),
+    )
     if old_df is not None:
         try:
             old_df.unpersist()

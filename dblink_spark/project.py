@@ -36,7 +36,7 @@ from dblink_spark.er.analysis import membership_to_clusters
 from dblink_spark.er.metrics import evaluate_clustering, evaluate_pairwise
 from dblink_spark.er.partition import KDTreePartitioner, PartitionFunction, SinglePartition
 from dblink_spark.er.sampler import SamplerOptions, sample
-from dblink_spark.er.state import init_state
+from dblink_spark.er.state import assign_partitions, init_state
 from dblink_spark.sources import (
     load_state,
     read_linkage_chain,
@@ -227,8 +227,10 @@ class Project:
             )
             if part.num_partitions > 1:
                 part.fit(state.df.filter("NOT is_summary").select("ent_values"))
-                state.partition_fn = part
-                state.num_partitions = part.num_partitions
+                # re-key the initialized rows to the fitted partitioner so the
+                # FIRST transition already runs as num_partitions kernel groups
+                # (without this the whole state funnels through one task)
+                state = assign_partitions(state, part, part.num_partitions)
         opts = SamplerOptions(
             sampler=str(params.get("sampler", "PCG-I")),
             burnin_interval=int(params.get("burninInterval", 0)),

@@ -202,6 +202,45 @@ class TestValueConditionals:
         expect = _enum_value_conditional_collapsed(idx, obs, th)
         np.testing.assert_allclose(emp, expect, atol=0.015)
 
+    @pytest.mark.parametrize("cache_name,obs,theta", [
+        ("lev_cache", "AAAB", 0.4),
+        ("lev_cache", "AAAA", 0.07),
+        ("lev_cache", "ZZZZ", 0.9),
+        ("const_cache", "A", 0.4),
+        ("const_cache", "B", 0.07),
+    ])
+    def test_k1_fast_path_rng_bit_parity(self, request, cache_name, obs, theta):
+        """The k=1 singleton fast path in _draw_value_collapsed must consume
+        the RNG stream EXACTLY like the general sparse-dict path — same
+        draw, same post-draw Generator state — or fused chains would not be
+        bit-reproducible across the dispatch. Runs both paths on cloned
+        Generators over many successive states."""
+        from dblink_spark.er.model import (
+            _base_dist,
+            _draw_value_collapsed,
+            _draw_value_collapsed_general,
+        )
+
+        cache = request.getfixturevalue(cache_name)
+        idx = cache.indexes[0]
+        v = _vid(cache, obs)
+        vals_a = np.array([v], dtype=np.int32)
+        fids = np.zeros(1, dtype=np.int32)
+        rows = np.array([0], dtype=np.int64)
+        th = np.array([[theta]])
+        rng_fast = np.random.default_rng(97)
+        rng_gen = np.random.default_rng(97)
+        for _ in range(200):
+            d_fast = _draw_value_collapsed(
+                rng_fast, idx, 0, rows, vals_a, fids, th, 1
+            )
+            d_gen = _draw_value_collapsed_general(
+                rng_gen, idx, 0, rows, vals_a, fids, th, _base_dist(idx, 1)
+            )
+            assert int(d_fast) == int(d_gen)
+        # identical residual streams
+        assert rng_fast.random() == rng_gen.random()
+
     def test_gibbs_nondistorted_pins_value(self, lev_cache):
         """M11: a non-distorted linked record pins the entity value."""
         cache = lev_cache

@@ -112,17 +112,60 @@ def test_kdtree_partitioned_run(spark, rl_setup):
     records, attrs, cache, pdf = rl_setup
     import pyspark.sql.functions as F
 
+    from dblink_spark.er.state import assign_partitions
+
     state = init_state(spark, records, cache, SinglePartition(), 1, seed=5)
     part = KDTreePartitioner(num_levels=1, attribute_ids=[3])  # split on fname
     part.fit(state.df.filter("NOT is_summary").select("ent_values"))
     assert part.num_partitions == 2
-    state.partition_fn = part
-    state.num_partitions = 2
+    state = assign_partitions(state, part, 2)
+    # the remap must split the state BEFORE the first transition — otherwise
+    # iteration 1 runs as one kernel group in a single task
+    pids0 = {
+        r["partition_id"]
+        for r in state.df.filter("NOT is_summary").select("partition_id").distinct().collect()
+    }
+    assert pids0 == {0, 1}, f"initial state not partitioned: {pids0}"
     for _ in range(3):
         state = transition(state, "PCG-I")
     _check_invariants(state, len(pdf), len(pdf))
     pids = {r["partition_id"] for r in state.df.filter("NOT is_summary").select("partition_id").distinct().collect()}
     assert pids == {0, 1}, f"expected both partitions populated, got {pids}"
+
+
+def test_kernel_row_order_independence(spark, rl_setup):
+    """The chain must not depend on the order rows arrive at the kernel
+    (shuffle fetch order is not guaranteed across retries/AQE): a random
+    permutation of entities AND records must produce a bit-identical chain,
+    because run_fused_sweeps canonicalizes on entry."""
+    from dblink_spark.er.model import PartitionState
+    from dblink_spark.er.state import _pdf_to_partition_state, run_fused_sweeps
+
+    records, attrs, cache, pdf = rl_setup
+    state = init_state(spark, records, cache, SinglePartition(), 1, seed=7)
+    sdf = state.df.toPandas()
+    ps = _pdf_to_partition_state(sdf[~sdf["is_summary"]], cache.num_attributes)
+
+    prng = np.random.default_rng(0)
+    eperm = prng.permutation(ps.num_entities)
+    inv = np.empty_like(eperm)
+    inv[eperm] = np.arange(len(eperm))
+    rperm = prng.permutation(ps.num_records)
+    ps2 = PartitionState(
+        entities=ps.entities[eperm],
+        rec_ids=ps.rec_ids[rperm],
+        rec_fids=ps.rec_fids[rperm],
+        rec_values=ps.rec_values[rperm],
+        rec_dist=ps.rec_dist[rperm],
+        link=inv[ps.link][rperm],
+    )
+    out1 = run_fused_sweeps(ps, cache, state.theta, "PCG-I", 123, 1, 0, 3)
+    out2 = run_fused_sweeps(ps2, cache, state.theta, "PCG-I", 123, 1, 0, 3)
+    assert (out1.entities == out2.entities).all()
+    assert (out1.rec_ids == out2.rec_ids).all()
+    assert (out1.link == out2.link).all()
+    assert (out1.rec_values == out2.rec_values).all()
+    assert (out1.rec_dist == out2.rec_dist).all()
 
 
 def test_fused_local_vs_spark_bit_parity(spark, rl_setup):
