@@ -81,6 +81,49 @@ def _fake_decode(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8)
 
 
+def _pil_image_decoder(img_mod) -> Callable[[bytes], np.ndarray]:
+    """Real image decoder factory: ``bytes -> HxW[xC] uint8 array``.
+
+    Takes the PIL ``Image`` module as an argument (instead of reading the
+    module global) so the returned closure is driver-testable with a fake
+    module and pickles cleanly when real PIL exists on the executors."""
+
+    def decoder(buf: bytes) -> np.ndarray:
+        import io
+
+        return np.asarray(img_mod.open(io.BytesIO(buf)))
+
+    return decoder
+
+
+def _pil_resize_codec(img_mod) -> Callable[[bytes, int, int], np.ndarray]:
+    """Real resize codec factory: decode, grayscale, resample to (h, w)."""
+
+    def codec(buf: bytes, width: int, height: int) -> np.ndarray:
+        import io
+
+        im = img_mod.open(io.BytesIO(buf)).convert("L").resize((width, height))
+        return np.asarray(im, dtype=np.uint8).reshape(height, width)
+
+    return codec
+
+
+def _fake_resize_codec() -> Callable[[bytes, int, int], np.ndarray]:
+    """Deterministic fake resize: nearest-neighbor index-resample of the
+    flat byte signal onto an (h, w) grid — fixed-size output per row, the
+    same contract as the real codec."""
+
+    def codec(buf: bytes, width: int, height: int) -> np.ndarray:
+        n_out = width * height
+        sig = np.frombuffer(buf, dtype=np.uint8)
+        if sig.size == 0:
+            return np.zeros((height, width), dtype=np.uint8)
+        idx = (np.arange(n_out) * sig.size) // n_out
+        return sig[idx].reshape(height, width)
+
+    return codec
+
+
 def decode_media(
     df: DataFrame,
     decoder: Callable[[bytes], np.ndarray] | None = None,
@@ -95,18 +138,10 @@ def decode_media(
     Runs as ``mapInPandas`` so each Arrow batch is decoded in one Python
     call; the binary column never round-trips through the driver.
     """
-    if decoder is None:
-        if Image is not None:  # pragma: no cover - PIL absent here
-
-            def decoder(buf: bytes) -> np.ndarray:
-                import io
-
-                return np.asarray(Image.open(io.BytesIO(buf)))
-
-        else:
-            # nested duplicate of _fake_decode: pickled by value (see note)
-            def decoder(buf: bytes) -> np.ndarray:
-                return np.frombuffer(buf, dtype=np.uint8)
+    if decoder is None and Image is not None:  # pragma: no cover - PIL absent
+        decoder = _pil_image_decoder(Image)
+    # decoder is None from here on ⇒ the deterministic fake, which admits a
+    # fully vectorized per-batch path (no per-row Python at all)
 
     out_schema = (
         "doc_id bigint, media_type string, n_samples bigint, "
@@ -115,22 +150,39 @@ def decode_media(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64, copy=False)
+            mts = [m["media_type"] for m in pdf["media_meta"]]
+            if decoder is None:
+                # vectorized fake path: one concat + one cumsum per batch
+                bufs = [bytes(b) for b in pdf["media"]]
+                lens = np.fromiter(
+                    (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+                )
+                flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                cs = np.concatenate(
+                    [[0], np.cumsum(flat, dtype=np.int64)]
+                )
+                ends = np.cumsum(lens)
+                sums = cs[ends] - cs[ends - lens]
+                means = np.divide(
+                    sums, lens, out=np.zeros(len(bufs)), where=lens > 0
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "media_type": mts,
+                        "n_samples": lens,
+                        "byte_sum": sums,
+                        "mean_level": means,
+                    }
+                )
+                continue
             rows = []
-            for doc_id, buf, meta in zip(
-                pdf["doc_id"], pdf["media"], pdf["media_meta"]
-            ):
+            for doc_id, buf, mt in zip(ids, pdf["media"], mts):
                 sig = decoder(bytes(buf)).astype(np.int64, copy=False).ravel()
                 n = int(sig.size)
                 s = int(sig.sum()) if n else 0
-                rows.append(
-                    (
-                        int(doc_id),
-                        meta["media_type"],
-                        n,
-                        s,
-                        (s / n) if n else 0.0,
-                    )
-                )
+                rows.append((int(doc_id), mt, n, s, (s / n) if n else 0.0))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -157,20 +209,29 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, mts, feats = [], [], []
-            for doc_id, buf, meta in zip(
-                pdf["doc_id"], pdf["media"], pdf["media_meta"]
-            ):
-                sig = np.frombuffer(bytes(buf), dtype=np.uint8)
-                hist = np.bincount(sig % dim, minlength=dim).astype(np.float64)
-                total = hist.sum()
-                if total > 0:
-                    hist /= total
-                ids.append(int(doc_id))
-                mts.append(meta["media_type"])
-                feats.append(hist.astype(np.float32).tolist())
+            # vectorized: ONE bincount over (row_idx * dim + byte % dim)
+            # for the whole Arrow batch, reshaped to (n_rows, dim)
+            n_rows = len(pdf)
+            bufs = [bytes(b) for b in pdf["media"]]
+            lens = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=n_rows
+            )
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            hist = (
+                np.bincount(row_idx * dim + flat % dim, minlength=n_rows * dim)
+                .reshape(n_rows, dim)
+                .astype(np.float64)
+            )
+            totals = hist.sum(axis=1, keepdims=True)
+            np.divide(hist, totals, out=hist, where=totals > 0)
+            feats = hist.astype(np.float32)
             yield pd.DataFrame(
-                {"doc_id": ids, "media_type": mts, "features": feats}
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64, copy=False),
+                    "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                    "features": list(feats),
+                }
             )
 
     return df.mapInPandas(kernel, schema=out_schema)
@@ -209,36 +270,43 @@ def frame_sample(df: DataFrame, frame_size: int = 256, stride: int = 256) -> Dat
     return df.mapInPandas(kernel, schema=out_schema)
 
 
-def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    codec: Callable[[bytes, int, int], np.ndarray] | None = None,
+) -> DataFrame:
     """Resize each image payload to ``width × height``.
 
-    With PIL present this decodes and resamples; in this container it uses
-    the deterministic fake: the byte signal is index-resampled onto a
-    ``height × width`` grid (nearest-neighbor on the flat byte array), which
-    preserves the real kernel's contract — fixed-size output per row.
+    ``codec: (bytes, width, height) -> (height, width) uint8 array``;
+    defaults to the real PIL decode+grayscale+resample when PIL is
+    importable, else the deterministic fake (nearest-neighbor index
+    resample of the flat byte signal). Either way the contract is the
+    same: fixed-size output per row.
 
     Output: ``doc_id bigint, pixels binary, width int, height int``.
     """
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
-    n_out = width * height
+    if codec is None:
+        codec = (
+            _pil_resize_codec(Image)  # pragma: no cover - PIL absent here
+            if Image is not None
+            else _fake_resize_codec()
+        )
     out_schema = "doc_id bigint, pixels binary, width int, height int"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, pix = [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
-                if Image is not None:  # pragma: no cover - PIL absent here
-                    raise NotImplementedError(
-                        "real image resize requires wiring a codec; "
-                        "this container has no imaging libraries"
+                out = np.ascontiguousarray(
+                    codec(bytes(buf), width, height), dtype=np.uint8
+                )
+                if out.shape != (height, width):
+                    raise ValueError(
+                        f"codec returned {out.shape}, want {(height, width)}"
                     )
-                sig = np.frombuffer(bytes(buf), dtype=np.uint8)
-                if sig.size == 0:
-                    out = np.zeros(n_out, dtype=np.uint8)
-                else:
-                    idx = (np.arange(n_out) * sig.size) // n_out
-                    out = sig[idx]
                 ids.append(int(doc_id))
                 pix.append(out.tobytes())
             yield pd.DataFrame(

@@ -117,20 +117,86 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# 2^45: any float32 in (2^-22, 1] times 2^45 is an exact integer (24-bit
+# mantissa), so summing the SCALED values as BIGINT is exact + associative
+# in both engines — this is how the float32 kernel output gets a bit-exact
+# SQL oracle despite "never hash float sums".
+_FEAT_SCALE = 2**45
+
+
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # byte-histogram floats aren't practical to replicate in SQL
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, strlen(text) AS total,
+         unnest(list_transform(range(1, strlen(text) + 1),
+                i -> ord(substr(text, CAST(i AS INT), 1)) % 8)) AS pos
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, total, pos, COUNT(*) AS c
+  FROM chars GROUP BY doc_id, total, pos
+),
+scaled AS (
+  -- replicate the kernel bit-for-bit: double division, round to float32,
+  -- widen back to double, scale by 2^45 (exact integer)
+  SELECT doc_id, pos,
+    CAST(CAST(CAST(CAST(c AS DOUBLE) / total AS REAL) AS DOUBLE)
+         * {_FEAT_SCALE} AS BIGINT) AS sv
+  FROM hist
+),
+docmt AS (
+  SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type FROM documents
+),
+docs_per AS (
+  SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM docmt GROUP BY media_type
+),
+agg AS (
+  SELECT dm.media_type, s.pos, SUM(s.sv) AS sum_scaled
+  FROM scaled s JOIN docmt dm USING (doc_id)
+  GROUP BY dm.media_type, s.pos
+)
+SELECT dp.media_type, CAST(g.pos AS INT) AS pos, dp.n_items,
+  CAST(COALESCE(a.sum_scaled, 0) AS BIGINT) AS sum_scaled,
+  CAST(COALESCE(a.sum_scaled, 0) AS DOUBLE)
+    / (dp.n_items * {_FEAT_SCALE}) AS mean_weight
+FROM docs_per dp
+CROSS JOIN range(0, 8) g(pos)
+LEFT JOIN agg a ON a.media_type = dp.media_type AND a.pos = g.pos
+ORDER BY dp.media_type, pos
+""",
     survey_ref="beyond-reference: multimodal feature extraction (embedding-kernel shape)",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-media-type mean of the 8-dim byte-histogram features — the shape
-    a model-inference kernel would have (rows-only driver check)."""
+    a model-inference kernel would have.
+
+    The per-doc feature is float32; float sums aren't associative, so the
+    aggregate goes through an exact dyadic scaling: each float32 value
+    times 2^45 is an exact integer (summed as BIGINT), and the mean is one
+    deterministic IEEE division at the end. This upgrades the driver check
+    from rows-only to a full value-hash gate."""
     feats = extract_features(attach_media(load(spark, sf_dir, "documents")), dim=8)
-    return (
-        feats.select(
-            "media_type", F.posexplode("features").alias("pos", "val")
-        )
+    per = (
+        feats.select("media_type", F.posexplode("features").alias("pos", "val"))
         .groupBy("media_type", "pos")
-        .agg(F.avg("val").alias("mean_weight"))
-        .orderBy("media_type", "pos")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("val").cast("double") * F.lit(float(_FEAT_SCALE))).cast(
+                    "bigint"
+                )
+            ).alias("sum_scaled"),
+        )
     )
+    return per.select(
+        "media_type",
+        "pos",
+        "n_items",
+        "sum_scaled",
+        (
+            F.col("sum_scaled").cast("double")
+            / (F.col("n_items").cast("double") * F.lit(float(_FEAT_SCALE)))
+        ).alias("mean_weight"),
+    ).orderBy("media_type", "pos")

@@ -121,3 +121,97 @@ class TestResizeImage:
         sig = np.frombuffer(b"xyz", dtype=np.uint8)
         idx = (np.arange(4) * 3) // 4  # 0,0,1,2
         assert bytes(out[2]["pixels"]) == sig[idx].tobytes()
+
+    def test_injected_codec_through_spark(self, docs):
+        """A by-value codec closure (what a real deployment injects) runs
+        through the Arrow/mapInPandas plumbing end-to-end."""
+
+        def codec(buf, width, height):
+            v = len(buf) % 256
+            return np.full((height, width), v, dtype=np.uint8)
+
+        out = {
+            r["doc_id"]: r
+            for r in resize_image(attach_media(docs), 3, 2, codec=codec).collect()
+        }
+        assert bytes(out[0]["pixels"]) == bytes([11] * 6)  # len("hello world")
+        assert bytes(out[2]["pixels"]) == bytes([3] * 6)
+
+    def test_codec_bad_shape_raises(self, docs):
+        def codec(buf, width, height):
+            return np.zeros((1, 1), dtype=np.uint8)
+
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises((Py4JJavaError, Exception)):
+            resize_image(attach_media(docs), 3, 2, codec=codec).collect()
+
+
+class _FakePILImage:
+    """Driver-side stand-in for a PIL image: open().convert().resize()."""
+
+    def __init__(self, data: np.ndarray):
+        self._data = data
+
+    def convert(self, mode):
+        assert mode == "L"
+        return self
+
+    def resize(self, size):
+        w, h = size
+        flat = self._data.ravel()
+        idx = (np.arange(w * h) * flat.size) // (w * h)
+        return _FakePILImage(flat[idx].reshape(h, w))
+
+    def __array__(self, dtype=None, copy=None):
+        return self._data.astype(dtype) if dtype else self._data
+
+
+class _FakePILModule:
+    @staticmethod
+    def open(fp):
+        buf = fp.read()
+        return _FakePILImage(np.frombuffer(buf, dtype=np.uint8))
+
+
+class TestPILCodecPath:
+    """The codec-PRESENT branches (untestable through executors without a
+    real PIL wheel) are exercised driver-side with a PIL-shaped fake."""
+
+    def test_pil_resize_codec_does_real_work(self):
+        from dblink_spark.operators.multimodal import _pil_resize_codec
+
+        codec = _pil_resize_codec(_FakePILModule)
+        out = codec(b"abcdef", 3, 2)
+        assert out.shape == (2, 3)
+        assert out.dtype == np.uint8
+        # open → convert("L") → resize((3,2)) on the fake: index resample
+        sig = np.frombuffer(b"abcdef", dtype=np.uint8)
+        idx = (np.arange(6) * 6) // 6
+        assert out.ravel().tolist() == sig[idx].tolist()
+
+    def test_pil_image_decoder(self):
+        from dblink_spark.operators.multimodal import _pil_image_decoder
+
+        dec = _pil_image_decoder(_FakePILModule)
+        out = dec(b"hello")
+        assert out.tolist() == list(b"hello")
+
+    def test_default_dispatch_uses_pil_when_present(self, monkeypatch, docs):
+        """resize_image must pick the REAL codec when PIL imports — the
+        round-1 bug raised NotImplementedError on exactly that branch.
+        Verified by monkeypatching the module's Image symbol and capturing
+        which factory the dispatch chose (kernel itself runs driver-side)."""
+        import dblink_spark.operators.multimodal as mm
+
+        chosen = {}
+
+        def spy_pil(img_mod):
+            chosen["path"] = "pil"
+            return mm._fake_resize_codec()
+
+        monkeypatch.setattr(mm, "Image", _FakePILModule)
+        monkeypatch.setattr(mm, "_pil_resize_codec", spy_pil)
+        df = resize_image(attach_media(docs), 2, 2)
+        assert chosen["path"] == "pil"
+        assert len(df.collect()) == 4
