@@ -598,10 +598,46 @@ def init_state(
     else:
         # pop < n_records: records share entities round-robin over a stable
         # global order (ref: State.scala:276 `i mod numEntities`).
-        from pyspark.sql import Window
+        #
+        # A global row_number() window would funnel the whole dataset
+        # through ONE task; instead use the zipWithIndex pattern, fully
+        # distributed: range-repartition on the sort key (partition i holds
+        # keys < partition i+1 — a total order since (file_id, rec_id) is
+        # unique), count per partition, prefix-sum the tiny count vector on
+        # the driver, then stamp __ridx = offset[pid] + local position with
+        # a narrow mapInPandas. Two jobs over a checkpointed input, no
+        # single-partition exchange anywhere.
+        n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+        ordered = (
+            encoded.repartitionByRange(n_parts, "file_id", "rec_id")
+            .sortWithinPartitions("file_id", "rec_id")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
 
-        w = Window.orderBy("file_id", "rec_id")
-        numbered = encoded.withColumn("__ridx", F.row_number().over(w) - 1).withColumn(
+        ridx_schema = ordered.withColumn("__ridx", F.lit(0).cast("long")).schema
+
+        def stamp_ridx(batches):
+            seen = 0  # mapInPandas runs once per partition: counter is local
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                base = offsets[int(pdf["__pid"].iloc[0])]
+                pdf = pdf.copy()
+                pdf["__ridx"] = base + seen + np.arange(len(pdf), dtype=np.int64)
+                seen += len(pdf)
+                yield pdf
+
+        numbered = ordered.mapInPandas(stamp_ridx, ridx_schema).withColumn(
             "__ent", (F.col("__ridx") % pop).cast("long")
         )
 

@@ -133,6 +133,40 @@ def test_kdtree_partitioned_run(spark, rl_setup):
     assert pids == {0, 1}, f"expected both partitions populated, got {pids}"
 
 
+def test_init_population_smaller_than_records(spark, rl_setup):
+    """pop < n_records: round-robin entity sharing over the stable
+    (file_id, rec_id) order, computed WITHOUT a global single-task window
+    (distributed zipWithIndex). Checks exact assignment, determinism over
+    a multi-partition shuffled input, and that the chain runs on it."""
+    records, attrs, cache, pdf = rl_setup
+    n = len(pdf)
+    pop = n // 3
+    # feed the init a many-partition, deliberately shuffled input
+    shuffled = records.repartition(16)
+    state = init_state(spark, shuffled, cache, SinglePartition(), 1, seed=3,
+                       population_size=pop)
+    _check_invariants(state, n, pop)
+    # exact round-robin: rank i in (file_id, rec_id) order -> entity i % pop
+    rows = state.df.filter("NOT is_summary").collect()
+    order = sorted(pdf["rec_id"].astype(str))
+    expect_groups = {}
+    for i, rid in enumerate(order):
+        expect_groups.setdefault(i % pop, set()).add(rid)
+    got_groups = {frozenset(r["rec_ids"]) for r in rows}
+    assert got_groups == {frozenset(v) for v in expect_groups.values()}
+    # deterministic across invocations
+    state2 = init_state(spark, shuffled, cache, SinglePartition(), 1, seed=3,
+                        population_size=pop)
+    rows2 = state2.df.filter("NOT is_summary").collect()
+    key = lambda r: tuple(sorted(r["rec_ids"]))
+    for a, b in zip(sorted(rows, key=key), sorted(rows2, key=key)):
+        assert a["ent_values"] == b["ent_values"]
+        assert sorted(a["rec_ids"]) == sorted(b["rec_ids"])
+    # the chain runs on the shared-entity state
+    st = transition(state, "PCG-I")
+    _check_invariants(st, n, pop)
+
+
 def test_kernel_row_order_independence(spark, rl_setup):
     """The chain must not depend on the order rows arrive at the kernel
     (shuffle fetch order is not guaranteed across retries/AQE): a random
