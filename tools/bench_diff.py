@@ -1,0 +1,81 @@
+"""Round-over-round bench regression gate.
+
+Usage:
+    python tools/bench_diff.py OLD NEW [--threshold 1.5]
+
+OLD / NEW are bench JSON files: either the driver's ``BENCH_r{N}.json``
+(which wraps the payload under a ``parsed`` key) or a raw one-line output
+of ``bench.py``. Per-query times are compared; any query slower than
+``threshold`` x the old time is flagged and the exit code is nonzero.
+
+Sub-0.3s entries are noise-dominated on local[32] (Spark's per-job floor),
+so a regression is only flagged when the NEW time also exceeds 0.3s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+NOISE_FLOOR_SEC = 0.3
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    data = json.loads(text)
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    if "queries" not in data:
+        raise SystemExit(f"{path}: no 'queries' key — not a bench payload")
+    return data
+
+
+def diff(old: dict, new: dict, threshold: float) -> list[str]:
+    regressions = []
+    print(f"{'query':<32} {'old':>8} {'new':>8} {'ratio':>7}")
+    for name, t_old in sorted(old["queries"].items()):
+        t_new = new["queries"].get(name)
+        if t_new is None:
+            print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'gone':>7}")
+            regressions.append(f"{name}: missing from new bench")
+            continue
+        ratio = t_new / t_old if t_old > 0 else float("inf")
+        flag = ""
+        if ratio > threshold and t_new > NOISE_FLOOR_SEC:
+            flag = "  << REGRESSION"
+            regressions.append(f"{name}: {t_old:.3f}s -> {t_new:.3f}s ({ratio:.2f}x)")
+        print(f"{name:<32} {t_old:>8.3f} {t_new:>8.3f} {ratio:>6.2f}x{flag}")
+    for name in sorted(set(new["queries"]) - set(old["queries"])):
+        print(f"{name:<32} {'—':>8} {new['queries'][name]:>8.3f} {'new':>7}")
+    t_old, t_new = old.get("value"), new.get("value")
+    if t_old and t_new:
+        print(f"{'TOTAL':<32} {t_old:>8.3f} {t_new:>8.3f} {t_new / t_old:>6.2f}x")
+    io, inw = old.get("er_mcmc_iters_per_sec"), new.get("er_mcmc_iters_per_sec")
+    if io and inw:
+        # higher is better for throughput
+        print(f"{'er_mcmc_iters_per_sec':<32} {io:>8.3f} {inw:>8.3f} {inw / io:>6.2f}x")
+        if inw < io / args_threshold_global:
+            regressions.append(
+                f"er_mcmc_iters_per_sec: {io:.2f} -> {inw:.2f} ({io / inw:.2f}x slower)"
+            )
+    return regressions
+
+
+args_threshold_global = 1.5
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+    args_threshold_global = args.threshold
+    regs = diff(load_bench(args.old), load_bench(args.new), args.threshold)
+    if regs:
+        print(f"\n{len(regs)} regression(s) over {args.threshold}x:", file=sys.stderr)
+        for r in regs:
+            print(f"  {r}", file=sys.stderr)
+        sys.exit(1)
+    print("\nno regressions")
