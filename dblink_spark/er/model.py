@@ -68,15 +68,14 @@ def canonicalize_partition_state(ps: PartitionState) -> PartitionState:
     per kernel invocation — negligible next to the sweep itself.
     """
     n_e = ps.num_entities
+    # smallest linked rec_id per entity: assign in descending rec_id order,
+    # so the smallest lands last (fancy assignment keeps the final write)
     first = np.full(n_e, "", dtype=object)
-    seen = np.zeros(n_e, dtype=bool)
-    for r in np.argsort(ps.rec_ids, kind="stable"):
-        e = ps.link[r]
-        if not seen[e]:
-            seen[e] = True
-            first[e] = ps.rec_ids[r]
-    perm = sorted(range(n_e), key=lambda e: (first[e], tuple(ps.entities[e])))
-    perm = np.asarray(perm, dtype=np.int64)
+    desc = np.argsort(ps.rec_ids, kind="stable")[::-1]
+    first[ps.link[desc]] = ps.rec_ids[desc]
+    # lexsort: last key is primary — (first, ent_col_0, ent_col_1, ...)
+    keys = tuple(ps.entities[:, a] for a in range(ps.entities.shape[1] - 1, -1, -1))
+    perm = np.lexsort(keys + (first,)).astype(np.int64)
     inv = np.empty(n_e, dtype=np.int64)
     inv[perm] = np.arange(n_e)
     new_link = inv[ps.link]
@@ -90,6 +89,50 @@ def canonicalize_partition_state(ps: PartitionState) -> PartitionState:
         rec_values=ps.rec_values[order],
         rec_dist=ps.rec_dist[order],
         link=new_link[order],
+    )
+
+
+def split_partition_state(
+    ps: PartitionState, targets: np.ndarray
+) -> dict[int, PartitionState]:
+    """Split a PartitionState by a per-entity target-partition array —
+    the driver-local equivalent of the post-kernel shuffle that migrates
+    clusters to their new entity-space partitions."""
+    out: dict[int, PartitionState] = {}
+    for t in np.unique(targets):
+        sel_e = np.flatnonzero(targets == t)
+        emap = np.full(ps.num_entities, -1, dtype=np.int64)
+        emap[sel_e] = np.arange(sel_e.size)
+        sel_r = np.flatnonzero(emap[ps.link] >= 0)
+        out[int(t)] = PartitionState(
+            entities=ps.entities[sel_e],
+            rec_ids=ps.rec_ids[sel_r],
+            rec_fids=ps.rec_fids[sel_r],
+            rec_values=ps.rec_values[sel_r],
+            rec_dist=ps.rec_dist[sel_r],
+            link=emap[ps.link[sel_r]],
+        )
+    return out
+
+
+def concat_partition_states(parts: list[PartitionState]) -> PartitionState:
+    """Concatenate PartitionStates (record links re-offset). Order of the
+    inputs is irrelevant to the chain: every kernel canonicalizes on entry."""
+    if len(parts) == 1:
+        return parts[0]
+    num_attrs = parts[0].entities.shape[1]
+    offsets = np.cumsum([0] + [p.num_entities for p in parts[:-1]])
+    return PartitionState(
+        entities=np.concatenate([p.entities for p in parts])
+        if parts
+        else np.empty((0, num_attrs), dtype=np.int32),
+        rec_ids=np.concatenate([p.rec_ids for p in parts]),
+        rec_fids=np.concatenate([p.rec_fids for p in parts]),
+        rec_values=np.concatenate([p.rec_values for p in parts]),
+        rec_dist=np.concatenate([p.rec_dist for p in parts]),
+        link=np.concatenate(
+            [p.link + off for p, off in zip(parts, offsets)]
+        ).astype(np.int64),
     )
 
 
@@ -183,87 +226,96 @@ def update_links_dense(
     return new_link
 
 
-def _build_inverted_index(entities: np.ndarray):
-    """(attr, value) -> sorted array of entity row ids
-    (ref: GibbsUpdates.scala:41-76, rebuilt each sweep)."""
-    postings: dict[tuple[int, int], np.ndarray] = {}
-    E, A = entities.shape
-    for a in range(A):
-        col = entities[:, a]
-        order = np.argsort(col, kind="stable")
-        sorted_vals = col[order]
-        uniq, starts = np.unique(sorted_vals, return_index=True)
-        bounds = np.append(starts, E)
-        for j, v in enumerate(uniq):
-            postings[(a, int(v))] = order[bounds[j] : bounds[j + 1]]
-    return postings
-
-
 def update_links_indexed(
     rng: np.random.Generator,
     ps: PartitionState,
     cache: RecordsCache,
 ) -> np.ndarray:
-    """Inverted-index Gibbs link update (ref: GibbsUpdates.scala:399-430,
-    candidate retrieval :473-530). Candidates = intersection of posting lists
-    over observed non-distorted attributes, smallest-first."""
-    postings = _build_inverted_index(ps.entities)
-    A = cache.num_attributes
-    all_ents = np.arange(ps.num_entities, dtype=np.int64)
-    new_link = np.empty(ps.num_records, dtype=np.int64)
-    empty = np.empty(0, dtype=np.int64)
+    """Indexed Gibbs link update (ref: GibbsUpdates.scala:399-430).
 
-    for r in range(ps.num_records):
-        lists = []
-        obs_dist_attrs = []
-        for a in range(A):
-            v = ps.rec_values[r, a]
-            if v < 0:
-                continue
-            if ps.rec_dist[r, a]:
-                obs_dist_attrs.append(a)
-            else:
-                lists.append(postings.get((a, int(v)), empty))
-        if not lists:
-            cands = all_ents
-        elif len(lists) == 1:
-            cands = lists[0]
+    The reference builds a per-(attribute, value) inverted index each sweep
+    and intersects posting lists per record, smallest-first
+    (GibbsUpdates.scala:41-76, :473-530). This computes the SAME candidate
+    sets — entities equal to the record on every observed non-distorted
+    attribute — via one lexicographic entity sort per distinct exact-match
+    column mask and a batched searchsorted, which replaces the per-record
+    Python intersection loop with O(masks) vectorized passes."""
+    A = cache.num_attributes
+    R = ps.num_records
+    E = ps.num_entities
+    new_link = np.empty(R, dtype=np.int64)
+    # ONE batched uniform per record, consumed by record index, so the
+    # draw for record r is independent of the execution grouping below
+    u = rng.random(R)
+
+    obs = ps.rec_values >= 0
+    nd = obs & ~ps.rec_dist  # exact-match (non-distorted observed) attrs
+
+    # Candidate retrieval, vectorized by exact-match column mask: records
+    # sharing a mask need entities equal on the same column subset, so ONE
+    # lexicographic entity sort per mask + a batched searchsorted replaces
+    # the reference's per-record posting-list intersection
+    # (GibbsUpdates.scala:473-530) — same candidate sets.
+    mask_view = np.ascontiguousarray(nd).view(
+        np.dtype((np.void, nd.dtype.itemsize * A))
+    ).ravel()
+    _, mask_first, mask_inv = np.unique(
+        mask_view, return_index=True, return_inverse=True
+    )
+
+    # Distorted CONSTANT-sim attrs weight every candidate equally (the
+    # factor cancels in the draw: floor(u*n) == the weighted inverse-CDF
+    # pick for equal weights), so only similarity-indexed distortions
+    # need per-record weighting.
+    nonconst = np.array([not ix.is_constant for ix in cache.indexes], dtype=bool)
+    needs_w = (obs & ps.rec_dist & nonconst[None, :]).any(axis=1)
+
+    ents32 = np.ascontiguousarray(ps.entities, dtype=np.int32)
+    vals32 = np.ascontiguousarray(ps.rec_values, dtype=np.int32)
+
+    for mi in range(mask_first.size):
+        rsel = np.flatnonzero(mask_inv == mi)
+        cols = np.flatnonzero(nd[mask_first[mi]])
+        if cols.size == 0:
+            ent_order = np.arange(E, dtype=np.int64)
+            lo = np.zeros(rsel.size, dtype=np.int64)
+            hi = np.full(rsel.size, E, dtype=np.int64)
         else:
-            lists.sort(key=len)
-            cands = lists[0]
-            for other in lists[1:]:
-                if cands.shape[0] == 0:
-                    break
-                # posting lists are sorted (stable argsort of row ids), so
-                # intersect via searchsorted — np.isin re-sorts per call and
-                # its table/min-max heuristics dominated the sweep profile
-                pos = np.searchsorted(other, cands)
-                pos_c = np.minimum(pos, other.shape[0] - 1)
-                cands = cands[other[pos_c] == cands]
-        if cands.shape[0] == 0:
+            void = np.dtype((np.void, 4 * cols.size))
+            ekeys = np.ascontiguousarray(ents32[:, cols]).view(void).ravel()
+            ent_order = np.argsort(ekeys, kind="stable")
+            sek = ekeys[ent_order]
+            rkeys = np.ascontiguousarray(vals32[rsel][:, cols]).view(void).ravel()
+            lo = np.searchsorted(sek, rkeys, "left")
+            hi = np.searchsorted(sek, rkeys, "right")
+        sizes = hi - lo
+        if np.any(sizes <= 0):
             # unreachable under the model invariant (the record's current
             # entity always matches on non-distorted attrs)
             raise RuntimeError("no candidate entities — inconsistent state")
-        if not obs_dist_attrs:
-            new_link[r] = cands[rng.integers(cands.shape[0])]
-        else:
+        plain = ~needs_w[rsel]
+        pr = rsel[plain]
+        if pr.size:
+            # u in [0,1): floor(u*n) is the uniform (== equal-weight) pick
+            pick = lo[plain] + (u[pr] * sizes[plain]).astype(np.int64)
+            new_link[pr] = ent_order[pick]
+        for j in np.flatnonzero(~plain):
+            r = rsel[j]
+            cands = ent_order[lo[j] : hi[j]]
             w = np.ones(cands.shape[0], dtype=np.float64)
-            for a in obs_dist_attrs:
+            for a in np.flatnonzero(obs[r] & ps.rec_dist[r] & nonconst):
                 idx = cache.indexes[a]
                 v = int(ps.rec_values[r, a])
-                if idx.is_constant:
-                    w *= idx.probs[v]
-                else:
-                    ent_col = ps.entities[cands, a]
-                    w *= (
-                        idx.probs[v]
-                        * idx.sim_norms[ent_col]
-                        * _expsim_lookup(idx, v, ent_col)
-                    )
+                ent_col = ps.entities[cands, a]
+                w *= (
+                    idx.probs[v]
+                    * idx.sim_norms[ent_col]
+                    * _expsim_lookup(idx, v, ent_col)
+                )
             cdf = np.cumsum(w)
             if cdf[-1] <= 0:
                 raise RuntimeError("zero total weight in link update")
-            new_link[r] = cands[np.searchsorted(cdf, rng.random() * cdf[-1], "right")]
+            new_link[r] = cands[np.searchsorted(cdf, u[r] * cdf[-1], "right")]
     return new_link
 
 
@@ -287,11 +339,22 @@ def update_entity_values(
     mode: str,
 ) -> np.ndarray:
     """Resample every entity's attribute vector (ref: GibbsUpdates.scala:731-755
-    dispatching to :576-698). Returns a new (E, A) matrix."""
+    dispatching to :576-698). Returns a new (E, A) matrix.
+
+    Collapsed modes draw in three vectorized phases per attribute (each
+    phase consumes RNG in entity order, so the chain is deterministic given
+    the canonical state order): (1) entities with no observed linked value
+    batch-sample the empirical distribution; (2) singletons — the dominant
+    case — batch through :func:`_draw_values_collapsed_k1`, which computes
+    each distinct (value, file) perturbation CDF once; (3) k ≥ 2 clusters
+    take the general sparse-dict path per entity. Every conditional is
+    identical to the scalar reference implementation
+    (:func:`_draw_value_collapsed`); only the RNG stream layout differs."""
     E = ps.num_entities
     A = cache.num_attributes
     new_entities = np.empty_like(ps.entities)
     order, bounds = _linked_rows_per_entity(ps.link, E)
+    ent_of_pos = np.repeat(np.arange(E, dtype=np.int64), np.diff(bounds))
 
     collapsed = mode in ("PCG-I", "PCG-II")
     sequential = mode == "Gibbs-Sequential"
@@ -302,32 +365,114 @@ def update_entity_values(
         dist_a = ps.rec_dist[:, a]
         base_probs = idx.probs
 
-        # First pass: batch-draw for entities with no observed linked values
-        # (isolates included) — they all sample the empirical distribution.
-        need_loop = []
-        no_obs = []
-        for e in range(E):
-            rows = order[bounds[e] : bounds[e + 1]]
-            rows = rows[vals_a[rows] >= 0]
-            if rows.shape[0] == 0:
-                no_obs.append(e)
-            else:
-                need_loop.append((e, rows))
-        if no_obs:
-            draws = sample_from_probs(rng, base_probs, len(no_obs))
-            new_entities[np.array(no_obs, dtype=np.int64), a] = draws
+        obs_mask = vals_a[order] >= 0  # observed, in entity-grouped order
+        rows_obs = order[obs_mask]
+        ents_obs = ent_of_pos[obs_mask]  # sorted (grouped order)
+        k_obs = np.bincount(ents_obs, minlength=E)
 
-        for e, rows in need_loop:
-            k = rows.shape[0]
-            if collapsed:
-                new_entities[e, a] = _draw_value_collapsed(
-                    rng, idx, a, rows, vals_a, ps.rec_fids, theta, k
+        no_obs = np.flatnonzero(k_obs == 0)
+        if no_obs.size:
+            new_entities[no_obs, a] = sample_from_probs(
+                rng, base_probs, no_obs.size
+            )
+
+        if collapsed:
+            k1 = np.flatnonzero(k_obs == 1)
+            if k1.size:
+                r1 = rows_obs[np.searchsorted(ents_obs, k1)]
+                new_entities[k1, a] = _draw_values_collapsed_k1(
+                    rng, idx, a, r1, vals_a, ps.rec_fids, theta
                 )
-            elif sequential:
+            for e in np.flatnonzero(k_obs >= 2):
+                lo = np.searchsorted(ents_obs, e)
+                rows = rows_obs[lo : lo + k_obs[e]]
+                new_entities[e, a] = _draw_value_collapsed_general(
+                    rng, idx, a, rows, vals_a, ps.rec_fids, theta,
+                    _base_dist(idx, int(k_obs[e])),
+                )
+            continue
+
+        for e in np.flatnonzero(k_obs >= 1):
+            lo = np.searchsorted(ents_obs, e)
+            rows = rows_obs[lo : lo + k_obs[e]]
+            k = rows.shape[0]
+            if sequential:
                 new_entities[e, a] = _draw_value_seq(rng, idx, rows, vals_a, dist_a)
             else:
                 new_entities[e, a] = _draw_value_gibbs(rng, idx, rows, vals_a, dist_a, k)
     return new_entities
+
+
+def _draw_values_collapsed_k1(
+    rng: np.random.Generator,
+    idx,
+    attr_id: int,
+    r1: np.ndarray,
+    vals_a: np.ndarray,
+    rec_fids: np.ndarray,
+    theta: np.ndarray,
+) -> np.ndarray:
+    """Batched collapsed value draw for singleton clusters (k = 1).
+
+    Same conditional as the scalar fast path in
+    :func:`_draw_value_collapsed` (pinned distributionally by
+    tests/test_er_kernel_dist.py), evaluated for all singleton entities of
+    one attribute at once. The sparse perturbation vector depends only on
+    (observed value, file), so it is computed once per distinct pair and
+    shared; acceptance tests, base draws, and perturbation draws are each
+    one batched RNG call.
+    """
+    n = r1.shape[0]
+    v = vals_a[r1].astype(np.int64)
+    base = _base_dist(idx, 1)
+    if idx.is_constant:
+        th = theta[attr_id, rec_fids[r1]]
+        totals = 1.0 / th - 1.0
+        accept = rng.random(n) < 1.0 / (1.0 + totals)
+        out = v.copy()
+        n_acc = int(accept.sum())
+        if n_acc:
+            out[accept] = sample_from_probs(rng, base, n_acc)
+        return out
+
+    nf = theta.shape[1]
+    gkey = v * nf + rec_fids[r1].astype(np.int64)
+    uniq, inv = np.unique(gkey, return_inverse=True)
+    totals_g = np.empty(uniq.size, dtype=np.float64)
+    cdfs: list[np.ndarray] = []
+    keys_list: list[np.ndarray] = []
+    for gi, key in enumerate(uniq):
+        gv = int(key // nf)
+        thv = float(theta[attr_id, int(key % nf)])
+        p_v = float(idx.probs[gv])
+        keys = idx.neighbor_ids[gv]  # sorted, always contains gv
+        pert = base[keys] * (idx.neighbor_expsims[gv] - 1.0)
+        pert[np.searchsorted(keys, gv)] += base[gv] * (1.0 / thv - 1.0) / (
+            p_v * float(idx.sim_norms[gv])
+        )
+        np.maximum(pert, 0.0, out=pert)
+        cdf = np.cumsum(pert)
+        totals_g[gi] = cdf[-1] if cdf.size else 0.0
+        cdfs.append(cdf)
+        keys_list.append(keys)
+
+    totals = totals_g[inv]
+    accept = rng.random(n) < 1.0 / (1.0 + totals)
+    out = np.empty(n, dtype=np.int64)
+    n_acc = int(accept.sum())
+    if n_acc:
+        out[accept] = sample_from_probs(rng, base, n_acc)
+    rej = np.flatnonzero(~accept)
+    if rej.size:
+        u2 = rng.random(rej.size)
+        gidx = inv[rej]
+        for gi in np.unique(gidx):
+            m = gidx == gi
+            sel = rej[m]
+            out[sel] = keys_list[gi][
+                np.searchsorted(cdfs[gi], u2[m] * totals_g[gi], "right")
+            ]
+    return out
 
 
 def _base_dist(idx, k: int) -> np.ndarray:
@@ -335,7 +480,13 @@ def _base_dist(idx, k: int) -> np.ndarray:
 
 
 def _draw_value_collapsed(rng, idx, attr_id, rows, vals_a, rec_fids, theta, k):
-    """ref: GibbsUpdates.scala:576-599 + perturbedDistYCollapsed :534-570."""
+    """Scalar reference implementation of the collapsed value draw
+    (ref: GibbsUpdates.scala:576-599 + perturbedDistYCollapsed :534-570).
+
+    The kernel hot path uses the batched :func:`_draw_values_collapsed_k1`
+    for singletons and :func:`_draw_value_collapsed_general` for k ≥ 2;
+    this scalar form is retained as the distribution oracle the batch path
+    is pinned against in tests/test_er_kernel_dist.py."""
     base = _base_dist(idx, k)
     if k == 1:
         # Fast path for the dominant case (singleton clusters): the sparse

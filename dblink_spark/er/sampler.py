@@ -26,6 +26,7 @@ from dblink_spark.er.state import (
     prior_log_likelihood_term,
     transition,
     transition_fused,
+    transition_local,
 )
 
 
@@ -41,6 +42,12 @@ class SamplerOptions:
     #: the per-job scheduling floor; diagnostics are still written once per
     #: saved sample (matching the reference, Sampler.scala:107-108).
     fuse_sweeps: bool = True
+    #: multi-partition chains whose total record count is at most this run
+    #: their per-iteration kernels driver-local (state.transition_local) —
+    #: same chain content as the Spark path, without the per-job floor.
+    #: 0 disables (always distribute). Driver-sized cap: the dense state is
+    #: a few hundred bytes/record, so 2M records ≈ low-GB driver memory.
+    local_exec_max_records: int = 2_000_000
 
 
 def linkage_sample(state: State) -> DataFrame:
@@ -122,6 +129,12 @@ def sample(
 
     saved = 0
     thin = max(opts.thinning_interval, 1)
+    n_records = sum(state.cache.file_sizes.values())
+    run_local = (
+        state.num_partitions > 1
+        and opts.local_exec_max_records > 0
+        and n_records <= opts.local_exec_max_records
+    )
     while saved < sample_size:
         if opts.fuse_sweeps and state.num_partitions == 1:
             # jump straight to the next save point in one Spark job
@@ -131,6 +144,8 @@ def sample(
             state = transition_fused(
                 state, opts.sampler, next_emit - state.iteration
             )
+        elif run_local:
+            state = transition_local(state, opts.sampler)
         else:
             state = transition(state, opts.sampler)
         it = state.iteration

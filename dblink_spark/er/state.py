@@ -91,13 +91,13 @@ class State:
     """Full chain state (ref: State.scala:56-68).
 
     The cluster rows live either in a Spark DataFrame (`_df`, the
-    distributed representation) or — for single-partition chains being
-    advanced with `transition_fused` — in a driver-local `PartitionState`
-    (`local_ps`). `state.df` is a lazy view: when only the local form
-    exists, it materializes a DataFrame on first access (createDataFrame of
-    the marshalled rows, including the in-band summary row), so every
-    DataFrame consumer (chain writer, state save, analysis) is oblivious to
-    which form is current."""
+    distributed representation) or — for chains being advanced driver-local
+    (`transition_fused` / `transition_local`) — in per-partition
+    `PartitionState`s (`local_parts`, keyed by partition id). `state.df` is
+    a lazy view: when only the local form exists, it materializes a
+    DataFrame on first access (createDataFrame of the marshalled rows,
+    including the in-band summary rows), so every DataFrame consumer (chain
+    writer, state save, analysis) is oblivious to which form is current."""
 
     iteration: int
     _df: DataFrame | None  # cluster rows + in-band summary rows
@@ -110,17 +110,32 @@ class State:
     current_seed: int
     cache: RecordsCache
     rng: np.random.Generator  # driver RNG (theta updates)
-    local_ps: "PartitionState | None" = None  # driver-local single-partition state
+    #: driver-local per-partition state (pid -> PartitionState)
+    local_parts: "dict[int, PartitionState] | None" = None
     spark: SparkSession | None = None
 
     @property
     def df(self) -> DataFrame:
         if self._df is None:
-            pdf = _partition_state_to_pdf(
-                self.local_ps,
-                self.partition_fn(self.local_ps.entities),
-                0,
-                self.cache,
+            pdfs = [
+                _partition_state_to_pdf(
+                    self.local_parts[pid],
+                    self.partition_fn(self.local_parts[pid].entities),
+                    pid,
+                    self.cache,
+                )
+                for pid in sorted(self.local_parts)
+            ]
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            # pandas infers the mostly-None summary scalars as float64
+            # (None -> NaN), which LongType rejects; force object dtype
+            pdf["loglik"] = np.array(
+                [None if pd.isna(v) else float(v) for v in pdf["loglik"]],
+                dtype=object,
+            )
+            pdf["n_isolates"] = np.array(
+                [None if pd.isna(v) else int(v) for v in pdf["n_isolates"]],
+                dtype=object,
             )
             self._df = self.spark.createDataFrame(pdf, STATE_SCHEMA)
         return self._df
@@ -294,7 +309,7 @@ def transition(state: State, mode: str) -> State:
         state,
         iteration=state.iteration + 1,
         _df=new_df,
-        local_ps=None,
+        local_parts=None,
         theta=theta,
         summary=summary,
         current_seed=state.current_seed + state.num_partitions,
@@ -333,7 +348,7 @@ def transition_fused(
     cache = state.cache
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
     if local:
-        ps = state.local_ps
+        ps = state.local_parts[0] if state.local_parts else None
         if ps is None:
             pdf = state.df.toPandas()
             ps = _pdf_to_partition_state(
@@ -369,7 +384,7 @@ def transition_fused(
             state,
             iteration=state.iteration + n_sweeps,
             _df=None,
-            local_ps=ps,
+            local_parts={0: ps},
             theta=theta,
             summary=summary,
             current_seed=state.current_seed + n_sweeps,
@@ -392,11 +407,108 @@ def transition_fused(
             state,
             iteration=state.iteration + n_sweeps,
             _df=new_df,
-            local_ps=None,
+            local_parts=None,
             theta=theta,
             summary=summary,
             current_seed=state.current_seed + n_sweeps * state.num_partitions,
         )
+    if old_df is not None:
+        try:
+            old_df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    return new_state
+
+
+def _df_to_local_parts(
+    df: DataFrame, num_attrs: int
+) -> dict[int, PartitionState]:
+    """Collect a state DataFrame into driver-local per-partition states."""
+    pdf = df.toPandas()
+    pdf = pdf[~pdf["is_summary"]]
+    return {
+        int(pid): _pdf_to_partition_state(grp, num_attrs)
+        for pid, grp in pdf.groupby("partition_id")
+    }
+
+
+def transition_local(state: State, mode: str) -> State:
+    """One Markov transition executed entirely on the driver.
+
+    Same chain semantics as :func:`transition` — per-partition kernels with
+    seed ``current_seed + pid``, θ drawn once from the driver RNG, clusters
+    migrated to the partition of their new entity values — but without the
+    per-iteration Spark job: kernels run sequentially on cached numpy
+    states and migration is an in-memory split+concat
+    (``model.split_partition_state`` / ``concat_partition_states``).
+
+    The kernels canonicalize on entry, so a chain advanced locally produces
+    the SAME cluster content as the Spark ``applyInPandas`` execution
+    (pinned by tests/test_er_mcmc.py::test_local_vs_spark_multi_partition);
+    float log-likelihood sums match bit-exactly for ≤2 partitions (IEEE
+    addition is commutative) and to reordering rounding beyond that.
+
+    Use when the whole state comfortably fits on the driver — the sampler
+    gates it on total record count. The Spark path remains the execution
+    strategy at scale; this removes the ~1.5 s/iteration job floor that
+    dominates driver-sized problems (the reference runs these workloads on
+    local[1], docs/guide.md:132-141).
+    """
+    cache = state.cache
+    num_attrs = cache.num_attributes
+    theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
+    parts = state.local_parts
+    if parts is None:
+        parts = _df_to_local_parts(state.df, num_attrs)
+    P = state.num_partitions
+
+    from dblink_spark.er.model import concat_partition_states, split_partition_state
+
+    swept: dict[int, PartitionState] = {}
+    for pid in sorted(parts):
+        swept[pid] = run_fused_sweeps(
+            parts[pid], cache, theta, mode, state.current_seed, P, pid, 1
+        )
+
+    # summaries on the post-sweep, pre-migration states (what the Spark
+    # kernel emits as in-band rows), reduced in pid order
+    A, Fn = num_attrs, len(cache.file_ids)
+    loglik, n_iso = 0.0, 0
+    agg = np.zeros(A * Fn, dtype=np.int64)
+    hist = np.zeros(A + 1, dtype=np.int64)
+    for pid in sorted(swept):
+        ll, ni, ag, hs = partition_summary(swept[pid], cache)
+        loglik += ll
+        n_iso += int(ni)
+        agg += ag
+        hist += hs
+    summary = SummaryVars(
+        num_isolates=n_iso,
+        log_likelihood=float(loglik),
+        agg_distortions=agg.reshape(A, Fn),
+        rec_distortions=hist,
+    )
+
+    # migrate clusters to the partition of their new entity values
+    buckets: dict[int, list[PartitionState]] = {}
+    for pid in sorted(swept):
+        ps = swept[pid]
+        for t, sub in split_partition_state(
+            ps, state.partition_fn(ps.entities)
+        ).items():
+            buckets.setdefault(t, []).append(sub)
+    migrated = {t: concat_partition_states(subs) for t, subs in buckets.items()}
+
+    old_df = state._df
+    new_state = replace(
+        state,
+        iteration=state.iteration + 1,
+        _df=None,
+        local_parts=migrated,
+        theta=theta,
+        summary=summary,
+        current_seed=state.current_seed + P,
+    )
     if old_df is not None:
         try:
             old_df.unpersist()
@@ -439,7 +551,7 @@ def assign_partitions(
     new_state = replace(
         state,
         _df=new_df,
-        local_ps=None,
+        local_parts=None,
         partition_fn=partition_fn,
         num_partitions=num_partitions,
         # fresh chains get the seed an init at P partitions would have had;

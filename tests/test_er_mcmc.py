@@ -202,6 +202,54 @@ def test_kernel_row_order_independence(spark, rl_setup):
     assert (out1.rec_dist == out2.rec_dist).all()
 
 
+def test_local_vs_spark_multi_partition(spark, rl_setup):
+    """transition_local must produce the SAME chain as the Spark
+    applyInPandas transition on a 2-partition KD-tree state: kernels
+    canonicalize on entry, seeds are data-keyed, and migration follows the
+    same partition function — so cluster content, θ, log-likelihood (2
+    terms: IEEE-commutative), and distortion counts match exactly."""
+    from dblink_spark.er.state import assign_partitions, transition_local
+
+    records, attrs, cache, pdf = rl_setup
+
+    def mk():
+        st = init_state(spark, records, cache, SinglePartition(), 1, seed=17)
+        part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+        part.fit(st.df.filter("NOT is_summary").select("ent_values"))
+        return assign_partitions(st, part, 2)
+
+    s_loc, s_spk = mk(), mk()
+    for _ in range(3):
+        s_loc = transition_local(s_loc, "PCG-I")
+    for _ in range(3):
+        s_spk = transition(s_spk, "PCG-I")
+
+    assert s_loc.iteration == s_spk.iteration == 3
+    assert s_loc.current_seed == s_spk.current_seed
+    assert (s_loc.theta == s_spk.theta).all()
+    assert s_loc.summary.log_likelihood == s_spk.summary.log_likelihood
+    assert (s_loc.summary.agg_distortions == s_spk.summary.agg_distortions).all()
+    assert s_loc.summary.num_isolates == s_spk.summary.num_isolates
+
+    def links(st):
+        rows = st.df.filter("NOT is_summary").collect()
+        return sorted(
+            (r["partition_id"], r["ent_values"], sorted(r["rec_ids"]))
+            for r in rows
+        )
+
+    assert links(s_loc) == links(s_spk)
+    _check_invariants(s_loc, len(pdf), len(pdf))
+    # both partitions still populated after local migration
+    pids = {r[0] for r in links(s_loc)}
+    assert pids == {0, 1}
+    # a local chain can hand back to the Spark path mid-stream
+    s_mix = transition(s_loc, "PCG-I")
+    s_ref = transition_local(s_spk, "PCG-I")
+    assert s_mix.summary.log_likelihood == s_ref.summary.log_likelihood
+    assert links(s_mix) == links(s_ref)
+
+
 def test_fused_local_vs_spark_bit_parity(spark, rl_setup):
     """transition_fused(local=True) must produce the SAME chain as the
     applyInPandas execution (local=False): both run run_fused_sweeps with
