@@ -70,7 +70,74 @@ def main() -> None:
         out["er_mcmc_iters_per_sec"] = round(mcmc_iters_per_sec(spark), 3)
     except Exception as e:  # never let the ER probe break the contract line
         print(f"# er bench skipped: {e}", file=sys.stderr)
+    try:
+        out.update(rl10k_partition_scaling(spark))
+    except Exception as e:
+        print(f"# rl10k bench skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
+
+
+def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
+    """Kernel throughput on the reference's flagship RLdata10000 workload
+    (examples/RLdata10000.conf: PCG-I, KD-tree numLevels=1 on fname_c1),
+    at 1 partition vs the configured 2 partitions — the partition-scaling
+    axis the dblink paper headlines (BASELINE.md). Both run the
+    driver-local execution the sampler picks for driver-sized problems;
+    on a cluster the 2-partition kernels run as parallel tasks instead."""
+    conf = "/root/reference/examples/RLdata10000.conf"
+    csv_path = "/root/reference/examples/RLdata10000.csv"
+    if not (os.path.exists(conf) and os.path.exists(csv_path)):
+        return {}
+    import tempfile
+
+    from dblink_spark.config import load_config
+    from dblink_spark.er.cache import build_records_cache
+    from dblink_spark.er.partition import SinglePartition
+    from dblink_spark.er.state import (
+        assign_partitions,
+        init_state,
+        transition_fused,
+        transition_local,
+    )
+    from dblink_spark.project import Project
+
+    cfg = load_config(conf)
+    d = cfg["dblink"]
+    d["data"]["path"] = csv_path
+    tmp = tempfile.mkdtemp(prefix="bench_rl10k_")
+    d["outputPath"] = tmp + "/"
+    d["checkpointPath"] = tmp + "/ckpt"
+    project = Project.from_config(spark, cfg)
+    records = project.records().select("rec_id", "file_id", *project.attr_names)
+    cache = build_records_cache(
+        records, project.matching_attrs, project.expected_max_cluster_size
+    )
+    s0 = init_state(
+        spark, records, cache, SinglePartition(), 1, seed=project.random_seed,
+        population_size=project.population_size,
+    )
+
+    s1 = transition_fused(s0, "PCG-I", 2)  # warm
+    t0 = time.time()
+    transition_fused(s1, "PCG-I", n_iters)
+    one_part = n_iters / (time.time() - t0)
+
+    part = project.build_partitioner()
+    part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+    s2 = assign_partitions(s0, part, part.num_partitions)
+    s2 = transition_local(s2, "PCG-I")  # warm (collects df -> local parts)
+    t0 = time.time()
+    for _ in range(n_iters):
+        s2 = transition_local(s2, "PCG-I")
+    two_part = n_iters / (time.time() - t0)
+    print(
+        f"# er_rl10k: {one_part:.1f} it/s 1-part, {two_part:.1f} it/s "
+        f"{part.num_partitions}-part (driver-local kernels)", file=sys.stderr,
+    )
+    return {
+        "er_rl10k_1part_iters_per_sec": round(one_part, 2),
+        "er_rl10k_2part_iters_per_sec": round(two_part, 2),
+    }
 
 
 def mcmc_iters_per_sec(spark, n_records: int = 300, n_iters: int = 10) -> float:

@@ -18,6 +18,8 @@ import os
 import time
 from dataclasses import dataclass
 
+import numpy as np
+import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -60,6 +62,38 @@ def linkage_sample(state: State) -> DataFrame:
             F.col("rec_ids"),
         )
     )
+
+
+def linkage_sample_local(state: State) -> pa.Table:
+    """Same rows as `linkage_sample`, built straight from the driver-local
+    numpy state as an Arrow table — no createDataFrame marshal, no Spark job.
+
+    Only clusters with at least one linked record appear (they are the only
+    ones with `link` rows), matching the `size(rec_ids) > 0` filter on the
+    DataFrame path."""
+    tables = []
+    for pid in sorted(state.local_parts):
+        ps = state.local_parts[pid]
+        order = np.argsort(ps.link, kind="stable")
+        sorted_link = ps.link[order]
+        uniq, starts = np.unique(sorted_link, return_index=True)
+        offsets = np.append(starts, sorted_link.shape[0]).astype(np.int64)
+        rec_lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(ps.rec_ids[order], type=pa.string())
+        ).cast(pa.list_(pa.string()))
+        n = uniq.shape[0]
+        tables.append(
+            pa.table(
+                {
+                    "iteration": pa.array(
+                        np.full(n, state.iteration, dtype=np.int64)
+                    ),
+                    "partition_id": pa.array(np.full(n, pid, dtype=np.int32)),
+                    "rec_ids": rec_lists,
+                }
+            )
+        )
+    return pa.concat_tables(tables)
 
 
 class DiagnosticsWriter:
@@ -153,7 +187,16 @@ def sample(
         on_thin = (it - opts.burnin_interval) % max(opts.thinning_interval, 1) == 0
         if past_burnin and on_thin:
             if writer:
-                writer.append(linkage_sample(state))
+                # when the chain lives driver-local (fused single-partition or
+                # local multi-partition execution), build the sample as an
+                # Arrow table and let the writer flush it via pyarrow — the
+                # per-save createDataFrame marshal + Spark write job otherwise
+                # costs ~10x the kernel time between save points at RLdata10000
+                # scale
+                if state.local_parts is not None:
+                    writer.append(linkage_sample_local(state))
+                else:
+                    writer.append(linkage_sample(state))
             saved += 1
             if diag:
                 diag.write(state)

@@ -15,7 +15,11 @@ pushed filter (shows under PushedFilters in explain()).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -23,21 +27,26 @@ CHAIN_DIRNAME = "linkage-chain.parquet"
 
 
 class BufferedChainWriter:
-    """Buffer sample DataFrames; union + append every ``buffer_size``.
+    """Buffer samples; one parquet append per ``buffer_size`` samples.
 
-    Each buffered DataFrame must derive from a materialized
-    (localCheckpoint'ed) state so the union re-scans cached partitions
-    instead of recomputing the chain.
+    Accepts either Spark DataFrames (distributed chains — each must derive
+    from a materialized/localCheckpoint'ed state so the union re-scans cached
+    partitions instead of recomputing the chain) or Arrow tables
+    (driver-local chains — flushed directly via pyarrow, no Spark job).
+    Both land in the same directory with matching column types, so the scan
+    side is oblivious to which writer produced a given file, and the
+    pyarrow files carry the same ``iteration`` footer min/max stats the
+    cutoff filter skips on.
     """
 
     def __init__(self, path: str, buffer_size: int = 10, append: bool = False):
         self.path = os.path.join(path, CHAIN_DIRNAME)
         self.buffer_size = max(int(buffer_size), 1)
-        self._buffer: list[DataFrame] = []
+        self._buffer: list[DataFrame | pa.Table] = []
         self._first_write_mode = "append" if append else "overwrite"
         self._wrote = False
 
-    def append(self, sample: DataFrame) -> None:
+    def append(self, sample: DataFrame | pa.Table) -> None:
         self._buffer.append(sample)
         if len(self._buffer) >= self.buffer_size:
             self.flush()
@@ -45,12 +54,25 @@ class BufferedChainWriter:
     def flush(self) -> None:
         if not self._buffer:
             return
-        df = self._buffer[0]
-        for d in self._buffer[1:]:
-            df = df.unionByName(d)
-        mode = self._first_write_mode if not self._wrote else "append"
-        df.write.mode(mode).parquet(self.path)
-        self._wrote = True
+        overwrite = self._first_write_mode == "overwrite" and not self._wrote
+        arrow = [t for t in self._buffer if isinstance(t, pa.Table)]
+        dfs = [d for d in self._buffer if not isinstance(d, pa.Table)]
+        if arrow:
+            if overwrite and os.path.isdir(self.path):
+                shutil.rmtree(self.path)
+            os.makedirs(self.path, exist_ok=True)
+            pq.write_table(
+                pa.concat_tables(arrow),
+                os.path.join(self.path, f"part-local-{uuid.uuid4().hex}.parquet"),
+            )
+            self._wrote = True
+        if dfs:
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+            mode = "overwrite" if overwrite and not self._wrote else "append"
+            df.write.mode(mode).parquet(self.path)
+            self._wrote = True
         self._buffer.clear()
 
 

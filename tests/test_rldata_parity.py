@@ -7,9 +7,9 @@ reference's RLdata500.csv, and checks the linkage quality against the
 shipped ground truth — the reference's own end-to-end test strategy
 (SURVEY.md §5: metric-quality validation, examples/RLdata500.conf:60-77).
 
-Run length is cut to 300 iterations (the reference example runs 1,000) to
-bound test time; thresholds are set from a measured run at this length
-(P=0.89 / R=0.64 / F1=0.74 / ARI=0.74) with slack for kernel evolution.
+Runs the reference's full configured length (sampleSize=100, thinning=10
+-> 1,000 iterations); thresholds are set from a measured run at this length
+(P=0.938 / R=0.90 / F1=0.918 / ARI=0.918) with slack for kernel evolution.
 The chain is fully seeded, so regressions here are real changes, not noise.
 """
 
@@ -39,8 +39,6 @@ def results(spark, tmp_path_factory):
     d["data"]["path"] = REF_CSV
     d["outputPath"] = str(out) + "/"
     d["checkpointPath"] = str(out / "ckpt")
-    d["steps"][0]["parameters"]["sampleSize"] = 30  # 300 iters (ref: 1000)
-    d["steps"][2]["parameters"]["lowerIterationCutoff"] = 100
     project = Project.from_config(spark, cfg)
     return project, project.run(), str(out)
 
@@ -61,17 +59,17 @@ def test_config_parsed_like_reference(results):
 
 def test_chain_ran_to_configured_length(results):
     _, res, _ = results
-    assert res["sample"]["iteration"] == 300
+    assert res["sample"]["iteration"] == 1000
     assert res["sample"]["num_partitions"] == 1
 
 
 def test_linkage_quality_vs_ground_truth(results):
     _, res, _ = results
     pw = res["evaluate"]["pairwise"]
-    assert pw["precision"] > 0.70, pw
-    assert pw["recall"] > 0.45, pw
-    assert pw["f1"] > 0.55, pw
-    assert res["evaluate"]["cluster"]["adjusted_rand_index"] > 0.50
+    assert pw["precision"] > 0.85, pw
+    assert pw["recall"] > 0.80, pw
+    assert pw["f1"] > 0.85, pw
+    assert res["evaluate"]["cluster"]["adjusted_rand_index"] > 0.85
 
 
 def test_artifacts_written(results):
@@ -98,9 +96,9 @@ def test_diagnostics_loglik_stabilizes(results):
     _, _, out = results
     with open(os.path.join(out, "diagnostics.csv")) as f:
         rows = list(csv.DictReader(f))
-    assert len(rows) == 30
+    assert len(rows) == 100
     trace = [float(r["logLikelihood"]) for r in rows]
     assert all(math.isfinite(x) for x in trace)
-    mid = sum(trace[10:20]) / 10
-    late = sum(trace[20:]) / 10
+    mid = sum(trace[40:70]) / 30
+    late = sum(trace[70:]) / 30
     assert abs(late - mid) / abs(mid) < 0.05, (mid, late)

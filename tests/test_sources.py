@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -145,3 +147,37 @@ def test_resume_appends_chain(spark, small_er, tmp_path):
     s2 = sample(s2, sample_size=4, options=SamplerOptions(sampler="PCG-I"), output_path=out)
     chain = read_linkage_chain(spark, out)
     assert chain.select("iteration").distinct().count() == 8
+
+
+def test_local_linkage_sample_matches_dataframe_path(spark, small_er, tmp_path):
+    """The Arrow-native sample builder (driver-local chains) must produce the
+    same rows as the DataFrame path, and the pyarrow-flushed files must be
+    readable through the same scan with the cutoff filter still pushed."""
+    from dblink_spark.er.sampler import linkage_sample, linkage_sample_local
+
+    records, cache = small_er
+    s = init_state(spark, records, cache, SinglePartition(), 1, seed=11)
+    s = sample(s, sample_size=3, options=SamplerOptions(sampler="PCG-I"))
+    assert s.local_parts is not None, "fused path should leave local state"
+
+    tbl = linkage_sample_local(s)
+    got = sorted(
+        (r["iteration"], r["partition_id"], tuple(sorted(r["rec_ids"])))
+        for r in tbl.to_pylist()
+    )
+    want = sorted(
+        (r["iteration"], r["partition_id"], tuple(sorted(r["rec_ids"])))
+        for r in linkage_sample(s).collect()
+    )
+    assert got == want
+
+    # arrow tables through the writer -> same scan semantics as Spark files
+    w = BufferedChainWriter(str(tmp_path), buffer_size=2)
+    for it in (3, 4, 5):
+        t = tbl.set_column(0, "iteration", pa.array([it] * len(tbl), pa.int64()))
+        w.append(t)
+    w.flush()
+    chain = read_linkage_chain(spark, str(tmp_path))
+    assert chain.select("iteration").distinct().count() == 3
+    assert chain.schema["rec_ids"].dataType.simpleString() == "array<string>"
+    assert read_linkage_chain(spark, str(tmp_path), cutoff=5).count() == len(tbl)
