@@ -2,8 +2,9 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice; the second (warm) timing is reported, since the
-first run pays one-off JVM/codegen costs that a long-lived cluster amortizes.
+Each query is executed three times; the best timing is reported, since the
+first runs pay one-off JVM/codegen costs that a long-lived cluster amortizes
+(and local[32] timings are load-noisy at the sub-second scale).
 Timing forces full materialization via a count on a cheap projection
 (df.toPandas would add driver transfer that a real pipeline writes to
 parquet instead).
@@ -49,7 +50,7 @@ def main() -> None:
     for name in names:
         fn = REGISTRY[name].fn
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

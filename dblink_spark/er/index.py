@@ -45,6 +45,7 @@ class AttributeIndex:
     sim_norms: np.ndarray | None = None  # id -> 1/sum_w p(w) expSim(w, id)
     power_dists: dict[int, np.ndarray] = field(default_factory=dict)
     _value_to_id: dict[str, int] = field(default_factory=dict, repr=False)
+    _k1_csr: dict | None = field(default=None, repr=False)
 
     # -- queries (ref: AttributeIndex.scala trait) ---------------------------
 
@@ -109,6 +110,54 @@ class AttributeIndex:
     def precache_powers(self, powers) -> None:
         for k in powers:
             self.sim_norm_dist(k)
+
+    def collapsed_k1_csr(self) -> dict:
+        """CSR tables for the batched singleton (k=1) collapsed value draw.
+
+        The k=1 perturbation vector over value v's neighbors is
+        ``base[nbrs]*(expsim-1)`` plus a single θ-dependent correction at
+        v's own slot — so everything except that scalar is θ- and
+        iteration-independent. Precomputing per-segment prefix sums turns
+        each rejected draw into O(1) boundary checks (the draw lands on v
+        itself whenever the correction mass dominates) plus a rare
+        segment-local searchsorted; no per-group cumsum at sample time.
+
+        Layout (one segment per value id, all int64/float64):
+          off      (V+1,) segment offsets
+          ids      flat sorted neighbor ids
+          S        flat per-segment prefix sums of the θ-free perturbation
+          T0       (V,) θ-free segment totals
+          pos      (V,) local index of v inside its own segment
+        """
+        if self._k1_csr is None:
+            if self.is_constant:
+                raise ValueError("constant index has no neighbor structure")
+            base = self.sim_norm_dist(1)
+            lens = np.fromiter(
+                (len(a) for a in self.neighbor_ids),
+                dtype=np.int64,
+                count=self.num_values,
+            )
+            off = np.zeros(self.num_values + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            ids = np.concatenate(self.neighbor_ids).astype(np.int64)
+            exps = np.concatenate(self.neighbor_expsims).astype(np.float64)
+            pert = np.maximum(base[ids] * (exps - 1.0), 0.0)
+            G = np.cumsum(pert)
+            G0 = np.concatenate(([0.0], G[off[1:-1] - 1]))
+            S = G - np.repeat(G0, lens)
+            # v is always a member of its own neighbor list
+            owner = np.repeat(np.arange(self.num_values, dtype=np.int64), lens)
+            pos = np.flatnonzero(ids == owner) - off[:-1]
+            self._k1_csr = {
+                "off": off,
+                "ids": ids,
+                "exps": exps,
+                "S": S,
+                "T0": S[off[1:] - 1],
+                "pos": pos,
+            }
+        return self._k1_csr
 
     def __post_init__(self):
         if not self._value_to_id:

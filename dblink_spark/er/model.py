@@ -345,11 +345,12 @@ def update_entity_values(
     phase consumes RNG in entity order, so the chain is deterministic given
     the canonical state order): (1) entities with no observed linked value
     batch-sample the empirical distribution; (2) singletons — the dominant
-    case — batch through :func:`_draw_values_collapsed_k1`, which computes
-    each distinct (value, file) perturbation CDF once; (3) k ≥ 2 clusters
-    take the general sparse-dict path per entity. Every conditional is
-    identical to the scalar reference implementation
-    (:func:`_draw_value_collapsed`); only the RNG stream layout differs."""
+    case — batch through :func:`_draw_values_collapsed_k1` on precomputed
+    θ-free CSR prefix sums; (3) k ≥ 2 clusters batch per cluster size
+    through :func:`_draw_values_collapsed_kn` (composite-sort + reduceat
+    factor merge). Every conditional is identical to the scalar reference
+    implementation (:func:`_draw_value_collapsed`); only the RNG stream
+    layout differs."""
     E = ps.num_entities
     A = cache.num_attributes
     new_entities = np.empty_like(ps.entities)
@@ -383,12 +384,15 @@ def update_entity_values(
                 new_entities[k1, a] = _draw_values_collapsed_k1(
                     rng, idx, a, r1, vals_a, ps.rec_fids, theta
                 )
-            for e in np.flatnonzero(k_obs >= 2):
-                lo = np.searchsorted(ents_obs, e)
-                rows = rows_obs[lo : lo + k_obs[e]]
-                new_entities[e, a] = _draw_value_collapsed_general(
-                    rng, idx, a, rows, vals_a, ps.rec_fids, theta,
-                    _base_dist(idx, int(k_obs[e])),
+            kmax = int(k_obs.max()) if k_obs.size else 0
+            for k in range(2, kmax + 1):
+                ents_k = np.flatnonzero(k_obs == k)
+                if not ents_k.size:
+                    continue
+                lo = np.searchsorted(ents_obs, ents_k)
+                recs = rows_obs[lo[:, None] + np.arange(k)]
+                new_entities[ents_k, a] = _draw_values_collapsed_kn(
+                    rng, idx, a, recs, vals_a, ps.rec_fids, theta, k
                 )
             continue
 
@@ -435,28 +439,18 @@ def _draw_values_collapsed_k1(
             out[accept] = sample_from_probs(rng, base, n_acc)
         return out
 
-    nf = theta.shape[1]
-    gkey = v * nf + rec_fids[r1].astype(np.int64)
-    uniq, inv = np.unique(gkey, return_inverse=True)
-    totals_g = np.empty(uniq.size, dtype=np.float64)
-    cdfs: list[np.ndarray] = []
-    keys_list: list[np.ndarray] = []
-    for gi, key in enumerate(uniq):
-        gv = int(key // nf)
-        thv = float(theta[attr_id, int(key % nf)])
-        p_v = float(idx.probs[gv])
-        keys = idx.neighbor_ids[gv]  # sorted, always contains gv
-        pert = base[keys] * (idx.neighbor_expsims[gv] - 1.0)
-        pert[np.searchsorted(keys, gv)] += base[gv] * (1.0 / thv - 1.0) / (
-            p_v * float(idx.sim_norms[gv])
-        )
-        np.maximum(pert, 0.0, out=pert)
-        cdf = np.cumsum(pert)
-        totals_g[gi] = cdf[-1] if cdf.size else 0.0
-        cdfs.append(cdf)
-        keys_list.append(keys)
-
-    totals = totals_g[inv]
+    # θ-free perturbation prefix sums are precomputed per value (CSR on the
+    # index); per draw only the scalar correction at v's own slot varies:
+    #   cdf'[j] = S[j] + delta·[j >= pos(v)],  delta = base[v](1/θ-1)/(p_v·norm_v)
+    # The selected index is #{j: cdf'[j] <= t}; it equals pos(v) — i.e. the
+    # draw returns v itself — iff S[pos-1] <= t and S[pos] > t-delta, which
+    # is the overwhelmingly common case when distortion is low (delta
+    # dominates the segment mass). Everything else is a rare segment-local
+    # searchsorted.
+    csr = idx.collapsed_k1_csr()
+    th = theta[attr_id, rec_fids[r1]]
+    delta = base[v] * (1.0 / th - 1.0) / (idx.probs[v] * idx.sim_norms[v])
+    totals = csr["T0"][v] + delta
     accept = rng.random(n) < 1.0 / (1.0 + totals)
     out = np.empty(n, dtype=np.int64)
     n_acc = int(accept.sum())
@@ -465,13 +459,103 @@ def _draw_values_collapsed_k1(
     rej = np.flatnonzero(~accept)
     if rej.size:
         u2 = rng.random(rej.size)
-        gidx = inv[rej]
-        for gi in np.unique(gidx):
-            m = gidx == gi
-            sel = rej[m]
-            out[sel] = keys_list[gi][
-                np.searchsorted(cdfs[gi], u2[m] * totals_g[gi], "right")
-            ]
+        t = u2 * totals[rej]
+        vr = v[rej]
+        dr = delta[rej]
+        S, ids_flat = csr["S"], csr["ids"]
+        o = csr["off"][vr]
+        p = csr["pos"][vr]
+        gpos = o + p
+        s_before = S[np.maximum(gpos - 1, 0)]
+        on_v = ((p == 0) | (s_before <= t)) & (S[gpos] > t - dr)
+        res = vr.copy()
+        for i in np.flatnonzero(~on_v):
+            seg = S[o[i] : csr["off"][vr[i] + 1]]
+            pp = int(p[i])
+            c1 = int(np.searchsorted(seg[:pp], t[i], "right"))
+            c2 = max(0, int(np.searchsorted(seg, t[i] - dr[i], "right")) - pp)
+            res[i] = ids_flat[o[i] + c1 + c2]
+        out[rej] = res
+    return out
+
+
+def _draw_values_collapsed_kn(
+    rng: np.random.Generator,
+    idx,
+    attr_id: int,
+    recs: np.ndarray,
+    vals_a: np.ndarray,
+    rec_fids: np.ndarray,
+    theta: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Batched collapsed value draw for all clusters of one size k ≥ 2.
+
+    Same conditional as :func:`_draw_value_collapsed_general` (pinned
+    distributionally by tests/test_er_kernel_dist.py), evaluated for every
+    k-cluster of one attribute at once. The per-record sparse factor
+    vectors (each record's neighbor segment, with the θ correction at its
+    own value's slot) are flattened CSR-style, grouped by (entity, value)
+    with one composite argsort, and merged with `multiply.reduceat` —
+    replacing the per-entity Python dict merge. RNG layout: one batched
+    accept draw, one batched base draw for acceptors, one batched uniform
+    for rejectors (entity-ascending), mirroring the other batch paths.
+
+    ``recs``: (nE, k) record row indices, one row per entity, entity-
+    ascending; rows' linked records in grouped order.
+    """
+    nE = recs.shape[0]
+    base = _base_dist(idx, k)
+    v = vals_a[recs].astype(np.int64).ravel()  # (nE*k,)
+    th = theta[attr_id, rec_fids[recs]].ravel()
+    if idx.is_constant:
+        # each record contributes a single factor at its own value
+        keys = v
+        fac = 1.0 + (1.0 / th - 1.0) / idx.probs[v]
+        ent_rep = np.repeat(np.arange(nE, dtype=np.int64), k)
+    else:
+        csr = idx.collapsed_k1_csr()
+        o = csr["off"][v]
+        L = csr["off"][v + 1] - o
+        total = int(L.sum())
+        flat_starts = np.cumsum(L) - L
+        within = np.arange(total, dtype=np.int64) - np.repeat(flat_starts, L)
+        gidx = np.repeat(o, L) + within
+        keys = csr["ids"][gidx]
+        fac = csr["exps"][gidx].copy()
+        fac[flat_starts + csr["pos"][v]] += (1.0 / th - 1.0) / (
+            idx.probs[v] * idx.sim_norms[v]
+        )
+        ent_rep = np.repeat(np.repeat(np.arange(nE, dtype=np.int64), k), L)
+
+    comp = ent_rep * np.int64(idx.num_values) + keys
+    order = np.argsort(comp, kind="stable")
+    ck = comp[order]
+    run_starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+    prod = np.multiply.reduceat(fac[order], run_starts)
+    uk = keys[order][run_starts]
+    ue = ent_rep[order][run_starts]
+    pert = np.maximum(base[uk] * (prod - 1.0), 0.0)
+
+    ent_starts = np.flatnonzero(np.r_[True, ue[1:] != ue[:-1]])
+    totals = np.add.reduceat(pert, ent_starts)
+
+    u1 = rng.random(nE)
+    accept = u1 < 1.0 / (1.0 + totals)
+    out = np.empty(nE, dtype=np.int64)
+    n_acc = int(accept.sum())
+    if n_acc:
+        out[accept] = sample_from_probs(rng, base, n_acc)
+    rej = np.flatnonzero(~accept)
+    if rej.size:
+        u2 = rng.random(rej.size)
+        cdf = np.cumsum(pert)
+        ends = np.r_[ent_starts[1:], pert.size]
+        for j, i in enumerate(rej):
+            s, e2 = int(ent_starts[i]), int(ends[i])
+            seg = cdf[s:e2] - (cdf[s - 1] if s else 0.0)
+            pos = int(np.searchsorted(seg, u2[j] * totals[i], "right"))
+            out[i] = uk[s + min(pos, e2 - s - 1)]
     return out
 
 

@@ -11,7 +11,7 @@ local multi-partition execution path end to end.
 
 Run length is cut to 100 iterations (the reference example runs 1,000) to
 bound test time; thresholds come from a measured run at this length
-(P=0.784 / R=0.646 / F1=0.708 / ARI=0.708) with slack for kernel
+(P=0.783 / R=0.668 / F1=0.721 / ARI=0.721) with slack for kernel
 evolution. The chain is fully seeded, so regressions here are real.
 """
 

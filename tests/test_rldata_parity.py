@@ -9,7 +9,7 @@ shipped ground truth — the reference's own end-to-end test strategy
 
 Runs the reference's full configured length (sampleSize=100, thinning=10
 -> 1,000 iterations); thresholds are set from a measured run at this length
-(P=0.938 / R=0.90 / F1=0.918 / ARI=0.918) with slack for kernel evolution.
+(P=0.909 / R=1.00 / F1=0.952 / ARI=0.952) with slack for kernel evolution.
 The chain is fully seeded, so regressions here are real changes, not noise.
 """
 
