@@ -163,3 +163,154 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
         .filter("n_docs > 1")
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang, source,
+    len(string_split(text, ' ')) AS n_words,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_word_len,
+    len(list_filter(['the','and','of','to','a','in','is','on'],
+        s -> list_contains(string_split(text, ' '), s))) AS stop_hits,
+    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS symbol_ratio
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(n_words AS INT) AS n_words,
+  mean_word_len, CAST(stop_hits AS INT) AS stop_hits, symbol_ratio,
+  (n_words BETWEEN 20 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND stop_hits >= 2
+    AND symbol_ratio < 0.1) AS gopher_pass
+FROM feats
+""",
+    survey_ref=(
+        "beyond-reference: Gopher-style quality-rule filter "
+        "(Rae et al. 2021 heuristics: word-count bounds, mean word length, "
+        "stopword presence, symbol ratio)"
+    ),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality rules — the standard pre-training corpus
+    filter: word-count window, mean word length window, >= 2 distinct
+    stopwords present, low symbol-to-word ratio. All built-in string
+    functions (whole-stage codegen); at 100 TB this is a pure map stage —
+    no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    mean_word_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+    symbol_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ).cast("double") / n_words
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        stop_hits.cast("int").alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    return feats.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(20, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("symbol_ratio") < 0.1),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+top AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_count, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+dw AS (
+  SELECT doc_id, len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct_words
+  FROM words
+)
+SELECT d.doc_id, CAST(d.n_words AS INT) AS n_words,
+  CAST(d.n_distinct_words AS DOUBLE) / d.n_words AS distinct_word_ratio,
+  CAST(t.top_bigram_count AS INT) AS top_bigram_count,
+  CAST(t.top_bigram_count AS DOUBLE) / t.n_bigrams AS top_bigram_ratio,
+  (CAST(t.top_bigram_count AS DOUBLE) / t.n_bigrams > 0.18
+    OR CAST(d.n_distinct_words AS DOUBLE) / d.n_words < 0.3) AS repetitive
+FROM dw d JOIN top t ON d.doc_id = t.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: repetition detection (Gopher-style top n-gram "
+        "fraction + distinct-word ratio)"
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: most-frequent-bigram share and
+    distinct-word ratio, flagging template/spam-like docs. The bigram
+    explode is linear in corpus size and aggregates by (doc_id, gram) —
+    partial aggregation keeps the shuffle proportional to distinct grams
+    per doc, not raw tokens; no UDFs anywhere."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    words = d.select("doc_id", w.alias("w"))
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_bigram_count"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    dw = words.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+    )
+    out = dw.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        (F.col("n_distinct_words").cast("double") / F.col("n_words")).alias(
+            "distinct_word_ratio"
+        ),
+        F.col("top_bigram_count").cast("int").alias("top_bigram_count"),
+        (
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+        ).alias("top_bigram_ratio"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_bigram_ratio") > 0.18) | (F.col("distinct_word_ratio") < 0.3),
+    )
