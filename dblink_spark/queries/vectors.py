@@ -24,6 +24,38 @@ CAST(list_sum(list_transform(list_zip({a}, {b}),
   p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000000.0) AS BIGINT))) AS BIGINT)
 """
 
+# Random-hyperplane LSH bands for near-dup blocking: 2 bands x 4 hyperplanes.
+# Each hyperplane is sign(e[i] +/- e[j]) on fixed (1-based) coordinates; a
+# band key packs its 4 sign bits into 0..15. Two true near-dups collide in a
+# band with high probability (banding trades recall for the N^2 blowup), and
+# the candidate join is a pure equi-join on (band_idx, band_key) — the same
+# pigeonhole shape as dedup_simhash. Coordinates are fixed, not data-derived:
+# NO ground-truth column participates anywhere.
+_LSH_BANDS = [
+    [(1, 3, 1), (2, 5, -1), (4, 8, 1), (6, 7, -1)],
+    [(9, 11, 1), (10, 13, -1), (12, 16, 1), (14, 15, -1)],
+]
+
+
+def _band_sql(band) -> str:
+    terms = []
+    for k, (i, j, s) in enumerate(band):
+        op = "+" if s > 0 else "-"
+        terms.append(
+            f"(CASE WHEN CAST(embedding[{i}] AS DOUBLE) {op} "
+            f"CAST(embedding[{j}] AS DOUBLE) > 0 THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _band_col(band):
+    col = F.lit(0)
+    emb = F.col("embedding")
+    for k, (i, j, s) in enumerate(band):
+        proj = emb[i - 1].cast("double") + F.lit(float(s)) * emb[j - 1].cast("double")
+        col = col + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return col
+
 
 @register(
     "ann_topk_cosine",
@@ -57,21 +89,35 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .limit(8) is a semantic no-op (the filter yields exactly 8 rows) but
     # makes the frame's fixed cardinality explicit in the logical plan, which
     # is what licenses the broadcast hint at any SF (plan-audit checked).
+    # Self-dots (qq/bb) are computed ONCE per side before the join — per
+    # joined pair they'd be recomputed |base| and |queries| times over.
     q = (
         e.filter(F.col("vec_id") < 8)
         .limit(8)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _dot_q(F.col("embedding"), F.col("embedding")).cast("double").alias("qq"),
+        )
     )
-    joined = F.broadcast(q).crossJoin(
-        e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    base = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        "label",
+        _dot_q(F.col("embedding"), F.col("embedding")).cast("double").alias("bb"),
+    )
+    joined = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     dots = joined.select(
         "query_id",
         "neighbor_id",
         "label",
         _dot_q(F.col("qe"), F.col("embedding")).cast("double").alias("dot"),
-        _dot_q(F.col("qe"), F.col("qe")).cast("double").alias("qq"),
-        _dot_q(F.col("embedding"), F.col("embedding")).cast("double").alias("bb"),
+        "qq",
+        "bb",
     )
     cosine = F.col("dot") / (F.sqrt("qq") * F.sqrt("bb"))
     w = Window.partitionBy("query_id").orderBy(F.desc(cosine), F.asc("neighbor_id"))
@@ -107,33 +153,62 @@ def vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, label, embedding,
-    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  SELECT vec_id, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq,
+    {_band_sql(_LSH_BANDS[0])} AS band0,
+    {_band_sql(_LSH_BANDS[1])} AS band1
   FROM embeddings
 ),
-pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label1, b.label AS label2,
+cand AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
     CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
       / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM e a JOIN e b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+  FROM e a JOIN e b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
 )
-SELECT v1, v2, label1 AS label, cosine
-FROM pairs WHERE cosine >= 0.35
+SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.35
 """,
-    survey_ref="beyond-reference: embedding-cosine near-duplicate detection",
+    survey_ref="beyond-reference: embedding-cosine near-duplicate detection (LSH-banded)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by cosine >= 0.35, blocked by label (the
-    cluster id plays the LSH-bucket role, so the join is per-block, not
-    N^2 global — at 100 TB the block key would be an LSH band).
+    """Near-duplicate pairs by cosine >= 0.35, blocked by random-hyperplane
+    LSH bands (2 bands x 4 sign bits, `_LSH_BANDS`): each vector emits one
+    (band_idx, band_key) row per band, candidates form via ONE equi-join on
+    the exploded band key, and pairs colliding in both bands dedup through
+    the final groupBy. No ground-truth column participates — this is the
+    pattern that holds at 100 TB, unlike the label-blocked r02 version.
 
     Quantized dots (see module docstring) make the cosine a deterministic
     function of BIGINTs, identical across engines."""
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding",
+        "vec_id",
+        "embedding",
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+        _band_col(_LSH_BANDS[0]).alias("band0"),
+        _band_col(_LSH_BANDS[1]).alias("band1"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    bands = e.select(
+        "vec_id",
+        "embedding",
+        "sq",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), F.col("band0").alias("band_key")),
+                F.struct(F.lit(1).alias("band_idx"), F.col("band1").alias("band_key")),
+            )
+        ).alias("bd"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "sq",
+        F.col("bd.band_idx").alias("band_idx"),
+        F.col("bd.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     cosine = (
         _dot_q(F.col("a.embedding"), F.col("b.embedding")).cast("double")
         / (F.sqrt(F.col("a.sq").cast("double")) * F.sqrt(F.col("b.sq").cast("double")))
@@ -141,16 +216,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            F.col("a.label").alias("label"),
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
+        # a pair colliding in both bands appears twice with a bit-identical
+        # cosine (deterministic integer dots) — collapse to one row
+        .groupBy("v1", "v2")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 

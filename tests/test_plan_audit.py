@@ -111,6 +111,17 @@ class TestShuffleBudget:
         a = _audit(spark, "q1_pricing_summary")
         assert a.exchanges <= 1
 
+    def test_embedding_dedup_keyed_on_lsh_band_not_ground_truth(self, spark):
+        """The near-dup candidate join must be an equi-join on the exploded
+        LSH (band_idx, band_key) — and the ground-truth `label` column must
+        not appear anywhere in the plan (r02 blocked on it)."""
+        df = q.REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "band_key" in plan
+        assert "label" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestJoinShapes:
     def test_q4_semi_join_prunes_probe_columns(self, spark):
