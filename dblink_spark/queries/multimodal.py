@@ -6,9 +6,10 @@ the same deterministic byte math in SQL, so a hash match proves the binary
 plumbing (encode → Arrow batch → numpy kernel → Arrow → aggregate) is
 byte-exact — not just row-counted.
 
-The fixture text is pure ASCII (driver-generated), so DuckDB's
-char-oriented ``ord(substr(...))`` equals the UTF-8 byte value; the Spark
-side always works on true bytes.
+The oracles are byte-based regardless of encoding: DuckDB ``strlen`` is
+already a byte count, and byte *values* are recovered from
+``hex(encode(text))`` nibbles (``_HEX_BYTE_SQL``), so non-ASCII documents
+hash-match too — the oracle sees the same UTF-8 bytes as the Spark kernel.
 """
 
 from __future__ import annotations
@@ -25,6 +26,14 @@ from dblink_spark.operators.multimodal import (
 from dblink_spark.queries import load, register
 
 _MEDIA_TYPE_SQL = "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+# UTF-8 byte value at 0-based byte offset i, via the hex dump of the encoded
+# payload: each byte is two hex chars; strpos over '123456789ABCDEF' maps a
+# nibble char to its value (and conveniently returns 0 for '0'). This keeps
+# the oracle byte-exact for non-ASCII text, where DuckDB's char-oriented
+# ord(substr(...)) would return codepoints instead of bytes.
+_NIBBLE = "strpos('123456789ABCDEF', substr(hx, CAST(2*{i}+{off} AS INT), 1))"
+_HEX_BYTE_SQL = f"(16 * {_NIBBLE.format(i='i', off=1)} + {_NIBBLE.format(i='i', off=2)})"
 
 
 @register(
@@ -53,12 +62,17 @@ def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_stats",
     oracle=f"""
-WITH decoded AS (
+WITH h AS (
   SELECT {_MEDIA_TYPE_SQL} AS media_type,
     strlen(text) AS n_samples,
-    list_sum(list_transform(range(1, strlen(text) + 1),
-                            i -> ord(substr(text, CAST(i AS INT), 1)))) AS byte_sum
+    hex(encode(text)) AS hx
   FROM documents
+),
+decoded AS (
+  SELECT media_type, n_samples,
+    list_sum(list_transform(range(0, n_samples),
+                            i -> {_HEX_BYTE_SQL})) AS byte_sum
+  FROM h
 )
 SELECT media_type,
   COUNT(*) AS n_items,
@@ -127,11 +141,15 @@ _FEAT_SCALE = 2**45
 @register(
     "multimodal_feature_extract",
     oracle=f"""
-WITH chars AS (
-  SELECT doc_id, strlen(text) AS total,
-         unnest(list_transform(range(1, strlen(text) + 1),
-                i -> ord(substr(text, CAST(i AS INT), 1)) % 8)) AS pos
+WITH h AS (
+  SELECT doc_id, strlen(text) AS total, hex(encode(text)) AS hx
   FROM documents
+),
+chars AS (
+  SELECT doc_id, total,
+         unnest(list_transform(range(0, total),
+                i -> {_HEX_BYTE_SQL} % 8)) AS pos
+  FROM h
 ),
 hist AS (
   SELECT doc_id, total, pos, COUNT(*) AS c
@@ -178,15 +196,25 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic IEEE division at the end. This upgrades the driver check
     from rows-only to a full value-hash gate."""
     feats = extract_features(attach_media(load(spark, sf_dir, "documents")), dim=8)
+    # Exactness guard: a nonzero float32 share below 2^-22 (possible only for
+    # payloads over ~4 MiB) has ulp < 2^-45, so `val * 2^45` is no longer an
+    # exact integer and Spark's truncating cast vs DuckDB's rounding cast
+    # could disagree. Fail loudly instead of hashing a silently-lossy sum.
+    guarded_val = F.when(
+        (F.col("val") > 0) & (F.col("val") < F.lit(2.0**-22)),
+        F.raise_error(
+            "feature weight below 2^-22: dyadic 2^45 scaling is not exact "
+            "(payload over ~4 MiB?) — multimodal_feature_extract oracle "
+            "precondition violated"
+        ).cast("double"),
+    ).otherwise(F.col("val").cast("double"))
     per = (
         feats.select("media_type", F.posexplode("features").alias("pos", "val"))
         .groupBy("media_type", "pos")
         .agg(
             F.count("*").alias("n_items"),
             F.sum(
-                (F.col("val").cast("double") * F.lit(float(_FEAT_SCALE))).cast(
-                    "bigint"
-                )
+                (guarded_val * F.lit(float(_FEAT_SCALE))).cast("bigint")
             ).alias("sum_scaled"),
         )
     )

@@ -239,13 +239,26 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and work in integer microseconds (`ts_us`).
-    DuckDB side mirrors this with epoch_ns(ts) // 1000."""
+    """events.parquet stores TIMESTAMP(NANOS); work in integer microseconds
+    (`ts_us`). DuckDB side mirrors this with epoch_ns(ts) // 1000.
+
+    Reader behavior differs by Spark version, so dispatch on the read dtype:
+    - pre-4.1 rejects nanos unless `nanosAsLong` is set → ts is int64 nanos;
+      integer DIV (float division of ~1e18 nanos loses precision past 2^53)
+    - 4.1+ ignores that conf and reads nanos natively as timestamp_ntz →
+      NTZ-to-NTZ timestampdiff, which is timezone-independent (no session-tz
+      reinterpretation, unlike unix_micros(cast(ts as timestamp)))
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load(spark, sf_dir, "events")
-    # integer DIV: float division of ~1e18 nanos loses precision past 2^53
-    return e.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    if dict(e.dtypes)["ts"] == "bigint":
+        return e.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    return e.withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("bigint"),
+    )
 
 
 @register(

@@ -12,10 +12,13 @@ Design for scale:
   analogue of flatMapGroupsWithState — for semantics window functions can't
   express incrementally (cumulative per-key counters emitted per batch).
 
-The events fixture stores TIMESTAMP(NANOS), which Spark's parquet reader
-only accepts as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``); we
-convert to a proper timestamp column via integer µs, matching the batch
-side (`dblink_spark.queries.tpch.load_events_us`).
+The events fixture stores TIMESTAMP(NANOS). Pre-4.1 Spark readers only
+accept nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``);
+4.1+ ignores that conf and reads nanos natively as ``timestamp_ntz``. We
+probe the batch reader's inferred schema (a footer-only read) and build the
+matching stream schema, converting to integer µs + a proper timestamp
+column either way — same dispatch as the batch side
+(`dblink_spark.queries.tpch.load_events_us`).
 """
 
 from __future__ import annotations
@@ -33,19 +36,27 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: schema of the events fixture with nanosAsLong enabled (ts is int64 nanos)
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_is_long: bool) -> StructType:
+    """Schema of the events fixture: ``ts`` is int64 nanos under the pre-4.1
+    ``nanosAsLong`` reader, ``timestamp_ntz`` under the 4.1+ native one."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: kept for import compatibility (the nanosAsLong-reader variant)
+EVENTS_SCHEMA = _events_schema(ts_is_long=True)
 
 
 def read_event_stream(
@@ -58,14 +69,23 @@ def read_event_stream(
     window/watermark operators.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # footer-only probe: which dtype does THIS Spark's reader give nanos?
+    probed = dict(spark.read.parquet(events_dir).dtypes)["ts"]
+    ts_is_long = probed == "bigint"
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_is_long))
         .format("parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(events_dir)
-    ts_us = F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    ts_us = (
+        F.expr("CAST(ts DIV 1000 AS BIGINT)")
+        if ts_is_long
+        else F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("bigint")
+    )
     return raw.select(
         "event_id",
         "user_id",

@@ -215,3 +215,65 @@ class TestPILCodecPath:
         df = resize_image(attach_media(docs), 2, 2)
         assert chosen["path"] == "pil"
         assert len(df.collect()) == 4
+
+
+class TestNonAsciiOracleParity:
+    """Regression for the r3 ADVICE finding: the multimodal oracles must be
+    BYTE-based, not char-based — a non-ASCII corpus (multi-byte UTF-8) has
+    to hash-match between the Spark kernels (which see raw UTF-8 bytes) and
+    the DuckDB SQL oracles (which now recover byte values via
+    hex(encode(text)) nibbles instead of char-oriented ord(substr(...)))."""
+
+    QUERIES = [
+        "multimodal_bytes_stats",
+        "multimodal_decode_stats",
+        "multimodal_frame_index",
+        "multimodal_feature_extract",
+    ]
+
+    @pytest.fixture(scope="class")
+    def utf8_dir(self, tmp_path_factory):
+        import duckdb
+
+        d = tmp_path_factory.mktemp("utf8docs")
+        rows = [
+            (0, "héllo wörld — naïve café"),          # Latin-1 supplement (2-byte)
+            (1, "日本語のテキストです。" * 20),            # CJK (3-byte)
+            (2, "emoji soup 🍜🔥🚀 and ascii tail"),     # astral plane (4-byte)
+            (3, "plain ascii control"),
+            (4, "mixed: ß µ ∑ ≈ Ω " * 40),
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+            " source VARCHAR, n_chars BIGINT)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, 'xx', 'test', strlen(?))",
+            [(i, t, t) for i, t in rows],
+        )
+        con.execute(
+            f"COPY documents TO '{d}/documents.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+        return str(d)
+
+    @pytest.mark.parametrize("name", QUERIES)
+    def test_nonascii_hash_match(self, name, spark, utf8_dir):
+        import duckdb
+
+        from dblink_spark.queries import REGISTRY
+        from tools.oracle_check import compare
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{utf8_dir}/documents.parquet')"
+        )
+        q = REGISTRY[name]
+        sdf = q.fn(spark, utf8_dir).toPandas()
+        odf = con.execute(q.oracle).fetchdf()
+        con.close()
+        problems = compare(name, sdf, odf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0

@@ -34,11 +34,23 @@ def events_dir(spark, tmp_path_factory):
     real = d / "part-000-real.parquet"
     shutil.copy(f"{SF_DIR}/events.parquet", real)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sentinel = spark.createDataFrame(
-        [(10**9, SENTINEL_US * 1000, 10**6, "sentinel", 0.0, "{}")],
-        "event_id: long, ts: long, user_id: long, event_type: string, "
-        "value: double, props: string",
-    )
+    # the sentinel file's ts dtype must agree with how THIS Spark reads the
+    # real (nanos-typed) file: int64 under the pre-4.1 nanosAsLong reader,
+    # timestamp_ntz under the 4.1+ native one
+    if dict(spark.read.parquet(str(real)).dtypes)["ts"] == "bigint":
+        sentinel = spark.createDataFrame(
+            [(10**9, SENTINEL_US * 1000, 10**6, "sentinel", 0.0, "{}")],
+            "event_id: long, ts: long, user_id: long, event_type: string, "
+            "value: double, props: string",
+        )
+    else:
+        from datetime import datetime
+
+        sentinel = spark.createDataFrame(
+            [(10**9, datetime(2100, 1, 1), 10**6, "sentinel", 0.0, "{}")],
+            "event_id: long, ts: timestamp_ntz, user_id: long, "
+            "event_type: string, value: double, props: string",
+        )
     sent_dir = d / "_sentinel_build"
     sentinel.coalesce(1).write.parquet(str(sent_dir))
     part = next(p for p in os.listdir(sent_dir) if p.endswith(".parquet"))
@@ -51,17 +63,18 @@ def events_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    """Batch twin of read_event_stream over the real fixture only."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    ts_us = F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    """Batch twin of read_event_stream over the real fixture only (shares
+    the version-dispatching µs derivation with the batch queries)."""
+    from dblink_spark.queries.tpch import load_events_us
+
+    e = load_events_us(spark, SF_DIR)
     return e.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        ts_us.alias("ts_us"),
-        F.timestamp_micros(ts_us).alias("event_time"),
+        "ts_us",
+        F.timestamp_micros(F.col("ts_us")).alias("event_time"),
     )
 
 
