@@ -117,15 +117,18 @@ def split_partition_state(
 
 def concat_partition_states(parts: list[PartitionState]) -> PartitionState:
     """Concatenate PartitionStates (record links re-offset). Order of the
-    inputs is irrelevant to the chain: every kernel canonicalizes on entry."""
+    inputs is irrelevant to the chain: every kernel canonicalizes on entry.
+
+    ``parts`` must be non-empty: an empty PartitionState is unconstructible
+    here (the attribute width would be unknown), so fail fast instead of
+    letting ``parts[0]`` raise IndexError."""
+    if not parts:
+        raise ValueError("concat_partition_states requires at least one part")
     if len(parts) == 1:
         return parts[0]
-    num_attrs = parts[0].entities.shape[1]
     offsets = np.cumsum([0] + [p.num_entities for p in parts[:-1]])
     return PartitionState(
-        entities=np.concatenate([p.entities for p in parts])
-        if parts
-        else np.empty((0, num_attrs), dtype=np.int32),
+        entities=np.concatenate([p.entities for p in parts]),
         rec_ids=np.concatenate([p.rec_ids for p in parts]),
         rec_fids=np.concatenate([p.rec_fids for p in parts]),
         rec_values=np.concatenate([p.rec_values for p in parts]),

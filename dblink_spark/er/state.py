@@ -652,7 +652,20 @@ def init_state(
     (State.scala:244-270); a stable global row_number gives the same model
     semantics with cleaner determinism.
     """
-    n_records = records.count()
+    # One agg job both sizes the problem and enforces the reference's
+    # documented-but-unchecked precondition that rec_id is globally unique
+    # (Project.scala:39): canonicalize_partition_state's determinism (and
+    # with it the retry/AQE-proof claim) relies on rec_id sort keys being
+    # collision-free, so duplicates must fail fast here, not corrupt chains.
+    counts = records.agg(
+        F.count("*").alias("n"), F.count_distinct("rec_id").alias("n_ids")
+    ).first()
+    n_records = counts["n"]
+    if counts["n_ids"] != n_records:
+        raise ValueError(
+            f"rec_id must be globally unique across files: {n_records} records "
+            f"but only {counts['n_ids']} distinct rec_ids (ref: Project.scala:39)"
+        )
     pop = population_size if population_size is not None else n_records
     if pop <= 0:
         raise ValueError("population size must be positive")

@@ -75,21 +75,37 @@ def broadcast_hinted_relations(df: DataFrame) -> list[tuple[str, bool]]:
     ``has_limit`` marks frames whose cardinality is bounded by a LIMIT
     regardless of SF (e.g. a top-k query-vector frame), which are safe to
     broadcast at any scale.
+
+    The hint's subtree is bounded by plan-tree indentation (the column of
+    the ``+-``/``:-`` branch marker): every relation strictly deeper than
+    the hint node belongs to it, so a hint wrapping a multi-relation frame
+    (join/union under the hint) reports ALL its relations, and a LIMIT in a
+    *sibling* subtree is not misattributed to the hint.
     """
     plan = df._jdf.queryExecution().analyzed().toString()
     out: list[tuple[str, bool]] = []
     lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
     for i, line in enumerate(lines):
         if "ResolvedHint" not in line:
             continue
-        has_limit = False
+        d_hint = depth(line)
+        subtree: list[str] = []
         for nxt in lines[i + 1 :]:
-            if "GlobalLimit" in nxt or "LocalLimit" in nxt:
-                has_limit = True
-            m = re.search(r"Relation \[([A-Za-z_][A-Za-z0-9_]*)#", nxt)
+            if depth(nxt) <= d_hint:
+                break  # left the hint's subtree
+            subtree.append(nxt)
+        has_limit = any(
+            "GlobalLimit" in ln or "LocalLimit" in ln for ln in subtree
+        )
+        for ln in subtree:
+            m = re.search(r"Relation \[([A-Za-z_][A-Za-z0-9_]*)#", ln)
             if m:
                 out.append((m.group(1), has_limit))
-                break
     return out
 
 

@@ -282,3 +282,26 @@ def test_fused_local_vs_spark_bit_parity(spark, rl_setup):
     assert links(s_loc) == links(s_spk)
     # lazy DataFrame view materialized from local state must keep invariants
     _check_invariants(s_loc, len(pdf), len(pdf))
+
+
+def test_init_state_rejects_duplicate_rec_ids(spark, rl_setup):
+    """canonicalize_partition_state's determinism requires globally-unique
+    rec_id (the reference documents this, Project.scala:39, but never
+    enforces it); init_state must fail fast instead of silently running a
+    shuffle-order-dependent chain."""
+    records, attrs, cache, pdf = rl_setup
+    from pyspark.sql import functions as F
+
+    dup = records.limit(1).withColumn("file_id", F.lit("1"))
+    with pytest.raises(ValueError, match="globally unique"):
+        init_state(
+            spark, records.union(dup), cache, SinglePartition(), 1, seed=123
+        )
+
+
+def test_concat_partition_states_empty_raises():
+    """Empty input used to hit IndexError via parts[0] before the guard."""
+    from dblink_spark.er.model import concat_partition_states
+
+    with pytest.raises(ValueError, match="at least one part"):
+        concat_partition_states([])

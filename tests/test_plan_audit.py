@@ -180,3 +180,40 @@ class TestPythonBoundary:
             "ann_topk_cosine",
         ):
             assert _audit(spark, name).python_ops == 0, name
+
+
+class TestHintSubtreeAttribution:
+    """Regression for the r3 ADVICE finding: a broadcast hint wrapping a
+    multi-relation subtree must report ALL its relations, and a LIMIT in a
+    sibling subtree must not be attributed to the hint."""
+
+    def test_multi_relation_hint_and_sibling_limit(self, spark):
+        import pyspark.sql.functions as F
+
+        n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        r = spark.read.parquet(f"{SF_DIR}/region.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        hinted = F.broadcast(
+            n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        )
+        df = hinted.join(
+            c.limit(3), hinted["n_nationkey"] == c["c_nationkey"]
+        )
+        rels = broadcast_hinted_relations(df)
+        cols = sorted(col for col, _ in rels)
+        # both relations under the hint are reported...
+        assert cols == ["n_nationkey", "r_regionkey"]
+        # ...the sibling (customer) is not, and its LIMIT is not
+        # misattributed to the hint subtree
+        assert all(not has_limit for _, has_limit in rels)
+
+    def test_limit_inside_hint_subtree_detected(self, spark):
+        import pyspark.sql.functions as F
+
+        n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        df = F.broadcast(c.limit(8)).join(
+            n, c["c_nationkey"] == n["n_nationkey"]
+        )
+        rels = broadcast_hinted_relations(df)
+        assert rels == [("c_custkey", True)]
