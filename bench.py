@@ -104,11 +104,11 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
     (ref: /root/reference README; multi-hundred-thousand-record datasets).
 
     100k synthetic RLdata-shaped records, KD-tree 4 partitions vs single
-    partition, PCG-I. At 300k records the same harness measured
-    1/2/4/8 partitions at 25.1/13.0/7.7/5.2 s/iter (1.9x/3.3x/4.9x) —
-    near-linear through 4; the bench uses 100k so the per-round cost stays
-    bounded. Driver-local throughput at this size is reported alongside as
-    the honest single-node comparison point."""
+    partition, PCG-I. At 300k records the same harness (block-format
+    iteration loop) measured 1/2/4/8 partitions at 11.4/4.7/2.3/1.9 s/iter
+    (2.4x/5.0x/6.0x vs one partition), beating the driver-local sequential
+    kernels (4.3 s/iter) from 4 partitions up; the bench uses 100k so the
+    per-round cost stays bounded."""
     import tempfile  # noqa: F401 - symmetry with rl10k probe
 
     from pyspark.sql import functions as F

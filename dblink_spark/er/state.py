@@ -8,18 +8,26 @@ RDD[(PartitionId, EntRecCluster)], package.scala:34,80-88):
     ent_values    array<int>
     rec_ids       array<string>          linked records ([] = isolate)
     rec_fids      array<int>             file index per linked record
-    rec_values    array<array<int>>
-    rec_dist      array<array<boolean>>
+    rec_values    binary   packed little-endian int32, row-major (k, A)
+    rec_dist      binary   packed uint8 0/1, row-major (k, A)
     loglik / n_isolates / agg_dist / rec_dist_hist   (summary rows only)
 
-One iteration = groupBy("partition_id").applyInPandas(kernel) — a single
+One iteration = groupBy(partition keys).applyInArrow(kernel) — a single
 Arrow round-trip per partition and a single hash shuffle (clusters migrate to
 the partition of their new entity values by virtue of the *next* groupBy),
 matching the reference's mapPartitions + partitionBy cadence
-(ref: GibbsUpdates.scala:124-153). Summaries are pre-aggregated inside the
-kernel and emitted as one in-band row per partition, so the per-iteration
-driver action collects only num_partitions tiny rows (the reference needed
-accumulator merges; ref: GibbsUpdates.scala:219-301).
+(ref: GibbsUpdates.scala:124-153). In steady state the chain rides in BLOCK
+format (see BLOCK_SCHEMA): each kernel emits one packed-buffer row per
+destination partition, so the grouped Arrow boundary handles O(p) rows per
+kernel instead of O(clusters) — cluster rows (STATE_SCHEMA) remain the
+interchange format for init, save/load, and analysis. Summaries are
+pre-aggregated inside the kernel and emitted as one in-band row per
+partition, so the per-iteration driver action collects only num_partitions
+tiny rows (the reference needed accumulator merges;
+ref: GibbsUpdates.scala:219-301). Kernel groups are placed one-per-task:
+a salt column decollides the group-key hash (every group gets its own
+shuffle bucket) and AQE partition coalescing is disabled for the iteration
+query (its bytes-based cost model would merge seconds-of-CPU kernels).
 
 Seed discipline: kernel RNG = default_rng(seed + partition_id) — keyed on the
 partition *data value*, not the Spark task index — and the kernel
@@ -43,6 +51,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -57,6 +66,7 @@ from dblink_spark.er.model import (
     PartitionState,
     canonicalize_partition_state,
     partition_summary,
+    split_partition_state,
     transition_partition,
 )
 from dblink_spark.er.rand import sample_from_probs
@@ -68,8 +78,40 @@ STATE_SCHEMA = StructType(
         StructField("ent_values", ArrayType(IntegerType())),
         StructField("rec_ids", ArrayType(StringType())),
         StructField("rec_fids", ArrayType(IntegerType())),
-        StructField("rec_values", ArrayType(ArrayType(IntegerType()))),
-        StructField("rec_dist", ArrayType(ArrayType(BooleanType()))),
+        # packed blobs, not nested arrays: array<array<T>> cells cost a
+        # JVM-side element-by-element Arrow conversion per record per attr
+        # (an identity applyInArrow round-trip of 300k nested rows measured
+        # ~12s in one task); a binary cell is one memcpy each way.
+        StructField("rec_values", BinaryType()),  # <i4, row-major (k, A)
+        StructField("rec_dist", BinaryType()),  # uint8 0/1, row-major (k, A)
+        StructField("loglik", DoubleType()),
+        StructField("n_isolates", LongType()),
+        StructField("agg_dist", ArrayType(LongType())),
+        StructField("rec_dist_hist", ArrayType(LongType())),
+    ]
+)
+
+#: Iteration-loop state format: ONE row per (kernel -> destination
+#: partition) block, every per-record field packed into a binary blob.
+#: Grouped Arrow execution (the sort/group/convert before a grouped-map
+#: kernel) costs ~30-40us PER ROW single-threaded — an identity
+#: groupBy().applyInArrow() over 300k cluster rows measured ~12s in one
+#: task while the same bytes as a narrow mapInArrow cost 0.9s. Blocks cut
+#: the grouped row count from O(clusters) to O(p^2), making the boundary a
+#: handful of memcpys; cluster rows (STATE_SCHEMA) remain the interchange
+#: format for init, save/load, and analysis consumers.
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("is_summary", BooleanType()),
+        StructField("n_clusters", LongType()),
+        StructField("ent_values", BinaryType()),  # <i4 (E, A)
+        StructField("counts", BinaryType()),  # <i4 (E,) records per cluster
+        StructField("rec_id_lens", BinaryType()),  # <i4 (R,) utf-8 lengths
+        StructField("rec_id_data", BinaryType()),  # utf-8 concatenation
+        StructField("rec_fids", BinaryType()),  # <i4 (R,)
+        StructField("rec_values", BinaryType()),  # <i4 (R, A)
+        StructField("rec_dist", BinaryType()),  # uint8 (R, A)
         StructField("loglik", DoubleType()),
         StructField("n_isolates", LongType()),
         StructField("agg_dist", ArrayType(LongType())),
@@ -92,14 +134,18 @@ class SummaryVars:
 class State:
     """Full chain state (ref: State.scala:56-68).
 
-    The cluster rows live either in a Spark DataFrame (`_df`, the
-    distributed representation) or — for chains being advanced driver-local
-    (`transition_fused` / `transition_local`) — in per-partition
-    `PartitionState`s (`local_parts`, keyed by partition id). `state.df` is
-    a lazy view: when only the local form exists, it materializes a
-    DataFrame on first access (createDataFrame of the marshalled rows,
-    including the in-band summary rows), so every DataFrame consumer (chain
-    writer, state save, analysis) is oblivious to which form is current."""
+    The cluster rows live in ONE of three forms:
+
+    - `_df` — cluster-row DataFrame (STATE_SCHEMA), the interchange format
+      every external consumer reads (chain writer, save, analysis);
+    - `block_df` — block-format DataFrame (BLOCK_SCHEMA), the iteration
+      loop's wire format (distributed `transition` keeps the chain here);
+    - `local_parts` — per-partition numpy states for driver-local advance.
+
+    `state.df` is a lazy view: when only a non-cluster form exists it
+    materializes cluster rows on first access (narrow mapInArrow unpack for
+    blocks; Arrow createDataFrame for local parts), so consumers are
+    oblivious to which form is current."""
 
     iteration: int
     _df: DataFrame | None  # cluster rows + in-band summary rows
@@ -115,9 +161,16 @@ class State:
     #: driver-local per-partition state (pid -> PartitionState)
     local_parts: "dict[int, PartitionState] | None" = None
     spark: SparkSession | None = None
+    #: iteration-loop block-format rows (BLOCK_SCHEMA)
+    block_df: DataFrame | None = None
 
     @property
     def df(self) -> DataFrame:
+        if self._df is None and self.block_df is not None:
+            self._df = _blocks_df_to_cluster_df(
+                self.block_df, self.cache.num_attributes
+            )
+            return self._df
         if self._df is None:
             try:
                 # Arrow-native marshal (Spark 4.0+ createDataFrame accepts a
@@ -169,25 +222,31 @@ class State:
 
 def _pdf_to_partition_state(pdf: pd.DataFrame, num_attrs: int) -> PartitionState:
     ents = np.array([np.asarray(v, dtype=np.int32) for v in pdf["ent_values"]])
-    rec_ids, rec_fids, rec_vals, rec_dist, link = [], [], [], [], []
+    rec_ids, rec_fids, link = [], [], []
+    val_chunks, dist_chunks = [], []
     for e, (ids, fids, vals, dist) in enumerate(
         zip(pdf["rec_ids"], pdf["rec_fids"], pdf["rec_values"], pdf["rec_dist"])
     ):
-        for j in range(len(ids)):
-            rec_ids.append(ids[j])
-            rec_fids.append(fids[j])
-            rec_vals.append(np.asarray(vals[j], dtype=np.int32))
-            rec_dist.append(np.asarray(dist[j], dtype=bool))
-            link.append(e)
+        rec_ids.extend(ids)
+        rec_fids.extend(fids)
+        link.extend([e] * len(ids))
+        val_chunks.append(np.frombuffer(bytes(vals), dtype="<i4"))
+        dist_chunks.append(np.frombuffer(bytes(dist), dtype=np.uint8))
     R = len(rec_ids)
     return PartitionState(
         entities=ents.reshape(len(pdf), num_attrs),
         rec_ids=np.array(rec_ids, dtype=object),
         rec_fids=np.array(rec_fids, dtype=np.int32),
         rec_values=(
-            np.stack(rec_vals) if R else np.empty((0, num_attrs), dtype=np.int32)
+            np.concatenate(val_chunks).astype(np.int32).reshape(R, num_attrs)
+            if R
+            else np.empty((0, num_attrs), dtype=np.int32)
         ),
-        rec_dist=np.stack(rec_dist) if R else np.empty((0, num_attrs), dtype=bool),
+        rec_dist=(
+            np.concatenate(dist_chunks).astype(bool).reshape(R, num_attrs)
+            if R
+            else np.empty((0, num_attrs), dtype=bool)
+        ),
         link=np.array(link, dtype=np.int64),
     )
 
@@ -208,8 +267,8 @@ def _partition_state_to_pdf(
                 "ent_values": ps.entities[e].tolist(),
                 "rec_ids": [ps.rec_ids[r] for r in rs],
                 "rec_fids": ps.rec_fids[rs].tolist(),
-                "rec_values": [ps.rec_values[r].tolist() for r in rs],
-                "rec_dist": [ps.rec_dist[r].tolist() for r in rs],
+                "rec_values": ps.rec_values[rs].astype("<i4").tobytes(),
+                "rec_dist": ps.rec_dist[rs].astype(np.uint8).tobytes(),
                 "loglik": None,
                 "n_isolates": None,
                 "agg_dist": None,
@@ -243,14 +302,39 @@ _PA_STATE_SCHEMA = pa.schema(
         ("ent_values", pa.list_(pa.int32())),
         ("rec_ids", pa.list_(pa.string())),
         ("rec_fids", pa.list_(pa.int32())),
-        ("rec_values", pa.list_(pa.list_(pa.int32()))),
-        ("rec_dist", pa.list_(pa.list_(pa.bool_()))),
+        ("rec_values", pa.binary()),
+        ("rec_dist", pa.binary()),
         ("loglik", pa.float64()),
         ("n_isolates", pa.int64()),
         ("agg_dist", pa.list_(pa.int64())),
         ("rec_dist_hist", pa.list_(pa.int64())),
     ]
 )
+
+
+def _binary_column_to_array(col: pa.ChunkedArray, dtype, n_items: int) -> np.ndarray:
+    """Concatenate a binary column's cell payloads into one typed numpy
+    array. Fast path: when the value buffer is dense (offsets cover it
+    without gaps — always true for freshly built/filtered arrays), this is a
+    single zero-copy frombuffer slice; otherwise falls back to a Python-level
+    join of the cells."""
+    arr = col.combine_chunks()
+    itemsize = np.dtype(dtype).itemsize
+    bufs = arr.buffers()
+    if bufs[1] is not None and bufs[2] is not None and arr.null_count == 0:
+        off_width = 8 if pa.types.is_large_binary(arr.type) else 4
+        off_dtype = np.int64 if off_width == 8 else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        if int(offs[-1] - offs[0]) == n_items * itemsize:  # dense, no gaps
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[
+                int(offs[0]) : int(offs[-1])
+            ]
+            return data.view(dtype).copy()
+    return np.frombuffer(
+        b"".join(arr.to_pylist()), dtype=dtype
+    ).copy()
 
 
 def _pa_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
@@ -277,19 +361,11 @@ def _pa_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
     fid = tbl.column("rec_fids").combine_chunks()
     rec_fids = fid.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
     R = rec_fids.shape[0]
-    rv = tbl.column("rec_values").combine_chunks()
-    rec_values = (
-        rv.flatten()
-        .flatten()
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int32)
-        .reshape(R, num_attrs)
-    )
-    rd = tbl.column("rec_dist").combine_chunks()
+    rec_values = _binary_column_to_array(
+        tbl.column("rec_values"), "<i4", R * num_attrs
+    ).reshape(R, num_attrs)
     rec_dist = (
-        rd.flatten()
-        .flatten()
-        .to_numpy(zero_copy_only=False)
+        _binary_column_to_array(tbl.column("rec_dist"), np.uint8, R * num_attrs)
         .astype(bool)
         .reshape(R, num_attrs)
     )
@@ -303,12 +379,10 @@ def _pa_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
     )
 
 
-def _partition_state_to_pa(
-    ps: PartitionState, new_pids: np.ndarray, summary_pid: int, cache: RecordsCache
-) -> pa.Table:
-    """Arrow-native twin of ``_partition_state_to_pdf``: list columns are
-    assembled from (offsets, flat values) pairs — no per-row Python lists.
-    Same row content and record order (stable grouping by entity)."""
+def _ps_cluster_body_pa(ps: PartitionState, new_pids: np.ndarray) -> pa.Table:
+    """Cluster rows (no summary) for one PartitionState as an Arrow table:
+    list columns assembled from (offsets, flat values) pairs — no per-row
+    Python lists. Record order: stable grouping by entity."""
     order = np.argsort(ps.link, kind="stable")
     counts = np.bincount(ps.link, minlength=ps.num_entities)
     E, R, A = ps.num_entities, ps.num_records, ps.entities.shape[1]
@@ -325,20 +399,27 @@ def _partition_state_to_pa(
     rec_fids = pa.ListArray.from_arrays(
         bounds, pa.array(ps.rec_fids[order], type=pa.int32())
     )
-    inner_off = pa.array(np.arange(R + 1, dtype=np.int32) * A)
-    rec_values = pa.ListArray.from_arrays(
-        bounds,
-        pa.ListArray.from_arrays(
-            inner_off, pa.array(ps.rec_values[order].ravel(), type=pa.int32())
-        ),
+    # binary cells built zero-copy from (offsets, packed data) buffer pairs
+    byte_bounds = bounds.to_numpy(zero_copy_only=False)
+    rec_values = pa.Array.from_buffers(
+        pa.binary(),
+        E,
+        [
+            None,
+            pa.py_buffer((byte_bounds * (A * 4)).astype(np.int32).tobytes()),
+            pa.py_buffer(ps.rec_values[order].astype("<i4").tobytes()),
+        ],
     )
-    rec_dist = pa.ListArray.from_arrays(
-        bounds,
-        pa.ListArray.from_arrays(
-            inner_off, pa.array(ps.rec_dist[order].ravel(), type=pa.bool_())
-        ),
+    rec_dist = pa.Array.from_buffers(
+        pa.binary(),
+        E,
+        [
+            None,
+            pa.py_buffer((byte_bounds * A).astype(np.int32).tobytes()),
+            pa.py_buffer(ps.rec_dist[order].astype(np.uint8).tobytes()),
+        ],
     )
-    body = pa.Table.from_arrays(
+    return pa.Table.from_arrays(
         [
             pa.array(np.asarray(new_pids, dtype=np.int32), type=pa.int32()),
             pa.array(np.zeros(E, dtype=bool)),
@@ -354,24 +435,241 @@ def _partition_state_to_pa(
         ],
         schema=_PA_STATE_SCHEMA,
     )
-    loglik, n_iso, agg_dist, hist = partition_summary(ps, cache)
-    summ = pa.Table.from_arrays(
+
+
+def _state_summary_row_pa(
+    summary_pid: int, loglik, n_iso, agg_dist, hist
+) -> pa.Table:
+    """One in-band summary row in the cluster-row (STATE) schema."""
+    return pa.Table.from_arrays(
         [
             pa.array([summary_pid], type=pa.int32()),
             pa.array([True]),
             pa.nulls(1, pa.list_(pa.int32())),
             pa.nulls(1, pa.list_(pa.string())),
             pa.nulls(1, pa.list_(pa.int32())),
-            pa.nulls(1, pa.list_(pa.list_(pa.int32()))),
-            pa.nulls(1, pa.list_(pa.list_(pa.bool_()))),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
             pa.array([float(loglik)], type=pa.float64()),
             pa.array([int(n_iso)], type=pa.int64()),
-            pa.array([agg_dist.astype(np.int64)], type=pa.list_(pa.int64())),
-            pa.array([hist.astype(np.int64)], type=pa.list_(pa.int64())),
+            pa.array([np.asarray(agg_dist, dtype=np.int64)], type=pa.list_(pa.int64())),
+            pa.array([np.asarray(hist, dtype=np.int64)], type=pa.list_(pa.int64())),
         ],
         schema=_PA_STATE_SCHEMA,
     )
+
+
+def _partition_state_to_pa(
+    ps: PartitionState, new_pids: np.ndarray, summary_pid: int, cache: RecordsCache
+) -> pa.Table:
+    """Arrow-native twin of ``_partition_state_to_pdf``: cluster rows plus
+    the in-band summary row."""
+    body = _ps_cluster_body_pa(ps, new_pids)
+    loglik, n_iso, agg_dist, hist = partition_summary(ps, cache)
+    return pa.concat_tables(
+        [body, _state_summary_row_pa(summary_pid, loglik, n_iso, agg_dist, hist)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# block-format marshalling (iteration-loop wire format; see BLOCK_SCHEMA)
+# ---------------------------------------------------------------------------
+
+_PA_BLOCK_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("is_summary", pa.bool_()),
+        ("n_clusters", pa.int64()),
+        ("ent_values", pa.binary()),
+        ("counts", pa.binary()),
+        ("rec_id_lens", pa.binary()),
+        ("rec_id_data", pa.binary()),
+        ("rec_fids", pa.binary()),
+        ("rec_values", pa.binary()),
+        ("rec_dist", pa.binary()),
+        ("loglik", pa.float64()),
+        ("n_isolates", pa.int64()),
+        ("agg_dist", pa.list_(pa.int64())),
+        ("rec_dist_hist", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _ps_to_block_cells(ps: PartitionState, pid: int) -> list:
+    """One BLOCK row's cells (ordered per _PA_BLOCK_SCHEMA, summary fields
+    excluded) for one PartitionState. Record order: stable by entity."""
+    order = np.argsort(ps.link, kind="stable")
+    counts = np.bincount(ps.link, minlength=ps.num_entities).astype("<i4")
+    ids = ps.rec_ids[order]
+    id_bytes = [s.encode("utf-8") for s in ids]
+    lens = np.fromiter((len(b) for b in id_bytes), dtype="<i4", count=len(id_bytes))
+    return [
+        pid,
+        False,
+        int(ps.num_entities),
+        ps.entities.astype("<i4").tobytes(),
+        counts.tobytes(),
+        lens.tobytes(),
+        b"".join(id_bytes),
+        ps.rec_fids[order].astype("<i4").tobytes(),
+        ps.rec_values[order].astype("<i4").tobytes(),
+        ps.rec_dist[order].astype(np.uint8).tobytes(),
+    ]
+
+
+def _blocks_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
+    """Concatenate BLOCK rows (any number, e.g. everything routed to one
+    destination partition) back into a PartitionState. All per-record
+    columns decode via frombuffer; only the record-id strings materialize
+    as Python objects (the kernel needs them as such anyway)."""
+    cols = {
+        name: tbl.column(name).to_pylist()
+        for name in (
+            "n_clusters",
+            "ent_values",
+            "counts",
+            "rec_id_lens",
+            "rec_id_data",
+            "rec_fids",
+            "rec_values",
+            "rec_dist",
+        )
+    }
+    ents, cnts, ids, fids, vals, dist = [], [], [], [], [], []
+    for i in range(tbl.num_rows):
+        e_b = int(cols["n_clusters"][i])
+        ents.append(
+            np.frombuffer(cols["ent_values"][i], dtype="<i4").reshape(e_b, num_attrs)
+        )
+        c = np.frombuffer(cols["counts"][i], dtype="<i4").astype(np.int64)
+        cnts.append(c)
+        lens = np.frombuffer(cols["rec_id_lens"][i], dtype="<i4")
+        data = cols["rec_id_data"][i]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        ids.extend(
+            data[offs[j] : offs[j + 1]].decode("utf-8") for j in range(len(lens))
+        )
+        fids.append(np.frombuffer(cols["rec_fids"][i], dtype="<i4"))
+        vals.append(
+            np.frombuffer(cols["rec_values"][i], dtype="<i4").reshape(-1, num_attrs)
+        )
+        dist.append(
+            np.frombuffer(cols["rec_dist"][i], dtype=np.uint8)
+            .reshape(-1, num_attrs)
+            .astype(bool)
+        )
+    entities = (
+        np.concatenate(ents).astype(np.int32)
+        if ents
+        else np.empty((0, num_attrs), dtype=np.int32)
+    )
+    counts_all = (
+        np.concatenate(cnts) if cnts else np.empty(0, dtype=np.int64)
+    )
+    E = entities.shape[0]
+    return PartitionState(
+        entities=entities,
+        rec_ids=np.asarray(ids, dtype=object),
+        rec_fids=(
+            np.concatenate(fids).astype(np.int32)
+            if fids
+            else np.empty(0, dtype=np.int32)
+        ),
+        rec_values=(
+            np.concatenate(vals).astype(np.int32)
+            if vals
+            else np.empty((0, num_attrs), dtype=np.int32)
+        ),
+        rec_dist=(
+            np.concatenate(dist)
+            if dist
+            else np.empty((0, num_attrs), dtype=bool)
+        ),
+        link=np.repeat(np.arange(E, dtype=np.int64), counts_all),
+    )
+
+
+def _block_output_table(
+    ps: PartitionState,
+    new_pids: np.ndarray,
+    src_pid: int,
+    cache: RecordsCache,
+) -> pa.Table:
+    """Kernel output in BLOCK format: one row per destination partition
+    (clusters routed by ``new_pids``) plus the in-band summary row."""
+    parts = split_partition_state(ps, np.asarray(new_pids, dtype=np.int64))
+    rows = [_ps_to_block_cells(sub, dst) for dst, sub in sorted(parts.items())]
+    loglik, n_iso, agg_dist, hist = partition_summary(ps, cache)
+    n_block_cols = 10  # cells emitted by _ps_to_block_cells
+    arrays = []
+    for idx, field in enumerate(_PA_BLOCK_SCHEMA):
+        if idx < n_block_cols:
+            vals = [r[idx] for r in rows]
+        elif field.name == "loglik":
+            vals = [None] * len(rows)
+        elif field.name == "n_isolates":
+            vals = [None] * len(rows)
+        else:
+            vals = [None] * len(rows)
+        arrays.append(pa.array(vals, type=field.type))
+    body = pa.Table.from_arrays(arrays, schema=_PA_BLOCK_SCHEMA)
+    summ = pa.Table.from_arrays(
+        [
+            pa.array([src_pid], type=pa.int32()),
+            pa.array([True]),
+            pa.nulls(1, pa.int64()),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+            pa.array([float(loglik)], type=pa.float64()),
+            pa.array([int(n_iso)], type=pa.int64()),
+            pa.array([np.asarray(agg_dist, dtype=np.int64)], type=pa.list_(pa.int64())),
+            pa.array([np.asarray(hist, dtype=np.int64)], type=pa.list_(pa.int64())),
+        ],
+        schema=_PA_BLOCK_SCHEMA,
+    )
     return pa.concat_tables([body, summ])
+
+
+def _blocks_df_to_cluster_df(block_df: DataFrame, num_attrs: int) -> DataFrame:
+    """Narrow mapInArrow unpack of BLOCK rows into cluster rows
+    (STATE_SCHEMA) — no shuffle; summary rows pass through re-shaped."""
+
+    def unpack(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            import pyarrow.compute as pc
+
+            summ = tbl.filter(tbl.column("is_summary"))
+            blocks = tbl.filter(pc.equal(tbl.column("is_summary"), False))
+            out = []
+            pids = blocks.column("partition_id").to_pylist()
+            for i in range(blocks.num_rows):
+                ps = _blocks_to_partition_state(blocks.slice(i, 1), num_attrs)
+                out.append(
+                    _ps_cluster_body_pa(
+                        ps, np.full(ps.num_entities, pids[i], dtype=np.int32)
+                    )
+                )
+            for i in range(summ.num_rows):
+                out.append(
+                    _state_summary_row_pa(
+                        summ.column("partition_id")[i].as_py(),
+                        summ.column("loglik")[i].as_py(),
+                        summ.column("n_isolates")[i].as_py(),
+                        summ.column("agg_dist")[i].as_py(),
+                        summ.column("rec_dist_hist")[i].as_py(),
+                    )
+                )
+            if out:
+                for b in pa.concat_tables(out).to_batches():
+                    yield b
+
+    return block_df.mapInArrow(unpack, STATE_SCHEMA)
 
 
 def run_fused_sweeps(
@@ -557,8 +855,12 @@ def make_transition_kernel_arrow(
 ):
     """``applyInArrow`` twin of :func:`make_transition_kernel`: identical
     chain content (same ``run_fused_sweeps``, same canonicalization, same
-    seeds) but the state crosses the JVM/Python boundary as Arrow buffers
-    unpacked with vectorized offset math — see ``_pa_to_partition_state``."""
+    seeds) but the state crosses the JVM/Python boundary as packed Arrow
+    buffers. Accepts EITHER cluster rows (first transition after init/
+    load) or BLOCK rows (steady state, detected by the ``counts`` column)
+    and always emits BLOCK rows — grouped Arrow execution costs ~30-40us
+    per input row, so keeping the loop in block format turns the group
+    boundary from O(clusters) rows into O(p) per kernel."""
     num_attrs = cache.num_attributes
 
     def kernel(key: tuple, tbl: pa.Table) -> pa.Table:
@@ -568,13 +870,16 @@ def make_transition_kernel_arrow(
         pid = int(k0.as_py() if hasattr(k0, "as_py") else k0)
         tbl = tbl.filter(pc.equal(tbl.column("is_summary"), False))
         if tbl.num_rows == 0:
-            return _PA_STATE_SCHEMA.empty_table()
-        ps = _pa_to_partition_state(tbl, num_attrs)
+            return _PA_BLOCK_SCHEMA.empty_table()
+        if "counts" in tbl.schema.names:
+            ps = _blocks_to_partition_state(tbl, num_attrs)
+        else:
+            ps = _pa_to_partition_state(tbl, num_attrs)
         ps = run_fused_sweeps(
             ps, cache, theta, mode, seed, num_partitions, pid, n_sweeps
         )
         new_pids = partition_fn(ps.entities)
-        return _partition_state_to_pa(ps, new_pids, pid, cache)
+        return _block_output_table(ps, new_pids, pid, cache)
 
     return kernel
 
@@ -589,19 +894,20 @@ def _apply_kernel_grouped(
     partition_fn: Callable[[np.ndarray], np.ndarray],
     n_sweeps: int = 1,
     num_partitions: int = 1,
-) -> DataFrame:
-    """Group by the kernel keys and apply the transition kernel, Arrow-native
-    when this Spark has ``applyInArrow`` (4.0+), pandas otherwise."""
+) -> tuple[DataFrame, bool]:
+    """Group by the kernel keys and apply the transition kernel. Returns
+    ``(new_df, is_block)``: Arrow-capable Spark (4.0+) runs the block-format
+    loop; the pandas fallback keeps the cluster-row format."""
     grouped = df_in.groupBy(*keys)
     if hasattr(grouped, "applyInArrow"):
         kernel = make_transition_kernel_arrow(
             cache, theta, mode, seed, partition_fn, n_sweeps, num_partitions
         )
-        return grouped.applyInArrow(kernel, STATE_SCHEMA)
+        return grouped.applyInArrow(kernel, BLOCK_SCHEMA), True
     kernel = make_transition_kernel(
         cache, theta, mode, seed, partition_fn, n_sweeps, num_partitions
     )
-    return grouped.applyInPandas(kernel, STATE_SCHEMA)
+    return grouped.applyInPandas(kernel, STATE_SCHEMA), False
 
 
 def transition(state: State, mode: str) -> State:
@@ -611,12 +917,15 @@ def transition(state: State, mode: str) -> State:
     cache = state.cache
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
 
-    df_in, keys = _salted_group(state.df, state.num_partitions)
+    # steady state keeps the chain in block format (O(p) grouped rows per
+    # kernel); entry from init/load/assign feeds cluster rows once
+    src = state.block_df if state.block_df is not None else state.df
+    df_in, keys = _salted_group(src, state.num_partitions)
     # _kernel_exec_conf must wrap localCheckpoint too: the checkpoint call
     # builds the QueryExecution (and snapshots SQLConf) even though the lazy
     # materialization only happens at the summary collect below.
     with _kernel_exec_conf(df_in.sparkSession):
-        new_df = _apply_kernel_grouped(
+        new_df, is_block = _apply_kernel_grouped(
             df_in, keys, cache, theta, mode, state.current_seed,
             state.partition_fn, num_partitions=state.num_partitions,
         )
@@ -628,21 +937,23 @@ def transition(state: State, mode: str) -> State:
         # costs ONE job instead of two.
         new_df = new_df.localCheckpoint(eager=False)
         summary = collect_summary(new_df, cache)
-    old_df = state._df
+    old_dfs = [state._df, state.block_df]
     new_state = replace(
         state,
         iteration=state.iteration + 1,
-        _df=new_df,
+        _df=None if is_block else new_df,
+        block_df=new_df if is_block else None,
         local_parts=None,
         theta=theta,
         summary=summary,
         current_seed=state.current_seed + state.num_partitions,
     )
-    if old_df is not None:
-        try:
-            old_df.unpersist()
-        except Exception:  # noqa: BLE001 — first iteration state may be unpersisted
-            pass
+    for old_df in old_dfs:
+        if old_df is not None:
+            try:
+                old_df.unpersist()
+            except Exception:  # noqa: BLE001 — may be unpersisted already
+                pass
     return new_state
 
 
@@ -710,41 +1021,45 @@ def transition_fused(
             agg_distortions=agg.reshape(A, Fn),
             rec_distortions=hist,
         )
-        old_df = state._df
+        old_dfs = [state._df, state.block_df]
         new_state = replace(
             state,
             iteration=state.iteration + n_sweeps,
             _df=None,
+            block_df=None,
             local_parts={0: ps},
             theta=theta,
             summary=summary,
             current_seed=state.current_seed + n_sweeps,
         )
     else:
-        df_in, keys = _salted_group(state.df, state.num_partitions)
+        src = state.block_df if state.block_df is not None else state.df
+        df_in, keys = _salted_group(src, state.num_partitions)
         with _kernel_exec_conf(df_in.sparkSession):
-            new_df = _apply_kernel_grouped(
+            new_df, is_block = _apply_kernel_grouped(
                 df_in, keys, cache, theta, mode, state.current_seed,
                 state.partition_fn, n_sweeps=n_sweeps,
                 num_partitions=state.num_partitions,
             )
             new_df = new_df.localCheckpoint(eager=False)
             summary = collect_summary(new_df, cache)
-        old_df = state._df
+        old_dfs = [state._df, state.block_df]
         new_state = replace(
             state,
             iteration=state.iteration + n_sweeps,
-            _df=new_df,
+            _df=None if is_block else new_df,
+            block_df=new_df if is_block else None,
             local_parts=None,
             theta=theta,
             summary=summary,
             current_seed=state.current_seed + n_sweeps * state.num_partitions,
         )
-    if old_df is not None:
-        try:
-            old_df.unpersist()
-        except Exception:  # noqa: BLE001
-            pass
+    for old_df in old_dfs:
+        if old_df is not None:
+            try:
+                old_df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
     return new_state
 
 
@@ -843,21 +1158,23 @@ def transition_local(state: State, mode: str) -> State:
             buckets.setdefault(t, []).append(sub)
     migrated = {t: concat_partition_states(subs) for t, subs in buckets.items()}
 
-    old_df = state._df
+    old_dfs = [state._df, state.block_df]
     new_state = replace(
         state,
         iteration=state.iteration + 1,
         _df=None,
+        block_df=None,
         local_parts=migrated,
         theta=theta,
         summary=summary,
         current_seed=state.current_seed + P,
     )
-    if old_df is not None:
-        try:
-            old_df.unpersist()
-        except Exception:  # noqa: BLE001
-            pass
+    for old_df in old_dfs:
+        if old_df is not None:
+            try:
+                old_df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
     return new_state
 
 
@@ -891,10 +1208,11 @@ def assign_partitions(
             yield pdf
 
     new_df = state.df.mapInPandas(assign_pid, STATE_SCHEMA).localCheckpoint(eager=True)
-    old_df = state._df
+    old_dfs = [state._df, state.block_df]
     new_state = replace(
         state,
         _df=new_df,
+        block_df=None,
         local_parts=None,
         partition_fn=partition_fn,
         num_partitions=num_partitions,
@@ -906,11 +1224,12 @@ def assign_partitions(
             else state.current_seed
         ),
     )
-    if old_df is not None:
-        try:
-            old_df.unpersist()
-        except Exception:  # noqa: BLE001
-            pass
+    for old_df in old_dfs:
+        if old_df is not None:
+            try:
+                old_df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
     return new_state
 
 
@@ -1033,8 +1352,8 @@ def init_state(
             "ent_values": ent_values.tolist(),
             "rec_ids": rec_rows["rec_id"].tolist(),
             "rec_fids": [file_index[f] for f in rec_rows["file_id"]],
-            "rec_values": [v.tolist() for v in vals],
-            "rec_dist": [d.tolist() for d in dist],
+            "rec_values": vals.astype("<i4").tobytes(),
+            "rec_dist": dist.astype(np.uint8).tobytes(),
             "loglik": None,
             "n_isolates": None,
             "agg_dist": None,
@@ -1128,7 +1447,7 @@ def init_state(
                 for a in range(num_attrs)
             ]
             iso_rows.append(
-                (0, False, ent_values, [], [], [], [], None, None, None, None)
+                (0, False, ent_values, [], [], b"", b"", None, None, None, None)
             )
         clusters = clusters.unionByName(spark.createDataFrame(iso_rows, STATE_SCHEMA))
 
@@ -1147,16 +1466,42 @@ def init_state(
     clusters = clusters.mapInPandas(assign_pid, STATE_SCHEMA)
     state_df = clusters.localCheckpoint(eager=True)
 
-    # initial summaries: distortion counts via DataFrame aggregation
+    # initial summaries: distortion counts via a distributed partial count
+    # over the packed rec_dist blobs — one bincount per Arrow batch, a tiny
+    # (fid, pos, cnt) frame shuffled to the final groupBy
     # (loglik is reported from iteration 1; θ only needs agg_dist)
     A, Fn = num_attrs, len(cache.file_ids)
+
+    def dist_counts(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fids = np.concatenate(
+                [np.asarray(f, dtype=np.int64) for f in pdf["rec_fids"]]
+            ) if len(pdf) else np.empty(0, dtype=np.int64)
+            if fids.size == 0:
+                continue
+            dist = np.frombuffer(
+                b"".join(bytes(d) for d in pdf["rec_dist"]), dtype=np.uint8
+            ).reshape(-1, A)
+            # key = fid * A + pos, counted only where distorted
+            keys = (fids[:, None] * A + np.arange(A)[None, :])[dist.astype(bool)]
+            cnt = np.bincount(keys, minlength=Fn * A)
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "fid": (nz // A).astype(np.int64),
+                    "pos": (nz % A).astype(np.int64),
+                    "cnt": cnt[nz].astype(np.int64),
+                }
+            )
+
     pairs = (
         state_df.filter(~F.col("is_summary"))
-        .select(F.explode(F.arrays_zip("rec_fids", "rec_dist")).alias("z"))
-        .select(F.col("z.rec_fids").alias("fid"), F.posexplode("z.rec_dist"))
-        .filter(F.col("col"))
+        .select("rec_fids", "rec_dist")
+        .mapInPandas(dist_counts, "fid long, pos long, cnt long")
         .groupBy("fid", "pos")
-        .count()
+        .agg(F.sum("cnt").alias("count"))
         .collect()
     )
     agg = np.zeros((A, Fn), dtype=np.int64)

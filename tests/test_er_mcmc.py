@@ -46,8 +46,15 @@ def _check_invariants(state, n_records, pop):
     assert len(all_recs) == n_records
     assert len(set(all_recs)) == n_records, "records must partition across clusters"
     for row in rows:
-        for vals, dist in zip(row["rec_values"], row["rec_dist"]):
-            for a, (v, d) in enumerate(zip(vals, dist)):
+        a_dim = len(row["ent_values"])
+        vals = np.frombuffer(bytes(row["rec_values"]), dtype="<i4").reshape(-1, a_dim)
+        dist = (
+            np.frombuffer(bytes(row["rec_dist"]), dtype=np.uint8)
+            .reshape(-1, a_dim)
+            .astype(bool)
+        )
+        for vrow, drow in zip(vals, dist):
+            for a, (v, d) in enumerate(zip(vrow, drow)):
                 if v >= 0 and not d:
                     assert v == row["ent_values"][a], (
                         "non-distorted observed value must equal entity value"

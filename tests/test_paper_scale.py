@@ -7,9 +7,11 @@ record dataset takes automatically; forced here by calling ``transition``
 directly), KD-tree 4 partitions, PCG-I, and asserts the chain invariants
 hold and the partitions stay balanced.
 
-Throughput context (local[32], measured while building this test): the same
-workload runs 25.1 / 13.0 / 7.7 / 5.2 s per iteration at 1 / 2 / 4 / 8
-partitions — near-linear through 4 (1.9x / 3.3x / 4.9x). `bench.py`
+Throughput context (local[32], measured while building this test): with the
+block-format iteration loop the same workload runs 11.4 / 4.7 / 2.3 / 1.9 s
+per iteration at 1 / 2 / 4 / 8 partitions (2.4x / 5.0x / 6.0x vs one
+partition) — and the distributed path beats the driver-local sequential
+kernels (4.3 s/iter) from 4 partitions up at this scale. `bench.py`
 (`paper_scale_spark_path`) tracks the 1-vs-4-partition numbers per round.
 
 Record count is tunable via SPARK_GRAFT_PAPER_N for slower machines.
