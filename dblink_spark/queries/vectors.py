@@ -31,10 +31,47 @@ CAST(list_sum(list_transform(list_zip({a}, {b}),
 # the candidate join is a pure equi-join on (band_idx, band_key) — the same
 # pigeonhole shape as dedup_simhash. Coordinates are fixed, not data-derived:
 # NO ground-truth column participates anywhere.
+#
+# BAND WIDTH MUST GROW WITH CORPUS SIZE (hot-key bound): a band key splits N
+# vectors into ~2^bits buckets, so the per-band candidate join fans out
+# ~N^2 / 2^bits pairs and the largest bucket holds ~N / 2^bits vectors
+# (plus skew from correlated coordinates). The 4-bit default is sized for
+# the test fixtures; at scale use `make_lsh_bands(n_bands,
+# bits_for_corpus(N), ...)` — bits scale with log2(N), band count with the
+# recall target. The registered queries keep this FIXED spec so the DuckDB
+# oracles (generated from the same spec) stay deterministic.
 _LSH_BANDS = [
     [(1, 3, 1), (2, 5, -1), (4, 8, 1), (6, 7, -1)],
     [(9, 11, 1), (10, 13, -1), (12, 16, 1), (14, 15, -1)],
 ]
+
+
+def bits_for_corpus(n_vectors: int, target_bucket: int = 64) -> int:
+    """Band bits so the EXPECTED bucket holds ~``target_bucket`` vectors:
+    ``ceil(log2(N / target_bucket))`` (>= 2). Keeps the in-bucket join cost
+    ~N * target_bucket per band regardless of N — the knob that makes
+    hyperplane banding survive a 100x corpus growth."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(n_vectors / target_bucket, 4.0))))
+
+
+def make_lsh_bands(
+    n_bands: int, bits_per_band: int, dim: int = 64, seed: int = 7
+) -> list:
+    """Deterministic random-hyperplane band specs ``[(i, j, sign), ...]``
+    (1-based coordinates, ``sign(e[i] +/- e[j])``) drawn from a seeded PRNG;
+    same shape as ``_LSH_BANDS`` so any width plugs into the one blocking
+    implementation (`embedding_near_dups`)."""
+    rng = __import__("numpy").random.default_rng(seed)
+    bands = []
+    for _ in range(n_bands):
+        band = []
+        for _ in range(bits_per_band):
+            i, j = (int(x) + 1 for x in rng.choice(dim, size=2, replace=False))
+            band.append((i, j, 1 if rng.random() < 0.5 else -1))
+        bands.append(band)
+    return bands
 
 
 def _band_sql(band) -> str:
@@ -184,21 +221,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Quantized dots (see module docstring) make the cosine a deterministic
     function of BIGINTs, identical across engines."""
-    e = load(spark, sf_dir, "embeddings").select(
+    return embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), bands=_LSH_BANDS, threshold=0.35
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, bands: list, threshold: float = 0.35
+) -> DataFrame:
+    """LSH-banded near-duplicate blocking over any band spec (see
+    `make_lsh_bands` / `bits_for_corpus` for sizing the width to the
+    corpus). Input needs ``vec_id`` + ``embedding``; output is
+    ``(v1, v2, cosine)`` with cosine >= ``threshold``."""
+    e = embeddings.select(
         "vec_id",
         "embedding",
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
-        _band_col(_LSH_BANDS[0]).alias("band0"),
-        _band_col(_LSH_BANDS[1]).alias("band1"),
+        *[
+            _band_col(band).alias(f"band{bi}")
+            for bi, band in enumerate(bands)
+        ],
     )
-    bands = e.select(
+    exploded = e.select(
         "vec_id",
         "embedding",
         "sq",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band_idx"), F.col("band0").alias("band_key")),
-                F.struct(F.lit(1).alias("band_idx"), F.col("band1").alias("band_key")),
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.col(f"band{bi}").alias("band_key"),
+                    )
+                    for bi in range(len(bands))
+                ]
             )
         ).alias("bd"),
     ).select(
@@ -208,7 +264,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bd.band_idx").alias("band_idx"),
         F.col("bd.band_key").alias("band_key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = exploded.alias("a"), exploded.alias("b")
     cosine = (
         _dot_q(F.col("a.embedding"), F.col("b.embedding")).cast("double")
         / (F.sqrt(F.col("a.sq").cast("double")) * F.sqrt(F.col("b.sq").cast("double")))
@@ -225,9 +281,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("v2"),
             cosine.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.35)
-        # a pair colliding in both bands appears twice with a bit-identical
-        # cosine (deterministic integer dots) — collapse to one row
+        .filter(F.col("cosine") >= threshold)
+        # a pair colliding in several bands appears once per collision with
+        # a bit-identical cosine (deterministic integer dots) — collapse
         .groupBy("v1", "v2")
         .agg(F.max("cosine").alias("cosine"))
     )

@@ -68,3 +68,62 @@ def test_bottomk_prefix_length_general_threshold(spark):
     out = bottomk_sketch_pairs(d, 8, 0.5).collect()
     assert len(out) == 1
     assert abs(out[0].sketch_jaccard - 0.6) < 1e-12
+
+
+class TestLshBandWidth:
+    """`embedding_near_dups` must accept any band spec (the width knob that
+    keeps hyperplane banding viable as the corpus grows) and stay SOUND:
+    every emitted pair really has cosine >= threshold, at every width."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _brute_cosines(self, spark):
+        import numpy as np
+
+        rows = (
+            spark.read.parquet(f"{self.SF}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+        return vecs
+
+    def test_two_widths_sound_and_equijoin(self, spark):
+        import numpy as np
+
+        from dblink_spark.plans.audit import formatted_plan
+        from dblink_spark.queries.vectors import (
+            bits_for_corpus,
+            embedding_near_dups,
+            make_lsh_bands,
+        )
+
+        e = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        vecs = self._brute_cosines(spark)
+        for bits in (4, 6):
+            bands = make_lsh_bands(n_bands=3, bits_per_band=bits, dim=64, seed=11)
+            assert all(len(b) == bits for b in bands)
+            df = embedding_near_dups(e, bands=bands, threshold=0.35)
+            plan = formatted_plan(df)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            got = df.collect()
+            assert got, f"width {bits}: no candidate pairs at all"
+            for r in got:
+                a, b = vecs[r["v1"]], vecs[r["v2"]]
+                true_cos = float(
+                    a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                )
+                assert true_cos >= 0.35 - 1e-6, (bits, r, true_cos)
+
+    def test_bits_for_corpus_scales_logarithmically(self):
+        from dblink_spark.queries.vectors import bits_for_corpus
+
+        assert bits_for_corpus(1_000, target_bucket=64) == 4
+        assert bits_for_corpus(1_000_000, target_bucket=64) == 14
+        assert bits_for_corpus(100, target_bucket=64) == 2  # floor
+        # doubling the corpus adds one bit: join cost stays ~N * bucket
+        assert (
+            bits_for_corpus(2_000_000, target_bucket=64)
+            == bits_for_corpus(1_000_000, target_bucket=64) + 1
+        )
