@@ -70,6 +70,70 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_codec() -> tuple:
+    """Factory for the pure-numpy BMP codec, returned as NESTED functions so
+    kernel closures capture them by value (see the `_fake_decode` note:
+    module-level references cloudpickle by module path, which executor
+    Python workers can't import when the driver loaded this package by
+    file path)."""
+
+    def bmp_decode(buf: bytes) -> np.ndarray:
+        """Pure-numpy decoder for uncompressed BMP (BITMAPINFOHEADER):
+        24-bit BGR -> (H, W, 3) RGB uint8, 8-bit grayscale -> (H, W) uint8.
+        Handles 4-byte row padding and bottom-up (positive height) vs
+        top-down rows. A REAL codec executing in-container — the BMP format
+        is public and trivially parseable; PIL/librosa stay optional for
+        formats that need native libraries."""
+        import numpy as _np
+
+        if len(buf) < 54 or buf[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        off = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if comp != 0:
+            raise ValueError("compressed BMP unsupported")
+        if w <= 0 or h == 0:
+            raise ValueError("bad BMP dimensions")
+        top_down, H = h < 0, abs(h)
+        row_bytes = (w * (bpp // 8) + 3) & ~3
+        if off + row_bytes * H > len(buf):
+            raise ValueError("truncated BMP pixel data")
+        data = _np.frombuffer(
+            buf, dtype=_np.uint8, count=row_bytes * H, offset=off
+        ).reshape(H, row_bytes)
+        if bpp == 24:
+            px = data[:, : w * 3].reshape(H, w, 3)[..., ::-1]  # BGR -> RGB
+        elif bpp == 8:
+            px = data[:, :w]
+        else:
+            raise ValueError(f"unsupported bpp {bpp}")
+        if not top_down:
+            px = px[::-1]
+        return _np.ascontiguousarray(px)
+
+    def looks_like_bmp(buf: bytes) -> bool:
+        """Strict sniff so text payloads can never be misrouted to the BMP
+        decoder: magic + the header's file-size field must equal the actual
+        payload length + sane pixel format."""
+        if len(buf) < 54 or buf[:2] != b"BM":
+            return False
+        if int.from_bytes(buf[2:6], "little") != len(buf):
+            return False
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        return bpp in (8, 24) and comp == 0
+
+    return bmp_decode, looks_like_bmp
+
+
+#: driver-side conveniences (tests, direct use); kernels must grab fresh
+#: copies via _bmp_codec() so they pickle by value
+bmp_decode, _looks_like_bmp = _bmp_codec()
+
+
 def _fake_decode(buf: bytes) -> np.ndarray:
     """Deterministic stand-in for a codec: raw bytes as a uint8 signal.
 
@@ -140,20 +204,26 @@ def decode_media(
     """
     if decoder is None and Image is not None:  # pragma: no cover - PIL absent
         decoder = _pil_image_decoder(Image)
-    # decoder is None from here on ⇒ the deterministic fake, which admits a
-    # fully vectorized per-batch path (no per-row Python at all)
+    # decoder is None from here on ⇒ the default path: payloads that sniff
+    # as real uncompressed BMPs (strict magic + size check, so text can
+    # never be misrouted) go through the pure-numpy `bmp_decode`; everything
+    # else takes the deterministic fake, which admits a fully vectorized
+    # per-batch path (no per-row Python at all)
 
     out_schema = (
         "doc_id bigint, media_type string, n_samples bigint, "
         "byte_sum bigint, mean_level double"
     )
+    # nested copies pickle by value into the kernel closure
+    _bmp_dec, _bmp_sniff = _bmp_codec()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(dtype=np.int64, copy=False)
             mts = [m["media_type"] for m in pdf["media_meta"]]
             if decoder is None:
-                # vectorized fake path: one concat + one cumsum per batch
+                # vectorized fake path: one concat + one cumsum per batch;
+                # genuine BMP payloads are decoded for real (pure numpy)
                 bufs = [bytes(b) for b in pdf["media"]]
                 lens = np.fromiter(
                     (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
@@ -164,6 +234,11 @@ def decode_media(
                 )
                 ends = np.cumsum(lens)
                 sums = cs[ends] - cs[ends - lens]
+                for i, b in enumerate(bufs):
+                    if _bmp_sniff(b):
+                        sig = _bmp_dec(b).astype(np.int64, copy=False).ravel()
+                        lens[i] = sig.size
+                        sums[i] = int(sig.sum())
                 means = np.divide(
                     sums, lens, out=np.zeros(len(bufs)), where=lens > 0
                 )

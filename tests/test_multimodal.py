@@ -277,3 +277,93 @@ class TestNonAsciiOracleParity:
         problems = compare(name, sdf, odf)
         assert not problems, f"{name}: {problems}"
         assert len(sdf) > 0
+
+
+def _bmp_encode(px: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal BMP writer for test fixtures: 24-bit BGR for (H, W, 3)
+    input, 8-bit grayscale (with a 256-entry palette) for (H, W)."""
+    H, W = px.shape[:2]
+    gray = px.ndim == 2
+    bpp = 8 if gray else 24
+    row_bytes = (W * (bpp // 8) + 3) & ~3
+    palette = (
+        b"".join(bytes([i, i, i, 0]) for i in range(256)) if gray else b""
+    )
+    off = 14 + 40 + len(palette)
+    size = off + row_bytes * H
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + W.to_bytes(4, "little", signed=True)
+        + (-H if top_down else H).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (row_bytes * H).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rows = []
+    ordered = px if top_down else px[::-1]
+    for r in range(H):
+        row = ordered[r]
+        data = row.tobytes() if gray else row[:, ::-1].tobytes()  # RGB->BGR
+        rows.append(data + b"\x00" * (row_bytes - len(data)))
+    return header + palette + b"".join(rows)
+
+
+class TestBmpDecode:
+    """The pure-numpy BMP codec: a REAL decode executes in-container."""
+
+    def test_roundtrip_24bit_padded(self):
+        from dblink_spark.operators.multimodal import bmp_decode
+
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # width 5 -> padding
+        assert (bmp_decode(_bmp_encode(px)) == px).all()
+        assert (bmp_decode(_bmp_encode(px, top_down=True)) == px).all()
+
+    def test_roundtrip_8bit_gray(self):
+        from dblink_spark.operators.multimodal import bmp_decode
+
+        px = np.arange(8, dtype=np.uint8).reshape(2, 4) * 31
+        assert (bmp_decode(_bmp_encode(px)) == px).all()
+
+    def test_rejects_non_bmp(self):
+        from dblink_spark.operators.multimodal import bmp_decode
+
+        with pytest.raises(ValueError):
+            bmp_decode(b"BMW is not a bitmap, far too short")
+
+    def test_sniff_rejects_text_starting_with_bm(self):
+        from dblink_spark.operators.multimodal import _looks_like_bmp
+
+        assert not _looks_like_bmp(("BM" + "x" * 100).encode())
+
+    def test_decode_media_routes_real_bmp(self, spark):
+        """End-to-end through the Spark mapInPandas kernel: BMP payloads
+        decode for REAL (pixel stats, not payload-byte stats) while other
+        rows keep the deterministic fake — exact value gate."""
+        rng = np.random.default_rng(9)
+        px0 = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+        px1 = (np.arange(30).reshape(5, 6) * 7 % 256).astype(np.uint8)
+        bmp0, bmp1 = _bmp_encode(px0), _bmp_encode(px1, top_down=True)
+        text = b"just some plain text payload"
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(bmp0), ("image",)),
+                (1, bytearray(bmp1), ("image",)),
+                (2, bytearray(text), ("video",)),
+            ],
+            "doc_id: long, media: binary, media_meta: struct<media_type: string>",
+        )
+        out = {r["doc_id"]: r for r in decode_media(df).collect()}
+        assert out[0]["n_samples"] == px0.size
+        assert out[0]["byte_sum"] == int(px0.astype(np.int64).sum())
+        assert out[1]["n_samples"] == px1.size
+        assert out[1]["byte_sum"] == int(px1.astype(np.int64).sum())
+        # non-BMP row: unchanged fake (payload byte stats)
+        assert out[2]["n_samples"] == len(text)
+        assert out[2]["byte_sum"] == sum(text)
