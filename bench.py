@@ -44,6 +44,7 @@ EXTENDED_QUERIES = [
     "dedup_bottomk_jaccard",
     "dedup_embedding_cosine",
     "ann_lsh_bucketed",
+    "ann_ivf",
     "text_gopher_rules",
     "text_repetition",
 ]

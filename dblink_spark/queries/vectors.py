@@ -345,3 +345,152 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("dot").cast("bigint").alias("total_dot"),
     )
+
+
+# IVF parameters for the registered query: K seed centroids (the first K
+# vectors stand in for a trained coarse quantizer — the plan shape is what
+# matters), nprobe probed cells per query, top-k within candidates.
+_IVF_K, _IVF_NPROBE, _IVF_TOPK, _IVF_NQUERY = 8, 2, 5, 8
+
+_IVF_COS = (
+    "CAST({d} AS DOUBLE) / (sqrt(CAST({sa} AS DOUBLE)) * sqrt(CAST({sb} AS DOUBLE)))"
+)
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS csq
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+base AS (
+  SELECT vec_id, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  FROM embeddings
+),
+assign AS (
+  SELECT b.vec_id, b.embedding, b.sq, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      {_IVF_COS.format(d=_DOT_SQL.format(a="b.embedding", b="c.ce"), sa="b.sq", sb="c.csq")} DESC,
+      c.cid) AS rn
+  FROM base b CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, embedding, sq, cid FROM assign WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, sq AS qsq, cid
+  FROM assign WHERE vec_id < {_IVF_NQUERY} AND rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+    {_IVF_COS.format(d=_DOT_SQL.format(a="p.qe", b="v.embedding"), sa="p.qsq", sb="v.sq")} AS cosine
+  FROM probes p JOIN cells v ON v.cid = p.cid AND v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_IVF_TOPK}
+""",
+    survey_ref="beyond-reference: IVF coarse-quantized ANN — the similarity-search scale path",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: K coarse centroids (here the
+    first K vectors, standing in for a trained quantizer), every vector
+    assigned to its nearest centroid (its *cell*), queries probing their
+    ``nprobe`` nearest cells, and top-k searched only among the probed
+    cells' members.
+
+    Scale shape: the quantizer is a driver-side constant (like trained
+    model weights), so cell assignment is a NARROW column expression —
+    ``greatest`` over K (cosine, -cid) structs built from literal centroid
+    arrays, zero shuffle, no crossJoin. Candidates come from an equi-join
+    on ``cid`` against the tiny probe frame (broadcast), so the search cost
+    is ~N * nprobe / K instead of N per query — the IVF point. Quantized
+    dots (module docstring) keep every score a deterministic function of
+    BIGINTs, so the DuckDB oracle hash-matches."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < _IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    def cos_to_cent(vec_col, sq_col, cvals):
+        cl = lit_vec(cvals)
+        csq = _dot_q(cl, cl)
+        return _dot_q(vec_col, cl).cast("double") / (
+            F.sqrt(sq_col.cast("double")) * F.sqrt(csq.cast("double"))
+        )
+
+    base = e.select(
+        "vec_id", "embedding", _dot_q(F.col("embedding"), F.col("embedding")).alias("sq")
+    )
+
+    # nearest cell: max over K (cosine, -cid) structs — narrow, no shuffle
+    def best_cell(vec_col, sq_col):
+        structs = [
+            F.struct(
+                cos_to_cent(vec_col, sq_col, cvals).alias("cos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvals in cents
+        ]
+        return (-F.greatest(*structs).getField("ncid")).cast("int")
+
+    cells = base.withColumn("cid", best_cell(F.col("embedding"), F.col("sq")))
+
+    # per-query probe list: rank the K cells per query (K rows per query —
+    # tiny frame), keep nprobe
+    q = base.filter(F.col("vec_id") < _IVF_NQUERY)
+    probe_rows = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("sq").alias("qsq"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).alias("cid"),
+                        cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias(
+                            "ccos"
+                        ),
+                    )
+                    for cid, cvals in cents
+                ]
+            )
+        ).alias("pc"),
+    ).select("query_id", "qe", "qsq", F.col("pc.cid").alias("cid"), F.col("pc.ccos").alias("ccos"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    probes = (
+        probe_rows.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "qe", "qsq", "cid")
+    )
+
+    cand = F.broadcast(probes).join(
+        cells, on="cid"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cosine = _dot_q(F.col("qe"), F.col("embedding")).cast("double") / (
+        F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("sq").cast("double"))
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

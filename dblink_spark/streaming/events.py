@@ -202,6 +202,25 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication — the training-data-pipeline primitive for
+    at-least-once sources (replayed files, Kafka redeliveries).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key while only
+    retaining state for the watermark horizon: a duplicate arriving within
+    the watermark of its first sighting is dropped, and state for keys
+    older than the watermark is evicted — bounded state on an unbounded
+    stream, unlike ``dropDuplicates`` whose state grows forever.
+    """
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     stream: DataFrame, table_name: str, output_mode: str = "append"
 ) -> None:

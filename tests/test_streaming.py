@@ -206,3 +206,60 @@ class TestUserRunningStats:
             assert final[uid]["n_events_total"] == e["n"]
             assert final[uid]["total_value"] == pytest.approx(e["total"])
             assert final[uid]["last_ts_us"] == e["last_us"]
+
+
+class TestStreamDedup:
+    """dropDuplicatesWithinWatermark: replayed inputs (at-least-once
+    delivery) must collapse to exactly-once rows while state stays bounded
+    by the watermark horizon."""
+
+    @pytest.fixture(scope="class")
+    def dup_events_dir(self, spark, tmp_path_factory):
+        """The real events file staged TWICE (a full replay) + the
+        far-future sentinel to advance the watermark."""
+        d = tmp_path_factory.mktemp("events_dup_stream")
+        for name in ("part-000-real.parquet", "part-001-replay.parquet"):
+            shutil.copy(f"{SF_DIR}/events.parquet", d / name)
+        if dict(spark.read.parquet(f"{SF_DIR}/events.parquet").dtypes)["ts"] == "bigint":
+            sentinel = spark.createDataFrame(
+                [(10**9, SENTINEL_US * 1000, 10**6, "sentinel", 0.0, "{}")],
+                "event_id: long, ts: long, user_id: long, event_type: string, "
+                "value: double, props: string",
+            )
+        else:
+            from datetime import datetime
+
+            sentinel = spark.createDataFrame(
+                [(10**9, datetime(2100, 1, 1), 10**6, "sentinel", 0.0, "{}")],
+                "event_id: long, ts: timestamp_ntz, user_id: long, "
+                "event_type: string, value: double, props: string",
+            )
+        sent_dir = d / "_sentinel_build"
+        sentinel.coalesce(1).write.parquet(str(sent_dir))
+        part = next(p for p in os.listdir(sent_dir) if p.endswith(".parquet"))
+        shutil.move(str(sent_dir / part), d / "part-002-sentinel.parquet")
+        shutil.rmtree(sent_dir)
+        now = os.path.getmtime(d / "part-002-sentinel.parquet")
+        os.utime(d / "part-000-real.parquet", (now - 120, now - 120))
+        os.utime(d / "part-001-replay.parquet", (now - 60, now - 60))
+        return str(d)
+
+    def test_replay_collapses_to_batch_distinct(self, spark, dup_events_dir):
+        from dblink_spark.streaming.events import dedup_event_stream
+
+        stream = read_event_stream(spark, dup_events_dir, max_files_per_trigger=1)
+        run_to_memory_sink(dedup_event_stream(stream), "dedup_events")
+        got = [
+            r["event_id"]
+            for r in spark.table("dedup_events").collect()
+            if r["event_id"] != 10**9
+        ]
+        expect = [
+            r["event_id"]
+            for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("event_id")
+            .distinct()
+            .collect()
+        ]
+        assert len(got) == len(expect), "each replayed event must appear once"
+        assert sorted(got) == sorted(expect)
