@@ -658,3 +658,40 @@ def q_events_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_events_type_stats_salted",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events
+)
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+  MIN(ts_us) AS first_us,
+  MAX(ts_us) AS last_us
+FROM ev GROUP BY event_type
+""",
+    survey_ref="beyond-reference: skew-mitigation salted two-stage aggregation",
+)
+def q_events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats computed via the SALTED two-stage aggregation
+    (operators/skew.py): event_type is a genuinely hot key (a handful of
+    values over the whole table), the exact shape that serializes a plain
+    groupBy's reducers at scale. The oracle is the plain GROUP BY — the
+    salted plan must be row-identical (decomposable aggs, DECIMAL sums)."""
+    from dblink_spark.operators.skew import salted_aggregate
+
+    e = load_events_us(spark, sf_dir)
+    return salted_aggregate(
+        e,
+        keys=["event_type"],
+        exprs={
+            "n_events": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value").cast("decimal(18,4)")),
+            "first_us": ("min", F.col("ts_us")),
+            "last_us": ("max", F.col("ts_us")),
+        },
+        n_salts=16,
+    ).withColumn("total_value", F.col("total_value").cast("double"))

@@ -1,0 +1,65 @@
+"""Salted two-stage aggregation (operators/skew.py): exactness vs the plain
+groupBy on a deliberately skewed frame, and the plan shape that makes it a
+skew fix (two aggregation exchanges, partials bounded by keys x salts)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dblink_spark.operators.skew import salted_aggregate
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key owning ~95% of rows — the shape that serializes a plain
+    # groupBy reducer
+    hot = spark.range(9500).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("cold"), (F.col("id") % 50)).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_matches_plain_groupby_exactly(spark, skewed):
+    exprs = {
+        "n": ("count", F.lit(1)),
+        "total": ("sum", F.col("v").cast("decimal(18,4)")),
+        "lo": ("min", F.col("v")),
+        "hi": ("max", F.col("v")),
+    }
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_aggregate(skewed, ["k"], exprs, n_salts=8).collect()
+    }
+    expect = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_two_stage_plan_shape(spark, skewed):
+    from dblink_spark.plans.audit import exchange_count, formatted_plan
+
+    df = salted_aggregate(
+        skewed, ["k"], {"n": ("count", F.lit(1))}, n_salts=8
+    )
+    plan = formatted_plan(df)
+    # stage 1 shuffles on (k, salt), stage 2 on k — two exchanges by design
+    assert exchange_count(plan) == 2, plan
+
+
+def test_rejects_non_decomposable_op(spark, skewed):
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_aggregate(skewed, ["k"], {"m": ("median", F.col("v"))})
