@@ -82,3 +82,90 @@ def iteration_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# Count-min sketch parameters: depth d independent hash rows, width w
+# counters each. Hashes are explicit polynomial maps ((a*x + b) mod p mod w,
+# p = 2^61 - 1 prime, a/b fixed odd constants) so BOTH engines compute the
+# identical sketch with plain integer arithmetic — no engine-native hash
+# involved, which is what makes a sketch hash-gateable at all.
+_CMS_P = (1 << 61) - 1
+_CMS_W = 256
+_CMS_ROWS = [(999999937, 31), (774856787, 97), (492876847, 193), (198491317, 389)]
+
+
+@register(
+    "sketch_count_min",
+    oracle=f"""
+WITH rows_spec(row_idx, a, b) AS (
+  VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))}
+),
+cells AS (
+  SELECT r.row_idx,
+    CAST(((r.a * e.user_id + r.b) % {_CMS_P}) % {_CMS_W} AS INT) AS col_idx
+  FROM events e CROSS JOIN rows_spec r
+)
+SELECT row_idx, col_idx, COUNT(*) AS cnt
+FROM cells GROUP BY row_idx, col_idx
+""",
+    survey_ref="beyond-reference: count-min sketch (streaming-frequency primitive)",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the events ``user_id`` frequency distribution:
+    d x w counter cells, each item incrementing one counter per hash row.
+
+    Scale shape: building the sketch is ONE partial-aggregated shuffle of
+    at most d*w rows (the explode is a d-way row multiply, combined
+    map-side), and the sketch itself is a ~4KB table that broadcasts
+    anywhere — point-frequency estimates (min over d counters) then never
+    touch the raw data again. Deterministic polynomial hashing makes the
+    whole sketch hash-gateable against DuckDB."""
+    e = load(spark, sf_dir, "events").select("user_id")
+    cells = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        (
+                            ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P)
+                            % _CMS_W
+                        )
+                        .cast("int")
+                        .alias("col_idx"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_ROWS)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_idx", "c.col_idx")
+    return cells.groupBy("row_idx", "col_idx").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q_events_value_quantiles",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+  CAST(quantile_cont(value, 0.9) AS DOUBLE) AS p90,
+  CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+    survey_ref="beyond-reference: exact quantiles (quality-scoring cutoffs at corpus scale)",
+)
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (linear interpolation) — the
+    distribution-cutoff primitive a quality-filtering pipeline needs (e.g.
+    'drop the bottom decile by quality score'). Spark's ``percentile`` is
+    the exact interpolating aggregate, matching DuckDB's quantile_cont
+    bit-for-bit on the same doubles."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", F.lit(0.5)).cast("double").alias("p50"),
+        F.percentile("value", F.lit(0.9)).cast("double").alias("p90"),
+        F.percentile("value", F.lit(0.99)).cast("double").alias("p99"),
+    )
