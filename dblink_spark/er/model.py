@@ -40,7 +40,7 @@ class PartitionState:
     """In-kernel dense representation of one partition's clusters."""
 
     entities: np.ndarray  # (E, A) int32, -1 never appears (values imputed)
-    rec_ids: np.ndarray  # (R,) object
+    rec_ids: np.ndarray  # (R,) numpy unicode ('<U*') or object strings
     rec_fids: np.ndarray  # (R,) int32 — index into cache.file_ids
     rec_values: np.ndarray  # (R, A) int32, -1 = missing
     rec_dist: np.ndarray  # (R, A) bool
@@ -69,8 +69,15 @@ def canonicalize_partition_state(ps: PartitionState) -> PartitionState:
     """
     n_e = ps.num_entities
     # smallest linked rec_id per entity: assign in descending rec_id order,
-    # so the smallest lands last (fancy assignment keeps the final write)
-    first = np.full(n_e, "", dtype=object)
+    # so the smallest lands last (fancy assignment keeps the final write).
+    # `first` matches rec_ids' dtype: fixed-width numpy unicode sorts in C
+    # (same codepoint order as Python str compares — chains unchanged),
+    # ~10x faster than object-array argsort at 100k+ records.
+    first = (
+        np.zeros(n_e, dtype=ps.rec_ids.dtype)
+        if ps.rec_ids.dtype.kind == "U"
+        else np.full(n_e, "", dtype=object)
+    )
     desc = np.argsort(ps.rec_ids, kind="stable")[::-1]
     first[ps.link[desc]] = ps.rec_ids[desc]
     # lexsort: last key is primary — (first, ent_col_0, ent_col_1, ...)

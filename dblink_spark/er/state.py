@@ -235,7 +235,7 @@ def _pdf_to_partition_state(pdf: pd.DataFrame, num_attrs: int) -> PartitionState
     R = len(rec_ids)
     return PartitionState(
         entities=ents.reshape(len(pdf), num_attrs),
-        rec_ids=np.array(rec_ids, dtype=object),
+        rec_ids=np.asarray(rec_ids, dtype=str),
         rec_fids=np.array(rec_fids, dtype=np.int32),
         rec_values=(
             np.concatenate(val_chunks).astype(np.int32).reshape(R, num_attrs)
@@ -357,7 +357,7 @@ def _pa_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
     )
     rid = tbl.column("rec_ids").combine_chunks()
     counts = pc.list_value_length(rid).to_numpy(zero_copy_only=False).astype(np.int64)
-    rec_ids = np.asarray(rid.flatten().to_pylist(), dtype=object)
+    rec_ids = np.asarray(rid.flatten().to_pylist(), dtype=str)
     fid = tbl.column("rec_fids").combine_chunks()
     rec_fids = fid.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
     R = rec_fids.shape[0]
@@ -569,7 +569,7 @@ def _blocks_to_partition_state(tbl: pa.Table, num_attrs: int) -> PartitionState:
     E = entities.shape[0]
     return PartitionState(
         entities=entities,
-        rec_ids=np.asarray(ids, dtype=object),
+        rec_ids=np.asarray(ids, dtype=str),
         rec_fids=(
             np.concatenate(fids).astype(np.int32)
             if fids

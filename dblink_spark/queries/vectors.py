@@ -471,10 +471,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cid")
     )
+    # .limit is a semantic no-op (<= NQUERY*NPROBE rows by construction) but
+    # makes the frame's fixed cardinality explicit in the logical plan,
+    # which is what licenses the broadcast hint at any SF (plan-audit rule)
     probes = (
         probe_rows.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("query_id", "qe", "qsq", "cid")
+        .limit(_IVF_NQUERY * _IVF_NPROBE)
     )
 
     cand = F.broadcast(probes).join(

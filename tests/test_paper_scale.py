@@ -8,11 +8,12 @@ directly), KD-tree 4 partitions, PCG-I, and asserts the chain invariants
 hold and the partitions stay balanced.
 
 Throughput context (local[32], measured while building this test): with the
-block-format iteration loop the same workload runs 11.4 / 4.7 / 2.3 / 1.9 s
-per iteration at 1 / 2 / 4 / 8 partitions (2.4x / 5.0x / 6.0x vs one
-partition) — and the distributed path beats the driver-local sequential
-kernels (4.3 s/iter) from 4 partitions up at this scale. `bench.py`
-(`paper_scale_spark_path`) tracks the 1-vs-4-partition numbers per round.
+block-format iteration loop, int64-key candidate sorts, and unicode-dtype
+id arrays the same workload runs ~6.1 / 3.2 / 1.8 / 1.5 s per iteration at
+1 / 2 / 4 / 8 partitions (1.9x / 3.3x / 4.2x vs one partition) — the
+distributed path beats the driver-local sequential kernels from 2
+partitions up at this scale. `bench.py` (`paper_scale_spark_path`) tracks
+the 1-vs-4-partition numbers per round.
 
 Record count is tunable via SPARK_GRAFT_PAPER_N for slower machines.
 """
