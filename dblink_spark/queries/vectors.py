@@ -498,3 +498,83 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_TOPK)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "hybrid_search",
+    oracle=f"""
+WITH keep AS (
+  SELECT d.doc_id, d.lang, e.embedding,
+    {_DOT_SQL.format(a="e.embedding", b="e.embedding")} AS sq
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.n_chars BETWEEN 100 AND 20000
+    AND length(string_split(d.text, ' ')) >= 10
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS qsq
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, k.doc_id, k.lang,
+    CAST({_DOT_SQL.format(a="q.qe", b="k.embedding")} AS DOUBLE)
+      / (sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(k.sq AS DOUBLE))) AS cosine
+  FROM q CROSS JOIN keep k WHERE k.doc_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id, lang, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, lang, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    survey_ref="beyond-reference: hybrid retrieval (quality prefilter -> doc<->vector join -> top-k)",
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-corpus pattern: documents pass a quality
+    prefilter (length + token-count bounds — predicates that push into the
+    parquet scan), join their embeddings on ``doc_id = vec_id`` (equi-join,
+    AQE-chosen strategy), and only the surviving corpus is scored against
+    the broadcast query vectors for top-3 cosine.
+
+    Scale shape: the filter prunes BEFORE any vector math; the scored side
+    is |filtered docs| x |queries| with the 4-query frame broadcast (LIMIT
+    makes its fixed cardinality explicit); quantized dots keep scores
+    hash-gateable."""
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 20000)
+        & (F.size(F.split(F.col("text"), " ")) >= 10)
+    )
+    e = load(spark, sf_dir, "embeddings")
+    keep = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id",
+        "lang",
+        "embedding",
+        _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < 4)
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _dot_q(F.col("embedding"), F.col("embedding")).alias("qsq"),
+        )
+    )
+    cosine = _dot_q(F.col("qe"), F.col("embedding")).cast("double") / (
+        F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("sq").cast("double"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(keep)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", "lang", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "doc_id", "lang", "cosine", "rank")
+    )
