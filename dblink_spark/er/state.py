@@ -773,7 +773,13 @@ def _salted_group(
     if num_partitions <= 1:
         return df, ["partition_id"]
     spark = df.sparkSession
-    m = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # Non-numeric values (e.g. "auto" on some platforms) or an AQE
+        # initialPartitionNum override make the bucket prediction wrong;
+        # placement is only an optimization, so degrade to unsalted.
+        m = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 - conf absent or non-numeric
+        return df, ["partition_id"]
     salts = _kernel_salts(num_partitions, m)
     if salts is None:
         return df, ["partition_id"]

@@ -37,21 +37,37 @@ def salted_aggregate(
     keys: list[str],
     exprs: dict[str, tuple[str, "Column | str"]],
     n_salts: int = 16,
+    salt_col: "str | Column | None" = None,
 ) -> DataFrame:
     """Two-stage salted aggregation.
 
     ``exprs``: output column -> (op, input column/Column) with op in
-    {count, sum, min, max}. The salt is derived from a row id, not the
-    data, so ANY key distribution — including one hot key owning 99% of
-    rows — spreads across ``n_salts`` stage-1 reducers; the stage-2 merge
-    input is bounded by ``n_distinct_keys * n_salts`` rows regardless of
-    input size. Results are exactly the plain ``df.groupBy(keys).agg(...)``
-    (all ops decomposable; sums should be DECIMAL for exactness).
+    {count, sum, min, max}. The stage-2 merge input is bounded by
+    ``n_distinct_keys * n_salts`` rows regardless of input size. Results
+    are exactly the plain ``df.groupBy(keys).agg(...)`` (all ops
+    decomposable; sums should be DECIMAL for exactness).
+
+    The salt must be DETERMINISTIC per row: with a nondeterministic salt
+    (e.g. ``monotonically_increasing_id``), a stage retried after a fetch
+    failure can re-salt recomputed rows differently while other reducers'
+    partial outputs are reused — dropping or double-counting rows (the
+    SPARK-23207 class of bug). So:
+
+    - pass ``salt_col`` naming a stable unique-id column when you have one
+      (an event id, a primary key) — best spread, retry-safe;
+    - otherwise the salt is ``hash(all input columns)``: a pure function
+      of row content, so recomputation always re-derives the same salt.
+      Fully duplicated rows then share a salt; if a hot key's rows are
+      near-identical across EVERY column, supply ``salt_col`` instead.
     """
     for out, (op, _) in exprs.items():
         if op not in _OPS:
             raise ValueError(f"{out}: op {op!r} not decomposable (use {set(_OPS)})")
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    if salt_col is not None:
+        basis = [F.col(salt_col) if isinstance(salt_col, str) else salt_col]
+    else:
+        basis = [F.col(c) for c in df.columns]
+    salt = F.pmod(F.hash(*basis), F.lit(n_salts))
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -86,10 +86,16 @@ def iteration_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Count-min sketch parameters: depth d independent hash rows, width w
 # counters each. Hashes are explicit polynomial maps ((a*x + b) mod p mod w,
-# p = 2^61 - 1 prime, a/b fixed odd constants) so BOTH engines compute the
+# p = 2^31 - 1 prime, a/b fixed odd constants) so BOTH engines compute the
 # identical sketch with plain integer arithmetic — no engine-native hash
 # involved, which is what makes a sketch hash-gateable at all.
-_CMS_P = (1 << 61) - 1
+#
+# Overflow discipline: the item id is FIRST reduced to x = pmod(id, p), so
+# x < 2^31 and a < 2^31 give a*x + b < 2^62 — provably inside int64 for ANY
+# bigint id (a 2^61-1 modulus would let a*x overflow silently in Spark while
+# DuckDB raises, diverging the engines). pmod keeps every intermediate
+# non-negative even for negative ids.
+_CMS_P = (1 << 31) - 1
 _CMS_W = 256
 _CMS_ROWS = [(999999937, 31), (774856787, 97), (492876847, 193), (198491317, 389)]
 
@@ -101,8 +107,12 @@ WITH rows_spec(row_idx, a, b) AS (
   VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))}
 ),
 cells AS (
+  -- ((x % p) + p) % p == Spark pmod(x, p): reduce the id below 2^31 first
+  -- so a*x + b stays inside int64 for any bigint id. a is cast to BIGINT
+  -- because DuckDB types VALUES literals INT32 and would overflow the
+  -- multiply instead of widening.
   SELECT r.row_idx,
-    CAST(((r.a * e.user_id + r.b) % {_CMS_P}) % {_CMS_W} AS INT) AS col_idx
+    CAST(((CAST(r.a AS BIGINT) * (((e.user_id % {_CMS_P}) + {_CMS_P}) % {_CMS_P}) + r.b) % {_CMS_P}) % {_CMS_W} AS INT) AS col_idx
   FROM events e CROSS JOIN rows_spec r
 )
 SELECT row_idx, col_idx, COUNT(*) AS cnt
@@ -127,9 +137,13 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("row_idx"),
-                        (
-                            ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P)
-                            % _CMS_W
+                        F.pmod(
+                            F.pmod(
+                                F.lit(a) * F.pmod(F.col("user_id"), F.lit(_CMS_P))
+                                + F.lit(b),
+                                F.lit(_CMS_P),
+                            ),
+                            F.lit(_CMS_W),
                         )
                         .cast("int")
                         .alias("col_idx"),

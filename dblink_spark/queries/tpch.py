@@ -694,4 +694,5 @@ def q_events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_us": ("max", F.col("ts_us")),
         },
         n_salts=16,
+        salt_col="event_id",
     ).withColumn("total_value", F.col("total_value").cast("double"))

@@ -27,6 +27,12 @@ from dblink_spark.er.state import State
 STATE_DIRNAME = "state.parquet"
 DRIVER_BLOB = "driver-state.pkl"
 
+#: On-disk layout version. Bump whenever the parquet state schema changes
+#: incompatibly (v2 = packed-binary rec_values/rec_dist; v1 was
+#: array<array<T>>, which would otherwise fail deep inside np.frombuffer
+#: with an opaque error instead of a clear diagnostic at load time).
+STATE_FORMAT_VERSION = 2
+
 
 def save_state(state: State, path: str) -> None:
     os.makedirs(path, exist_ok=True)
@@ -40,6 +46,7 @@ def save_state(state: State, path: str) -> None:
         df = df.coalesce(1)
     df.write.mode("overwrite").parquet(os.path.join(path, STATE_DIRNAME))
     blob = {
+        "format_version": STATE_FORMAT_VERSION,
         "iteration": state.iteration,
         "theta": state.theta,
         "population_size": state.population_size,
@@ -58,7 +65,20 @@ def save_state(state: State, path: str) -> None:
 def load_state(spark: SparkSession, path: str) -> State:
     with open(os.path.join(path, DRIVER_BLOB), "rb") as f:
         blob = pickle.load(f)
+    found = blob.get("format_version", 1)
+    if found != STATE_FORMAT_VERSION:
+        raise ValueError(
+            f"incompatible state format at {path!r}: found v{found}, "
+            f"this build reads v{STATE_FORMAT_VERSION} (packed-binary record "
+            "state). Re-run the chain from records, or convert the checkpoint."
+        )
     df = spark.read.parquet(os.path.join(path, STATE_DIRNAME))
+    binary_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "binary"}
+    if not {"rec_values", "rec_dist"} <= binary_cols:
+        raise ValueError(
+            f"incompatible state.parquet at {path!r}: rec_values/rec_dist must "
+            "be packed BinaryType (format v2); found an older array layout."
+        )
     # Materialize so the first transition starts from a truncated lineage,
     # same as mid-chain states (ref: PeriodicCheckpointer discipline).
     df = df.localCheckpoint(eager=True)

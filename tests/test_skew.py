@@ -63,3 +63,30 @@ def test_two_stage_plan_shape(spark, skewed):
 def test_rejects_non_decomposable_op(spark, skewed):
     with pytest.raises(ValueError, match="not decomposable"):
         salted_aggregate(skewed, ["k"], {"m": ("median", F.col("v"))})
+
+
+def test_salt_is_deterministic_per_row(spark, skewed):
+    """Retry safety (SPARK-23207 class): the salt must be a pure function of
+    row content, not of task/partition placement — a recomputed map task must
+    re-derive the SAME salts. Re-evaluating the same rows under a different
+    physical partitioning must yield identical stage-1 partials."""
+    exprs = {"n": ("count", F.lit(1)), "total": ("sum", F.col("v"))}
+    a = salted_aggregate(skewed.repartition(3), ["k"], exprs, n_salts=8)
+    b = salted_aggregate(skewed.repartition(11, "v"), ["k"], exprs, n_salts=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and the plan must not carry a nondeterministic id expression
+    for df in (a,):
+        plan = df._jdf.queryExecution().toString()
+        assert "monotonically_increasing_id" not in plan
+
+
+def test_salt_col_spreads_duplicate_rows(spark):
+    """With fully duplicated rows, the content-hash default collapses to one
+    salt; a caller-supplied unique-id column restores the spread."""
+    dup = spark.range(4000).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    )
+    out = salted_aggregate(
+        dup, ["k"], {"n": ("count", F.lit(1))}, n_salts=8, salt_col="rid"
+    ).collect()
+    assert out == [("hot", 4000)] or (out[0]["k"], out[0]["n"]) == ("hot", 4000)

@@ -137,6 +137,36 @@ def test_state_save_resume_bit_exact(spark, small_er, tmp_path):
     assert (s_b.summary.agg_distortions == s_ref.summary.agg_distortions).all()
 
 
+def test_state_format_version_fails_fast(spark, small_er, tmp_path):
+    """A checkpoint from an incompatible build must fail at load with an
+    explicit format error, not deep inside np.frombuffer (ADVICE r4: the
+    v1 array<array<T>> layout 'loads' then dies opaquely on reshape)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from dblink_spark.sources.state_io import DRIVER_BLOB
+
+    records, cache = small_er
+    s = init_state(spark, records, cache, SinglePartition(), 1, seed=7)
+    save_state(s, str(tmp_path / "ckpt"))
+    blob_path = str(tmp_path / "ckpt" / DRIVER_BLOB)
+    with open(blob_path, "rb") as f:
+        blob = pickle.load(f)
+    assert blob["format_version"] >= 2
+    blob["format_version"] = 1
+    with open(blob_path, "wb") as f:
+        pickle.dump(blob, f)
+    with _pytest.raises(ValueError, match="incompatible state format"):
+        load_state(spark, str(tmp_path / "ckpt"))
+    # a pre-versioning blob (no marker at all) reads as v1 -> same diagnostic
+    del blob["format_version"]
+    with open(blob_path, "wb") as f:
+        pickle.dump(blob, f)
+    with _pytest.raises(ValueError, match="incompatible state format"):
+        load_state(spark, str(tmp_path / "ckpt"))
+
+
 def test_resume_appends_chain(spark, small_er, tmp_path):
     records, cache = small_er
     out = str(tmp_path / "run")
