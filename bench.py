@@ -49,6 +49,17 @@ EXTENDED_QUERIES = [
     "text_repetition",
 ]
 
+# r5: queries added (or first benched) this round — their own total, their
+# own baseline; "combined_total" (headline + extended) is the one number
+# comparable with r4 (8.796 + 11.917 = 20.713s).
+R5_QUERIES = [
+    "dedup_embedding_cosine_scaled",
+    "dedup_components",
+    "q_events_value_quantiles_approx",
+    "sketch_count_min",
+    "hybrid_search",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,7 +69,9 @@ def main() -> None:
     spark = get_spark("dblink_spark_bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    names = [n for n in BENCH_QUERIES + EXTENDED_QUERIES if n in REGISTRY]
+    names = [
+        n for n in BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES if n in REGISTRY
+    ]
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -81,8 +94,10 @@ def main() -> None:
         "extended_total": round(
             sum(timings[n] for n in EXTENDED_QUERIES if n in timings), 3
         ),
+        "r5_total": round(sum(timings[n] for n in R5_QUERIES if n in timings), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out["combined_total"] = round(out["value"] + out["extended_total"], 3)
     try:
         out["er_mcmc_iters_per_sec"] = round(mcmc_iters_per_sec(spark), 3)
     except Exception as e:  # never let the ER probe break the contract line
@@ -95,7 +110,40 @@ def main() -> None:
         out.update(paper_scale_spark_path(spark))
     except Exception as e:
         print(f"# paper-scale bench skipped: {e}", file=sys.stderr)
+    _diff_vs_last_round(out)
     print(json.dumps(out))
+
+
+def _diff_vs_last_round(out: dict) -> None:
+    """Surface round-over-round query regressions mechanically: compare this
+    run against the newest committed BENCH_r{N}.json (stderr only — the
+    stdout contract stays one JSON line, and a regression must not fail the
+    bench itself; tools/bench_diff.py is the exit-code gate)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not rounds:
+        return
+    try:
+        with open(rounds[-1]) as f:
+            prev = json.load(f).get("parsed", {})
+        flagged = []
+        for name, t_new in out["queries"].items():
+            t_old = prev.get("queries", {}).get(name)
+            if t_old and t_new > 1.5 * t_old and t_new > 0.3:
+                flagged.append(f"{name}: {t_old:.3f}s -> {t_new:.3f}s")
+        base = os.path.basename(rounds[-1])
+        if flagged:
+            print(f"# REGRESSION vs {base}: " + "; ".join(flagged), file=sys.stderr)
+        else:
+            print(f"# no query regressions vs {base} (1.5x gate)", file=sys.stderr)
+    except Exception as e:  # diagnostic only — never break the bench line
+        print(f"# bench diff skipped: {e}", file=sys.stderr)
 
 
 def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) -> dict:

@@ -1,0 +1,99 @@
+"""Connected components over a pair DataFrame — the pair→cluster closure.
+
+Every near-dup operator in `queries/dedup.py` / `queries/vectors.py` emits
+*pairs*; a real dedup pipeline then materializes transitive *groups* (pick
+one survivor per component). The reference always ends in clusters too
+(ref: analysis/package.scala:52-63, LinkageChain.scala:75-109 — cluster
+sets, not pair lists), so this is the missing twin of G6/G7 for the
+beyond-reference families.
+
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds even on adversarial chain topologies, where plain
+min-label propagation needs O(diameter) rounds. Each round is two
+shuffles (a groupBy computing per-node neighborhood minima and an
+equi-join rewriting edges), expressed entirely in DataFrame ops; the edge
+set shrinks toward star graphs centered at each component's minimum node.
+
+100-TB shape: no driver-side state beyond the loop counter and a
+convergence count; per-round lineage is truncated with localCheckpoint so
+iteration k doesn't replay rounds 1..k-1; edges stay (bigint, bigint)
+rows — at most 2|E| of them — and every operation is a hash shuffle on
+node id, so skew follows node degree (a hub node's neighborhood min is a
+partial-aggregated groupBy, which combines map-side).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to u's neighborhood minimum
+    (including u itself): for each u, m = min(N(u) ∪ {u}); emit (v, m)
+    for v ∈ N(u), v > u."""
+    bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then for each u connect u and all its
+    smaller neighbors to the minimum: emit (v, m) for v ∈ N(u) ∪ {u},
+    v ≠ m, where m = min(N(u))."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = canon.groupBy("u").agg(F.min("v").alias("mn"))
+    withm = canon.join(mins, "u")
+    to_min = withm.filter(F.col("v") != F.col("mn")).select(
+        F.col("v").alias("u"), F.col("mn").alias("v")
+    )
+    self_edge = mins.select(F.col("u"), F.col("mn").alias("v"))
+    return to_min.union(self_edge).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "v1", dst: str = "v2", max_rounds: int = 50
+) -> DataFrame:
+    """Transitive closure of a pair set: ``(node, component)`` with
+    ``component`` = the smallest node id in the node's connected component.
+    Every node that appears in ``pairs`` gets exactly one output row
+    (component minima label themselves).
+
+    ``max_rounds`` is a diverged-loop guard; the algorithm provably
+    converges in O(log n) alternations, so 50 covers any realistic graph.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.isEmpty():
+        return edges.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+    for _ in range(max_rounds):
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # converged when the (distinct) edge set is unchanged: equal sizes
+        # plus an empty one-sided difference ⇒ set equality
+        same_size = stepped.count() == edges.count()
+        if same_size and stepped.exceptAll(edges).isEmpty():
+            edges.unpersist()
+            edges = stepped
+            break
+        edges.unpersist()
+        edges = stepped
+    # fixpoint is a union of stars (u, m): every non-minimum node points at
+    # its component minimum; minima label themselves
+    nodes = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return nodes.union(roots).distinct()

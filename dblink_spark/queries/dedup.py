@@ -439,3 +439,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.groupBy("doc_id").agg(
         F.count("*").alias("n_near_dups"), F.min("partner").alias("min_partner")
     )
+
+
+@register(
+    "dedup_components",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, lang, md5(token) AS h,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
+  FROM tok
+),
+sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
+sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
+cnt AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+  FROM sk a JOIN sk b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT p.doc1, p.doc2
+  FROM cnt p JOIN sizes s1 ON s1.doc_id = p.doc1 JOIN sizes s2 ON s2.doc_id = p.doc2
+  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
+),
+edges AS (SELECT doc1 AS u, doc2 AS v FROM pr UNION SELECT doc2, doc1 FROM pr),
+cc AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, cc.label FROM cc JOIN edges e ON e.u = cc.node
+)
+SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node
+""",
+    survey_ref="beyond-reference: pair->cluster transitive closure (large-star/small-star); the clusters twin of G6/G7 (ref: analysis/package.scala:52-63)",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup GROUPS from the bottom-k near-dup pairs: every doc in
+    a pair gets its connected component's minimum doc_id as the group label —
+    the step every real dedup pipeline runs after pair emission (keep one
+    survivor per component). Distributed alternating large-star/small-star
+    (operators/components.py, O(log n) rounds); the oracle recomputes the
+    closure as a DuckDB recursive CTE over the same pair set."""
+    from dblink_spark.operators.components import connected_components
+
+    pairs = bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
+    return connected_components(pairs, "doc1", "doc2").select(
+        F.col("node").alias("doc_id"), "component"
+    )

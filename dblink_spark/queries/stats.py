@@ -175,7 +175,13 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-cutoff primitive a quality-filtering pipeline needs (e.g.
     'drop the bottom decile by quality score'). Spark's ``percentile`` is
     the exact interpolating aggregate, matching DuckDB's quantile_cont
-    bit-for-bit on the same doubles."""
+    bit-for-bit on the same doubles.
+
+    SCALE CAVEAT: exact percentile buffers every distinct value per group —
+    unbounded per-group memory, so a 100-TB hot group blows the aggregation
+    buffer. This query is the correctness anchor; the 100-TB default is
+    `q_events_value_quantiles_approx` below (bounded sketch memory,
+    documented rank-error bound)."""
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -183,3 +189,67 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.9)).cast("double").alias("p90"),
         F.percentile("value", F.lit(0.99)).cast("double").alias("p99"),
     )
+
+
+#: approx_percentile accuracy: guarantees rank error <= n/_APPROX_ACC.
+_APPROX_ACC = 10_000
+
+
+@register(
+    "q_events_value_quantiles_approx",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+""",
+    survey_ref="beyond-reference: approximate quantiles — the bounded-memory 100-TB default",
+)
+def q_events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantiles via ``approx_percentile`` — the 100-TB default:
+    the Greenwald-Khanna sketch holds O(accuracy) state per group however
+    many rows the group has, where exact ``percentile`` buffers every value
+    (see `q_events_value_quantiles`). Guarantee: the returned element's rank
+    is within ``n / accuracy`` of the target rank.
+
+    GATE DESIGN: DuckDB cannot replay Spark's sketch value-for-value, so the
+    hash-gated contract is the GUARANTEE itself — the query joins each
+    estimate back to the data, brackets its true rank [#(<est)+1, #(<=est)],
+    and emits per-quantile booleans 'bracket intersects target +/- 2n/acc';
+    the oracle asserts literal TRUE per group. A regression that breaks the
+    error bound (or returns a non-element) flips a boolean and fails the
+    hash."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    ps = [0.5, 0.9, 0.99]
+    est = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in ps]), F.lit(_APPROX_ACC)
+        ).alias("est"),
+    )
+    j = e.join(F.broadcast(est), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        *[
+            agg_col
+            for i in range(len(ps))
+            for agg_col in (
+                F.sum(
+                    F.when(F.col("value") < F.col("est").getItem(i), 1).otherwise(0)
+                ).alias(f"lt{i}"),
+                F.sum(
+                    F.when(F.col("value") <= F.col("est").getItem(i), 1).otherwise(0)
+                ).alias(f"le{i}"),
+            )
+        ],
+    )
+    err = F.lit(2.0) * F.col("n") / _APPROX_ACC + F.lit(1.0)
+    out_cols = [F.col("event_type"), F.col("n")]
+    for name, i, p in (("p50_ok", 0, 0.5), ("p90_ok", 1, 0.9), ("p99_ok", 2, 0.99)):
+        target = F.lit(p) * F.col("n")
+        ok = ((F.col(f"lt{i}") + 1) <= target + err) & (F.col(f"le{i}") >= target - err)
+        out_cols.append(ok.alias(name))
+    return agg.select(*out_cols)

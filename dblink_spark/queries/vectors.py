@@ -74,6 +74,28 @@ def make_lsh_bands(
     return bands
 
 
+def make_lsh_bands_prefix(
+    n_bands: int, bits_per_band: int, dim: int = 64, seed: int = 7
+) -> list:
+    """Like `make_lsh_bands`, but PREFIX-STABLE: band ``b``'s spec at width
+    ``w`` is exactly the first ``w`` hyperplanes of its spec at any larger
+    width (each band draws from its own seeded stream). That is what lets a
+    STATIC DuckDB oracle — generated once at the maximum width with each
+    term gated on ``k < bits`` — agree hyperplane-for-hyperplane with a
+    Spark plan whose width is derived from the corpus size at runtime."""
+    import numpy as np
+
+    bands = []
+    for b in range(n_bands):
+        rng = np.random.default_rng([seed, b])
+        band = []
+        for _ in range(bits_per_band):
+            i, j = (int(x) + 1 for x in rng.choice(dim, size=2, replace=False))
+            band.append((i, j, 1 if rng.random() < 0.5 else -1))
+        bands.append(band)
+    return bands
+
+
 def _band_sql(band) -> str:
     terms = []
     for k, (i, j, s) in enumerate(band):
@@ -289,6 +311,79 @@ def embedding_near_dups(
     )
 
 
+# Width-scaled LSH spec: same blocking implementation, but the band width
+# (sign bits per band) derives from the corpus size via `bits_for_corpus`,
+# so the expected bucket holds ~TARGET_BUCKET vectors and the candidate
+# join stays ~N * TARGET_BUCKET per band at ANY corpus size — this is the
+# 100-TB path; `dedup_embedding_cosine` above keeps the fixed 4-bit demo
+# spec. MAX_BITS=30 bounds the generated SQL (enough for ~6e10 vectors).
+_SCALED_N_BANDS = 2
+_SCALED_TARGET_BUCKET = 64
+_SCALED_MAX_BITS = 30
+_SCALED_BANDS_FULL = make_lsh_bands_prefix(_SCALED_N_BANDS, _SCALED_MAX_BITS)
+
+#: bits_for_corpus(n, 64) in SQL: GREATEST(2, CEIL(LOG2(GREATEST(n/64, 4))))
+_SCALED_BITS_SQL = (
+    f"GREATEST(2, CAST(CEIL(LOG2(GREATEST(COUNT(*) / {_SCALED_TARGET_BUCKET}.0, 4.0))) AS INT))"
+)
+
+
+def _band_sql_gated(band, bits_col: str) -> str:
+    """Band-key SQL where hyperplane k contributes only when k < bits."""
+    terms = []
+    for k, (i, j, s) in enumerate(band):
+        op = "+" if s > 0 else "-"
+        terms.append(
+            f"(CASE WHEN {k} < {bits_col} AND CAST(embedding[{i}] AS DOUBLE) {op} "
+            f"CAST(embedding[{j}] AS DOUBLE) > 0 THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_embedding_cosine_scaled",
+    oracle=f"""
+WITH params AS (
+  SELECT {_SCALED_BITS_SQL} AS bits FROM embeddings
+),
+e AS (
+  SELECT vec_id, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq,
+    {_band_sql_gated(_SCALED_BANDS_FULL[0], "params.bits")} AS band0,
+    {_band_sql_gated(_SCALED_BANDS_FULL[1], "params.bits")} AS band1
+  FROM embeddings, params
+),
+cand AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+  FROM e a JOIN e b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+  FROM e a JOIN e b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.35
+""",
+    survey_ref="beyond-reference: embedding near-dup dedup, corpus-width-scaled LSH (the 100-TB path)",
+)
+def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_embedding_cosine` with the band width derived from the corpus
+    size (`bits_for_corpus`): ~2^bits buckets per band keep the expected
+    bucket at ~64 vectors, so candidate fan-out is ~N*64 per band instead of
+    the fixed-width demo's ~N^2/16 — the registered query IS the scale path.
+
+    The corpus count is a driver-side scalar (one number, same boundary as
+    the IVF centroids); the oracle derives the identical width from
+    COUNT(*) and gates each pre-generated hyperplane term on ``k < bits``,
+    with `make_lsh_bands_prefix` guaranteeing the specs agree."""
+    e = load(spark, sf_dir, "embeddings")
+    bits = bits_for_corpus(e.count(), _SCALED_TARGET_BUCKET)
+    bands = [band[:bits] for band in _SCALED_BANDS_FULL]
+    return embedding_near_dups(e, bands=bands, threshold=0.35)
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
@@ -419,6 +514,57 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    return ivf_search(e, cents, n_query=_IVF_NQUERY, nprobe=_IVF_NPROBE, topk=_IVF_TOPK)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, k: int = 8, sample_n: int = 10_000, iters: int = 10, seed: int = 11
+) -> list:
+    """Spherical k-means (Lloyd's on L2-normalized vectors, cosine
+    assignment) over a deterministic sample, fit on the DRIVER in numpy —
+    the quantizer is model weights, the same boundary as `ann_ivf`'s
+    centroid collect; training is outside the query path at any scale
+    (sample once, fit once, broadcast forever). Returns ``[(cid, vec)]``
+    sorted by cid, plugging straight into `ivf_search`.
+
+    The sample is ordered by ``vec_id`` before the limit so the fit is
+    reproducible run-to-run (an unordered LIMIT has no determinism
+    contract)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return [(cid, [float(v) for v in cent[cid]]) for cid in range(k)]
+
+
+def ivf_search(
+    e: DataFrame,
+    cents: list,
+    n_query: int = _IVF_NQUERY,
+    nprobe: int = _IVF_NPROBE,
+    topk: int = _IVF_TOPK,
+    query_ids: "list | None" = None,
+) -> DataFrame:
+    """IVF search against an arbitrary coarse quantizer ``[(cid, vec)]`` —
+    the plan shape documented on `ann_ivf` (narrow literal-array cell
+    assignment, broadcast probe equi-join on cid, windowed top-k).
+    ``query_ids`` selects an explicit query set (default: vec_id < n_query,
+    the registered-query spec)."""
 
     def lit_vec(vals):
         return F.array(*[F.lit(v) for v in vals])
@@ -449,7 +595,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-query probe list: rank the K cells per query (K rows per query —
     # tiny frame), keep nprobe
-    q = base.filter(F.col("vec_id") < _IVF_NQUERY)
+    if query_ids is not None:
+        q = base.filter(F.col("vec_id").isin(list(query_ids)))
+        n_query = len(query_ids)
+    else:
+        q = base.filter(F.col("vec_id") < n_query)
     probe_rows = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -476,9 +626,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which is what licenses the broadcast hint at any SF (plan-audit rule)
     probes = (
         probe_rows.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qe", "qsq", "cid")
-        .limit(_IVF_NQUERY * _IVF_NPROBE)
+        .limit(n_query * nprobe)
     )
 
     cand = F.broadcast(probes).join(
@@ -495,7 +645,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _IVF_TOPK)
+        .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
 

@@ -1,7 +1,14 @@
 """Simulate the driver's verify: vanilla SparkSession, import __spark_entry__,
-smoke entry(), then hash-compare queries() vs oracle_sql() at sf0.01."""
+smoke entry(), then hash-compare queries() vs oracle_sql() at sf0.01.
+
+Unlike the driver's own gate (observed to record only the first 50 entries
+in round 4), this runs EVERY registered query and fails loudly if any entry
+is missing a result — the repo's defense against silent inventory drift.
+Pass ``--json PATH`` to write the per-query results in the driver's
+CORRECTNESS format (committed per-round as CORRECTNESS_LOCAL_r{N}.json)."""
 import hashlib
 import importlib.util
+import json
 import sys
 
 import duckdb
@@ -43,18 +50,53 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 qs = mod.queries()
 oracles = mod.oracle_sql()
+results: dict[str, dict] = {}
 fails = 0
 for name, fn in qs.items():
-    sdf = fn(spark, SF).toPandas()
+    try:
+        sdf = fn(spark, SF).toPandas()
+    except Exception as exc:  # noqa: BLE001 - record, keep going, fail at exit
+        fails += 1
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None, "err": repr(exc)}
+        print(f"ERR {name}: {exc!r}")
+        continue
     if name not in oracles:
+        results[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": len(sdf),
+                         "oracle_rows": None, "err": None}
         print(f"rows-only {name}: {len(sdf)} rows")
         continue
     odf = con.execute(oracles[name]).fetchdf()
     ok_rows = len(sdf) == len(odf)
+    ok_schema = sorted(sdf.columns) == sorted(odf.columns)
     ok_hash = value_hash(sdf) == value_hash(odf)
-    status = "OK " if (ok_rows and ok_hash) else "BAD"
-    if not (ok_rows and ok_hash):
+    ok = ok_rows and ok_hash and ok_schema
+    results[name] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                     "hash_match": ok_hash, "spark_rows": len(sdf),
+                     "oracle_rows": len(odf), "err": None}
+    if not ok:
         fails += 1
-    print(f"{status} {name}: spark_rows={len(sdf)} oracle_rows={len(odf)} hash_match={ok_hash}")
+    print(f"{'OK ' if ok else 'BAD'} {name}: spark_rows={len(sdf)} oracle_rows={len(odf)} hash_match={ok_hash}")
+
+# 3. inventory completeness: EVERY registered query must have produced a
+# result row here — a gate that can silently shrink can silently hide a
+# regression (round-4 lesson: 54 registered, 50 in the driver's file).
+missing = sorted(set(qs) - set(results))
+if missing:
+    fails += 1
+    print(f"INVENTORY DRIFT: no result for registered queries: {missing}")
+if len(qs) > 50:
+    beyond = list(qs)[50:]
+    print(f"note: {len(qs)} registered > 50 driver-gate cap; beyond-window "
+          f"(verified here, likely absent from driver file): {beyond}")
+
+if "--json" in sys.argv:
+    out = sys.argv[sys.argv.index("--json") + 1]
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out} ({len(results)} entries)")
+
 print(f"{fails} failures")
 sys.exit(1 if fails else 0)
