@@ -163,6 +163,15 @@ class State:
     spark: SparkSession | None = None
     #: iteration-loop block-format rows (BLOCK_SCHEMA)
     block_df: DataFrame | None = None
+    #: lazily-created ``sc.broadcast(cache)`` handle. The cache pickles to
+    #: ~7 MB at 100k records; captured directly in the kernel closure it is
+    #: re-serialized into every iteration's task binary and re-unpickled per
+    #: task. As a broadcast it ships once and the worker-side broadcast
+    #: registry caches the deserialized object across jobs (worker reuse),
+    #: so the per-iteration closure is just theta + small callables —
+    #: measured ~0.12 s/iteration at p=4 on local[32]. Mirrors the
+    #: reference's broadcast RecordsCache (ref: RecordsCache.scala:74-106).
+    cache_bcast: "object | None" = None
 
     @property
     def df(self) -> DataFrame:
@@ -763,23 +772,29 @@ def _kernel_salts(num_partitions: int, num_buckets: int) -> list[int] | None:
 
 
 def _salted_group(
-    df: DataFrame, num_partitions: int
+    df: DataFrame, num_partitions: int, num_buckets: int | None = None
 ) -> tuple[DataFrame, list[str]]:
     """Attach the collision-free salt column and return (df, grouping keys).
 
     The kernel still reads ``key[0]`` for the partition id, and the salt is a
     pure function of partition_id, so chains are bit-identical with or
-    without it — only task *placement* changes."""
+    without it — only task *placement* changes. ``num_buckets`` is the
+    shuffle width the iteration query will run with (``_kernel_exec_conf``
+    scopes ``spark.sql.shuffle.partitions`` to the same value); when None,
+    the session conf is read as a fallback."""
     if num_partitions <= 1:
         return df, ["partition_id"]
-    spark = df.sparkSession
-    try:
-        # Non-numeric values (e.g. "auto" on some platforms) or an AQE
-        # initialPartitionNum override make the bucket prediction wrong;
-        # placement is only an optimization, so degrade to unsalted.
-        m = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:  # noqa: BLE001 - conf absent or non-numeric
-        return df, ["partition_id"]
+    if num_buckets is not None:
+        m = num_buckets
+    else:
+        spark = df.sparkSession
+        try:
+            # Non-numeric values (e.g. "auto" on some platforms) or an AQE
+            # initialPartitionNum override make the bucket prediction wrong;
+            # placement is only an optimization, so degrade to unsalted.
+            m = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # noqa: BLE001 - conf absent or non-numeric
+            return df, ["partition_id"]
     salts = _kernel_salts(num_partitions, m)
     if salts is None:
         return df, ["partition_id"]
@@ -791,30 +806,56 @@ def _salted_group(
 
 
 @contextmanager
-def _kernel_exec_conf(spark: SparkSession):
-    """Run the iteration query with AQE partition coalescing OFF.
+def _kernel_exec_conf(spark: SparkSession, shuffle_partitions: int | None = None):
+    """Run the iteration query with AQE partition coalescing OFF and (when
+    ``shuffle_partitions`` is given) the shuffle width pinned to the kernel
+    count.
 
     The coalescer's cost model is bytes-based; a kernel group is a few MB of
     state but seconds of compute, so AQE happily merges all groups into one
     task (observed: a 4-partition RLdata10000 iteration ran as ONE task),
     silently serializing the partition parallelism the sampler exists to
     exploit. SQLConf is snapshotted when the action starts, so scoping the
-    toggle around the materializing collect confines it to iteration
+    toggles around the materializing collect confines them to iteration
     queries; analytic queries keep coalescing (there it is the right
-    behavior)."""
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    try:
-        old = spark.conf.get(key)
-    except Exception:  # noqa: BLE001 - conf may be unset
-        old = None
-    spark.conf.set(key, "false")
+    behavior).
+
+    Pinning ``spark.sql.shuffle.partitions`` to p kills the empty-bucket
+    tasks: at the default 32 buckets a p=4 iteration schedules 32 map + 32
+    reduce tasks of which 56 carry nothing — measured ~0.1 s/iteration of
+    pure scheduling on local[32]. With width p and the collision-free salts
+    (``_kernel_salts(p, p)``) each kernel owns exactly one bucket, so steady
+    state runs p map + p reduce tasks. Placement quality is unchanged (the
+    salt search is exact for any p <= m, and here m == p)."""
+    keys = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    if shuffle_partitions is not None and shuffle_partitions >= 1:
+        keys["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    olds: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            olds[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - conf may be unset
+            olds[k] = None
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        for k, old in olds.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def _resolve_cache(cache_ref) -> RecordsCache:
+    """Accept either a bare RecordsCache or a ``sc.broadcast`` handle.
+
+    On executors the broadcast path hits the worker-process broadcast
+    registry, so the ~7 MB cache is deserialized once per worker instead of
+    once per task per iteration."""
+    from pyspark.broadcast import Broadcast
+
+    return cache_ref.value if isinstance(cache_ref, Broadcast) else cache_ref
 
 
 def make_transition_kernel(
@@ -833,9 +874,11 @@ def make_transition_kernel(
     broadcast (ref: State.scala:83-84). Sweep ``j`` uses rng seed
     ``seed + j*num_partitions + pid``, exactly the seed the unfused path
     would give iteration ``j``."""
-    num_attrs = cache.num_attributes
+    cache_ref = cache
+    num_attrs = _resolve_cache(cache_ref).num_attributes
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cache = _resolve_cache(cache_ref)
         pid = int(key[0])
         pdf = pdf[~pdf["is_summary"]]
         if len(pdf) == 0:
@@ -867,11 +910,13 @@ def make_transition_kernel_arrow(
     and always emits BLOCK rows — grouped Arrow execution costs ~30-40us
     per input row, so keeping the loop in block format turns the group
     boundary from O(clusters) rows into O(p) per kernel."""
-    num_attrs = cache.num_attributes
+    cache_ref = cache
+    num_attrs = _resolve_cache(cache_ref).num_attributes
 
     def kernel(key: tuple, tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        cache = _resolve_cache(cache_ref)
         k0 = key[0]
         pid = int(k0.as_py() if hasattr(k0, "as_py") else k0)
         tbl = tbl.filter(pc.equal(tbl.column("is_summary"), False))
@@ -916,6 +961,21 @@ def _apply_kernel_grouped(
     return grouped.applyInPandas(kernel, STATE_SCHEMA), False
 
 
+def _cache_ref(state: State, df: DataFrame):
+    """Lazily broadcast the cache (once per chain) and return the handle to
+    capture in kernel closures; falls back to the bare object if broadcast
+    creation fails (placement/size optimizations must never break the
+    chain)."""
+    if state.cache_bcast is None:
+        try:
+            state.cache_bcast = df.sparkSession.sparkContext.broadcast(
+                state.cache
+            )
+        except Exception:  # noqa: BLE001 - e.g. mocked/stopped context
+            return state.cache
+    return state.cache_bcast
+
+
 def transition(state: State, mode: str) -> State:
     """One Markov transition (ref: State.scala:78-99 `nextState`):
     θ update (driver Beta draws) → partition kernels (one shuffle) →
@@ -926,14 +986,15 @@ def transition(state: State, mode: str) -> State:
     # steady state keeps the chain in block format (O(p) grouped rows per
     # kernel); entry from init/load/assign feeds cluster rows once
     src = state.block_df if state.block_df is not None else state.df
-    df_in, keys = _salted_group(src, state.num_partitions)
+    p = state.num_partitions
+    df_in, keys = _salted_group(src, p, num_buckets=p)
     # _kernel_exec_conf must wrap localCheckpoint too: the checkpoint call
     # builds the QueryExecution (and snapshots SQLConf) even though the lazy
     # materialization only happens at the summary collect below.
-    with _kernel_exec_conf(df_in.sparkSession):
+    with _kernel_exec_conf(df_in.sparkSession, shuffle_partitions=p):
         new_df, is_block = _apply_kernel_grouped(
-            df_in, keys, cache, theta, mode, state.current_seed,
-            state.partition_fn, num_partitions=state.num_partitions,
+            df_in, keys, _cache_ref(state, df_in), theta, mode,
+            state.current_seed, state.partition_fn, num_partitions=p,
         )
         # Truncate lineage every iteration: the DataFrame analogue of the
         # reference's persist + periodic checkpoint (ref: Sampler.scala:56,
@@ -1040,12 +1101,13 @@ def transition_fused(
         )
     else:
         src = state.block_df if state.block_df is not None else state.df
-        df_in, keys = _salted_group(src, state.num_partitions)
-        with _kernel_exec_conf(df_in.sparkSession):
+        p = state.num_partitions
+        df_in, keys = _salted_group(src, p, num_buckets=p)
+        with _kernel_exec_conf(df_in.sparkSession, shuffle_partitions=p):
             new_df, is_block = _apply_kernel_grouped(
-                df_in, keys, cache, theta, mode, state.current_seed,
-                state.partition_fn, n_sweeps=n_sweeps,
-                num_partitions=state.num_partitions,
+                df_in, keys, _cache_ref(state, df_in), theta, mode,
+                state.current_seed, state.partition_fn, n_sweeps=n_sweeps,
+                num_partitions=p,
             )
             new_df = new_df.localCheckpoint(eager=False)
             summary = collect_summary(new_df, cache)
