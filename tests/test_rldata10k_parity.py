@@ -12,10 +12,19 @@ local multi-partition execution path end to end.
 Runs the FULL configured length (sampleSize=100 x thinning 10 = 1,000
 iterations, evaluate cutoff 100 — nothing overridden but the paths).
 Thresholds come from a measured full-length run
-(P=0.625 / R=0.984 / F1=0.764 / ARI=0.764; the chain trades precision for
-recall as it converges past the 100-iteration burn-in, where a short run
-measured P=0.783 / R=0.668) with slack for kernel evolution. The chain is
-fully seeded, so regressions here are real.
+(P=0.625 / R=0.984 / F1=0.764 / ARI=0.764) with slack for kernel evolution.
+The chain is fully seeded, so regressions here are real.
+
+Why the precision threshold sits at 0.55 (ADVICE r4 follow-up, measured by
+tools/rl10k_trajectory.py): the per-iteration POINT clustering precision is
+STATIONARY at 0.45-0.47 from iteration 200 all the way to 1000 (R climbs
+0.92 -> 0.99), and the sMPC estimator's precision monotonically IMPROVES
+with more samples (0.588 at cutoff 200 -> 0.622 at 1000). There is no
+late-chain over-merging drift: the earlier short-run P=0.783/R=0.668 was
+the pre-convergence transient, and the recall-heavy stationary posterior is
+what this model + the example's Beta(10, 1000) distortion prior (prior mean
+distortion ~1%) converges to. test_no_precision_drift pins the
+stationarity so a genuine drift regression would fail loudly.
 """
 
 from __future__ import annotations
@@ -63,6 +72,36 @@ def test_linkage_quality_vs_ground_truth(results):
     assert pw["recall"] > 0.93, pw
     assert pw["f1"] > 0.70, pw
     assert res["evaluate"]["cluster"]["adjusted_rand_index"] > 0.70
+
+
+def test_no_precision_drift(results):
+    """Late-chain point precision must match mid-chain (stationarity): a
+    monotone precision decay between iterations 200 and 1000 would mean the
+    sampler over-merges as the chain runs — the failure mode ADVICE r4
+    asked to rule out. Measured trajectory (tools/rl10k_trajectory.py):
+    point-P 0.453/0.455/0.455/0.460/0.446/0.450/0.462/0.467/0.459 at
+    200..1000; sMPC-P strictly rising 0.588 -> 0.622."""
+    from pyspark.sql import functions as F
+
+    from dblink_spark.er.metrics import evaluate_pairwise
+    from dblink_spark.project import Project  # noqa: F401 - fixture built it
+    from dblink_spark.sources.chain import read_linkage_chain
+
+    project, _, out = results
+    spark = project.spark
+    truth = project.true_clusters()
+    chain = read_linkage_chain(spark, out).localCheckpoint(eager=True)
+
+    def point_p(it: int) -> float:
+        snap = chain.filter(F.col("iteration") == it).select(
+            F.sort_array("rec_ids").alias("cluster")
+        )
+        return evaluate_pairwise(snap, truth).precision
+
+    mid, late = point_p(200), point_p(1000)
+    assert abs(late - mid) < 0.10, (
+        f"point precision drifted: it200={mid:.3f} it1000={late:.3f}"
+    )
 
 
 def test_partition_sizes_written(results):
