@@ -55,7 +55,9 @@ EXTENDED_QUERIES = [
 R5_QUERIES = [
     "dedup_embedding_cosine_scaled",
     "dedup_components",
+    "dedup_survivors",
     "q_events_value_quantiles_approx",
+    "q_events_user_distinct_approx",
     "sketch_count_min",
     "hybrid_search",
 ]

@@ -487,3 +487,74 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc1", "doc2").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, lang, md5(token) AS h,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
+  FROM tok
+),
+sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
+sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
+cnt AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+  FROM sk a JOIN sk b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT p.doc1, p.doc2
+  FROM cnt p JOIN sizes s1 ON s1.doc_id = p.doc1 JOIN sizes s2 ON s2.doc_id = p.doc2
+  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
+),
+edges AS (SELECT doc1 AS u, doc2 AS v FROM pr UNION SELECT doc2, doc1 FROM pr),
+cc AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, cc.label FROM cc JOIN edges e ON e.u = cc.node
+),
+grp AS (SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node)
+SELECT g.component,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  (ARRAY_AGG(g.doc_id ORDER BY COALESCE(d.n_chars, 0) DESC, g.doc_id ASC))[1]
+    AS survivor,
+  CAST(MAX(COALESCE(d.n_chars, 0)) AS BIGINT) AS max_len
+FROM grp g JOIN documents d ON d.doc_id = g.doc_id
+GROUP BY g.component
+""",
+    survey_ref="beyond-reference: end-to-end dedup pipeline (pairs -> components -> canonical survivor); composes G6/G7-style closure with survivor selection",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline a training-data build runs: near-dup
+    pairs (bottom-k Jaccard) -> transitive groups (large-star/small-star
+    closure) -> one canonical survivor per group (longest document,
+    smallest doc_id on ties). Emits per-group rows (component, n_members,
+    survivor, max_len); the production variant anti-joins the corpus
+    against the non-survivors to emit the cleaned corpus — same plan plus
+    one hash join.
+
+    100-TB shape: pairs from banded equi-joins (never all-pairs), O(log n)
+    component rounds of two hash shuffles each, survivor selection is one
+    groupBy with a struct-min (map-side combinable); the doc-length join
+    shuffles on doc_id."""
+    from dblink_spark.operators.components import connected_components
+
+    pairs = bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
+    comps = connected_components(pairs, "doc1", "doc2")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len")
+    )
+    j = comps.join(docs, comps["node"] == docs["doc_id"])
+    # survivor = doc maximizing (len, -doc_id) == struct-min of (-len, doc_id):
+    # a single map-side-combinable aggregate, no window over the group
+    pick = F.min(F.struct((-F.col("len")).alias("neg_len"), F.col("doc_id").alias("d")))
+    return j.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members"),
+        pick.getField("d").alias("survivor"),
+        F.max("len").cast("long").alias("max_len"),
+    )

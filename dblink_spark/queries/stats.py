@@ -230,7 +230,11 @@ def q_events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
             "value", F.array(*[F.lit(p) for p in ps]), F.lit(_APPROX_ACC)
         ).alias("est"),
     )
-    j = e.join(F.broadcast(est), "event_type")
+    # No explicit broadcast hint: `est` is bounded by |event_type| (a grouped
+    # aggregate, KBs at any SF) but the repo's hint discipline reserves
+    # hints for provably fixed-cardinality dims — AQE sees the tiny
+    # post-agg size at runtime and broadcasts it unhinted.
+    j = e.join(est, "event_type")
     agg = j.groupBy("event_type").agg(
         F.first("n").alias("n"),
         *[
@@ -253,3 +257,48 @@ def q_events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
         ok = ((F.col(f"lt{i}") + 1) <= target + err) & (F.col(f"le{i}") >= target - err)
         out_cols.append(ok.alias(name))
     return agg.select(*out_cols)
+
+
+#: approx_count_distinct rsd (relative standard deviation of the HLL++
+#: estimate). Tolerance in the gate is 5x this — a deterministic check for
+#: fixed input (the sketch hash is fixed), with headroom for any future
+#: Spark HLL tweak that stays within its documented accuracy contract.
+_HLL_RSD = 0.02
+
+
+@register(
+    "q_events_user_distinct_approx",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+  TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+    survey_ref="beyond-reference: HLL approximate distinct — the bounded-memory cardinality primitive at 100 TB",
+)
+def q_events_user_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via ``approx_count_distinct`` (HLL++),
+    the 100-TB cardinality primitive: COUNT(DISTINCT) needs a full shuffle
+    of the distinct keys per group (state grows with cardinality), while
+    the HLL sketch is a fixed few KB per group, merges associatively
+    map-side, and answers within rsd relative error.
+
+    GATE DESIGN (same contract-as-data trick as
+    `q_events_value_quantiles_approx`): DuckDB cannot replay Spark's HLL
+    registers, so the query emits the exact count plus a boolean asserting
+    |approx - exact| <= 5 * rsd * exact; the oracle pins the boolean TRUE.
+    An HLL regression beyond its accuracy contract flips the boolean and
+    fails the hash. The exact count rides along only to anchor the row —
+    the production pipeline drops it (and the exact-distinct shuffle with
+    it)."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("n_approx"),
+    )
+    tol = F.lit(5.0 * _HLL_RSD) * F.col("n_exact")
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) <= tol).alias("approx_ok"),
+    )
