@@ -263,3 +263,82 @@ class TestStreamDedup:
         ]
         assert len(got) == len(expect), "each replayed event must appear once"
         assert sorted(got) == sorted(expect)
+
+
+class TestNearDedupDocStream:
+    """Streaming MinHash near-dedup: row-local signature (no shuffle), one
+    survivor per signature bucket, stream result == batch distinct-by-key."""
+
+    @pytest.fixture(scope="class")
+    def docs_dir(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("docs_stream")
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+        rows = [
+            (r["doc_id"], r["text"], base + timedelta(seconds=int(r["doc_id"]) % 600))
+            for r in docs.collect()
+        ]
+        # token-reordered twin of doc 0: same token SET -> same signature
+        rows.append((10**9, " ".join(reversed(rows[0][1].split(" "))),
+                     base + timedelta(seconds=700)))
+        out = d / "docs"
+        spark.createDataFrame(
+            rows, "doc_id: long, text: string, event_time: timestamp"
+        ).coalesce(1).write.parquet(str(out))
+        return str(out)
+
+    def _stream(self, spark, docs_dir):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType, TimestampType,
+        )
+
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("event_time", TimestampType()),
+        ])
+        return spark.readStream.schema(schema).parquet(docs_dir)
+
+    def test_one_survivor_per_signature_and_matches_batch(self, spark, docs_dir):
+        from dblink_spark.streaming.events import (
+            minhash_key, near_dedup_doc_stream, run_to_memory_sink,
+        )
+
+        run_to_memory_sink(
+            near_dedup_doc_stream(self._stream(spark, docs_dir)), "near_dedup_docs"
+        )
+        out = spark.table("near_dedup_docs").collect()
+        keys = [r["near_key"] for r in out]
+        assert len(keys) == len(set(keys)), "one survivor per signature bucket"
+
+        batch = spark.read.parquet(docs_dir).select(
+            minhash_key(F.col("text")).alias("near_key")
+        )
+        expect = {r["near_key"] for r in batch.distinct().collect()}
+        assert set(keys) == expect, "stream survivors == batch distinct keys"
+
+    def test_token_reordered_twin_is_suppressed(self, spark, docs_dir):
+        # the synthetic twin (doc_id 10^9) has the same token set as doc 0:
+        # exactly one of the pair survives
+        out = spark.table("near_dedup_docs").collect()
+        first_doc = (
+            spark.read.parquet(docs_dir)
+            .orderBy("doc_id")
+            .limit(1)
+            .collect()[0]["doc_id"]
+        )
+        survivors = {r["doc_id"] for r in out}
+        assert len({first_doc, 10**9} & survivors) == 1
+
+    def test_signature_plan_is_shuffle_free(self, spark, docs_dir):
+        from dblink_spark.plans.audit import audit_plan
+        from dblink_spark.streaming.events import minhash_key
+
+        df = spark.read.parquet(docs_dir).select(
+            "doc_id", minhash_key(F.col("text")).alias("k")
+        )
+        a = audit_plan(df)
+        assert a.exchanges == 0, "signature computation must be row-local"
+        assert a.python_ops == 0, "higher-order functions, not UDFs"
