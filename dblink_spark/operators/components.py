@@ -81,15 +81,31 @@ def connected_components(
         return edges.select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
+    def _sig(df: DataFrame):
+        # one-job convergence probe: (count, order-insensitive hash-sum).
+        # xxhash64 collisions could only FALSELY signal convergence, and the
+        # exact exceptAll confirmation below catches that; a true fixpoint
+        # always has an equal signature, so no convergence is ever missed.
+        r = df.select(
+            F.count("*").alias("n"),
+            # decimal accumulator: summing raw int64 hashes overflows under
+            # ANSI mode; decimal(38,0) is exact for any realistic edge count
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(edges)
     for _ in range(max_rounds):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # converged when the (distinct) edge set is unchanged: equal sizes
-        # plus an empty one-sided difference ⇒ set equality
-        same_size = stepped.count() == edges.count()
-        if same_size and stepped.exceptAll(edges).isEmpty():
+        new_sig = _sig(stepped)
+        # signature equality is necessary for set equality; only then pay
+        # the exact exceptAll confirmation (once, on the final round,
+        # instead of a count + set-difference job every round)
+        if new_sig == sig and stepped.exceptAll(edges).isEmpty():
             edges.unpersist()
             edges = stepped
             break
+        sig = new_sig
         edges.unpersist()
         edges = stepped
     # fixpoint is a union of stars (u, m): every non-minimum node points at
