@@ -60,6 +60,7 @@ R5_QUERIES = [
     "q_events_user_distinct_approx",
     "sketch_count_min",
     "hybrid_search",
+    "text_decontaminate",
 ]
 
 

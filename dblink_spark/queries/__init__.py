@@ -84,11 +84,13 @@ _GATE_TAIL = [
     "q19_brand_band_revenue",
     "q_events_type_pivot",
     "q_customer_setops",
-    # r5: two more TPC-H shapes rotated out to keep dedup_survivors and
-    # q_events_user_distinct_approx inside the 50-entry window; both remain
-    # plan-audited (tests/test_plan_audit.py) and benched every round.
+    # r5: three more TPC-H shapes rotated out to keep dedup_survivors,
+    # q_events_user_distinct_approx and text_decontaminate inside the
+    # 50-entry window; all remain plan-audited (tests/test_plan_audit.py)
+    # and benched every round.
     "q5_local_supplier_volume",
     "q18_large_orders",
+    "q3_shipping_priority",
 ]
 
 

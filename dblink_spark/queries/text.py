@@ -314,3 +314,73 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repetitive",
         (F.col("top_bigram_ratio") > 0.18) | (F.col("distinct_word_ratio") < 0.3),
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_tainted
+  FROM grams gr JOIN bench b ON b.g = gr.g
+  WHERE gr.source <> 'src0'
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_tainted, 0) AS BIGINT) AS n_tainted,
+  COALESCE(h.n_tainted, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+    survey_ref="beyond-reference: benchmark decontamination (8-gram overlap flagging) — the eval-leak guard every training-data pipeline runs",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing any
+    whitespace 8-gram with the benchmark corpus (here: the ``src0``
+    source stands in for the held-out eval suite). Output per non-benchmark
+    doc: ``(doc_id, n_tainted_grams, contaminated)``.
+
+    100-TB shape: n-grams are generated ROW-LOCALLY with higher-order
+    functions (``transform`` over a ``sequence`` of offsets — no UDF, no
+    token-explode shuffle for gram construction); the benchmark gram set is
+    small by nature (eval suites are MBs, not TBs), so AQE broadcasts the
+    distinct-gram side unhinted and the only real shuffle is the per-doc
+    hit aggregation. The md5 gram keys make the check order- and
+    engine-stable (and let a production pipeline persist the benchmark
+    gram set once and reuse it across corpus versions)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
+    )
+    exploded = d.select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    )
+    bench = exploded.filter(F.col("source") == "src0").select("g").distinct()
+    hits = (
+        exploded.filter(F.col("source") != "src0")
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_tainted"))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tainted", F.lit(0)).cast("long").alias("n_tainted"),
+            (F.coalesce("n_tainted", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
