@@ -61,6 +61,7 @@ R5_QUERIES = [
     "sketch_count_min",
     "hybrid_search",
     "text_decontaminate",
+    "q_docs_sample_split",
 ]
 
 

@@ -91,6 +91,7 @@ _GATE_TAIL = [
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",
+    "q1_pricing_summary",
 ]
 
 

@@ -302,3 +302,64 @@ def q_events_user_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_exact",
         (F.abs(F.col("n_approx") - F.col("n_exact")) <= tol).alias("approx_ok"),
     )
+
+
+@register(
+    "q_docs_sample_split",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, lang,
+    substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+    substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS split_key
+  FROM documents
+)
+SELECT doc_id, source, sample_key,
+  CASE WHEN split_key < '0ccccccd' THEN 'valid' ELSE 'train' END AS split
+FROM keyed
+WHERE sample_key < (CASE WHEN lang = 'en' THEN '80000000' ELSE '33333334' END)
+""",
+    survey_ref="beyond-reference: deterministic stratified sampling + train/valid split (hash thresholds) — reproducible corpus subsetting at 100 TB",
+)
+def q_docs_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling and train/valid splitting in ONE
+    narrow pass: each doc gets two independent md5-derived keys (domain-
+    separated by a salt prefix); a doc is kept iff its sample key falls
+    under the stratum's rate threshold (50% for ``lang='en'``, 20%
+    otherwise — hex-prefix comparison, identical in any engine), and kept
+    docs are assigned 5% valid / 95% train by the second key.
+
+    Why this and not ``df.sample``: at 100 TB reproducibility matters more
+    than randomness quality — hash thresholds give the SAME subset
+    regardless of partitioning, retries, cluster size, or engine (the
+    DuckDB oracle replays it bit-for-bit), membership is decidable per-row
+    (no coordination, no shuffle, scales embarrassingly), and rates are
+    adjustable per stratum with a CASE. ``TABLESAMPLE``/``rand()`` give
+    none of that."""
+    d = load(spark, sf_dir, "documents")
+    sample_key = F.substring(
+        F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split_key = F.substring(
+        F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    rate = F.when(F.col("lang") == "en", F.lit("80000000")).otherwise(
+        F.lit("33333334")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            sample_key.alias("sample_key"),
+            split_key.alias("split_key"),
+        )
+        .filter(F.col("sample_key") < rate)
+        .select(
+            "doc_id",
+            "source",
+            "sample_key",
+            F.when(F.col("split_key") < "0ccccccd", "valid")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
