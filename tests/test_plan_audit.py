@@ -217,3 +217,27 @@ class TestHintSubtreeAttribution:
         )
         rels = broadcast_hinted_relations(df)
         assert rels == [("c_custkey", True)]
+
+
+class TestR5QueryPlans:
+    def test_sample_split_is_narrow(self, spark):
+        """Deterministic sampling must be a single pruned scan: no shuffle,
+        no Python, membership decided per-row (the whole point of hash
+        thresholds at 100 TB)."""
+        a = _audit(spark, "q_docs_sample_split")
+        assert a.exchanges == 0
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+
+    def test_decontaminate_gram_generation_is_jvm_side(self, spark):
+        """8-gram generation rides higher-order functions; the only joins
+        are hash joins on the gram key (no cartesian fallback)."""
+        from dblink_spark.plans.audit import formatted_plan
+        import dblink_spark.queries as q
+
+        df = q.REGISTRY["text_decontaminate"].fn(spark, SF_DIR)
+        a = _audit(spark, "text_decontaminate")
+        assert a.python_ops == 0
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
