@@ -157,11 +157,11 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
     (ref: /root/reference README; multi-hundred-thousand-record datasets).
 
     100k synthetic RLdata-shaped records, KD-tree 4 partitions vs single
-    partition, PCG-I. At 300k records the same harness (block-format
-    iteration loop + vectorized kernels) measured 1/2/4/8 partitions at
-    ~6.1/3.2/1.8/1.5 s/iter (1.9x/3.3x/4.2x vs one partition), beating the
-    driver-local sequential kernels from 2 partitions up; the bench uses
-    100k so the per-round cost stays bounded."""
+    partition, PCG-I. At 300k records the same harness measured 1/2/4/8
+    partitions at ~7.5/2.9/1.7/1.5 s/iter after the r5 floor work
+    (2.6x/4.3x/5.1x vs one partition; tools/measure_300k_scaling.py),
+    beating the driver-local sequential kernels from 2 partitions up; the
+    bench uses 100k so the per-round cost stays bounded."""
     import tempfile  # noqa: F401 - symmetry with rl10k probe
 
     from pyspark.sql import functions as F
