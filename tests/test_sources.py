@@ -211,3 +211,46 @@ def test_local_linkage_sample_matches_dataframe_path(spark, small_er, tmp_path):
     assert chain.select("iteration").distinct().count() == 3
     assert chain.schema["rec_ids"].dataType.simpleString() == "array<string>"
     assert read_linkage_chain(spark, str(tmp_path), cutoff=5).count() == len(tbl)
+
+
+def test_distributed_state_save_resume_bit_exact(spark, small_er, tmp_path):
+    """Multi-partition resume through the DISTRIBUTED (block-format) path:
+    3 Spark transitions + save + load + 3 more == 6 uninterrupted.
+
+    This is the path a 100-TB chain takes: the saved state round-trips
+    through the cluster-row interchange format from a block_df, parquet is
+    written multi-file, and correctness relies on data-keyed RNG +
+    canonicalized kernel order (NOT file ordering, unlike the p=1
+    single-file fast path). Bit-exact loglik equality proves the whole
+    save/load/transition stack is order-independent."""
+    from dblink_spark.er.partition import KDTreePartitioner
+    from dblink_spark.er.state import assign_partitions, transition
+
+    records, cache = small_er
+
+    def fresh(seed=99):
+        s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=seed)
+        pf = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+        pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+        return assign_partitions(s0, pf, pf.num_partitions)
+
+    s_ref = fresh()
+    assert s_ref.num_partitions == 2
+    for _ in range(6):
+        s_ref = transition(s_ref, "PCG-I")
+
+    s_a = fresh()
+    for _ in range(3):
+        s_a = transition(s_a, "PCG-I")
+    save_state(s_a, str(tmp_path / "dckpt"))
+    s_b = load_state(spark, str(tmp_path / "dckpt"))
+    assert s_b.iteration == 3 and s_b.num_partitions == 2
+    for _ in range(3):
+        s_b = transition(s_b, "PCG-I")
+
+    assert s_b.iteration == s_ref.iteration == 6
+    assert _linkage_set(s_b) == _linkage_set(s_ref)
+    assert s_b.summary.log_likelihood == pytest.approx(
+        s_ref.summary.log_likelihood, rel=0, abs=0
+    ), "distributed resume must be bit-exact"
+    assert (s_b.summary.agg_distortions == s_ref.summary.agg_distortions).all()
