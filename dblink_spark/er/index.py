@@ -198,7 +198,7 @@ def build_attribute_index(
     a = dom_df.select(F.col("id").alias("a_id"), F.col("value").alias("a_value"))
     b = dom_df.select(F.col("id").alias("b_id"), F.col("value").alias("b_value"))
     unit_floor = sim_fn.threshold / sim_fn.max_similarity
-    pairs = (
+    pairs_df = (
         # broadcast the right side: BroadcastNestedLoopJoin keeps the task
         # count at |a|'s partitioning (a plain cartesian would multiply the
         # two sides' partition counts — 32x32 = 1024 tasks for a 240-value
@@ -212,20 +212,33 @@ def build_attribute_index(
         .withColumn("sim", sim_fn.column(F.col("a_value"), F.col("b_value")))
         .filter(F.col("sim") > 0.0)
         .select("a_id", "b_id", F.exp("sim").alias("exp_sim"))
-        .collect()
     )
-
-    nbr_ids: list[list[int]] = [[] for _ in values]
-    nbr_sims: list[list[float]] = [[] for _ in values]
-    for r in pairs:
-        nbr_ids[r["a_id"]].append(r["b_id"])
-        nbr_sims[r["a_id"]].append(r["exp_sim"])
-    neighbor_ids = []
-    neighbor_expsims = []
-    for ids, sims in zip(nbr_ids, nbr_sims):
-        order = np.argsort(ids)
-        neighbor_ids.append(np.array(ids, dtype=np.int64)[order])
-        neighbor_expsims.append(np.array(sims, dtype=np.float64)[order])
+    # Arrow transfer + vectorized CSR grouping: a realistic domain survives
+    # millions of neighbor pairs (1.85M for the 1M-record RLdata fname
+    # domain) and a per-Row Python loop dominated the whole index build;
+    # lexsort + bincount does the same grouping in ~100 ms. Per-a blocks
+    # are sorted by b_id exactly as the per-value argsort produced.
+    if hasattr(pairs_df, "toArrow"):
+        tbl = pairs_df.toArrow()
+        a_ids = np.asarray(tbl.column("a_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b_ids = np.asarray(tbl.column("b_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+        sims = np.asarray(tbl.column("exp_sim").to_numpy(zero_copy_only=False), dtype=np.float64)
+    else:  # pragma: no cover - pre-Arrow fallback
+        rows = pairs_df.collect()
+        a_ids = np.array([r["a_id"] for r in rows], dtype=np.int64)
+        b_ids = np.array([r["b_id"] for r in rows], dtype=np.int64)
+        sims = np.array([r["exp_sim"] for r in rows], dtype=np.float64)
+    order = np.lexsort((b_ids, a_ids))
+    a_ids, b_ids, sims = a_ids[order], b_ids[order], sims[order]
+    offsets = np.concatenate(
+        ([0], np.cumsum(np.bincount(a_ids, minlength=len(values))))
+    )
+    neighbor_ids = [
+        b_ids[offsets[v]: offsets[v + 1]] for v in range(len(values))
+    ]
+    neighbor_expsims = [
+        sims[offsets[v]: offsets[v + 1]] for v in range(len(values))
+    ]
 
     # sim_norm(v) = 1 / (1 + sum_{w in nbr(v)} p(w) * (expSim(w,v) - 1))
     # (non-neighbors contribute p(w)*1, which sums to 1 - covered neighbors)
