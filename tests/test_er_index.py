@@ -153,3 +153,28 @@ def test_beta_params():
     assert BetaParams(3.0, 3.0).mean == pytest.approx(0.5)
     with pytest.raises(ValueError):
         BetaParams(0.0, 1.0)
+
+
+def test_index_build_self_only_neighbors_matches_local(spark):
+    """Degenerate domain (all values mutually dissimilar): every value's
+    only neighbor is itself, and the vectorized Spark build is bit-identical
+    to the driver-local builder (CSR layout, expsims, sim_norms)."""
+    from dblink_spark.er.attributes import LevenshteinSim
+    from dblink_spark.er.index import (
+        build_attribute_index,
+        build_attribute_index_local,
+    )
+
+    dom = spark.createDataFrame(
+        [("aaaaaaaa", 1.0), ("bbbbbbbb", 2.0), ("cccccccc", 1.0)],
+        "value string, weight double",
+    )
+    sim = LevenshteinSim(7.0, 10.0)
+    idx = build_attribute_index(dom, sim)
+    ref = build_attribute_index_local(
+        {"aaaaaaaa": 1.0, "bbbbbbbb": 2.0, "cccccccc": 1.0}, sim
+    )
+    for v in range(3):
+        assert idx.neighbor_ids[v].tolist() == ref.neighbor_ids[v].tolist() == [v]
+        assert idx.neighbor_expsims[v].tolist() == ref.neighbor_expsims[v].tolist()
+    assert idx.sim_norms.tolist() == ref.sim_norms.tolist()
