@@ -62,6 +62,7 @@ R5_QUERIES = [
     "hybrid_search",
     "text_decontaminate",
     "q_docs_sample_split",
+    "text_chunk_windows",
 ]
 
 

@@ -92,6 +92,7 @@ _GATE_TAIL = [
     "q18_large_orders",
     "q3_shipping_priority",
     "q1_pricing_summary",
+    "q6_forecast_revenue",
 ]
 
 

@@ -384,3 +384,54 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_tainted", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+#: context-window chunking: 128-token windows, stride 96 (32-token overlap)
+_CHUNK_LEN = 128
+_CHUNK_STRIDE = 96
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+  (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+  array_to_string(t[i:i+{_CHUNK_LEN - 1}], ' ') AS chunk_text,
+  CAST(LEAST({_CHUNK_LEN}, len(t) - i + 1) AS BIGINT) AS n_tokens
+FROM tok, UNNEST(range(1, GREATEST(len(t), 1) + 1, {_CHUNK_STRIDE})) AS u(i)
+""",
+    survey_ref="beyond-reference: context-window chunking (sequence-packing prep) — fixed token windows with overlap, row-local",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed 128-token windows with a 96-token
+    stride (32-token overlap) — the chunking step that precedes sequence
+    packing / embedding in a training pipeline. Emits
+    ``(doc_id, chunk_idx, chunk_text, n_tokens)``; the final partial window
+    keeps its true token count.
+
+    100-TB shape: window starts come from ``sequence`` and the text from
+    ``slice`` + ``concat_ws`` inside one generator projection — all
+    JVM-side, zero shuffles, output row count = ceil(tokens/stride) per doc
+    (data-size-proportional, no driver involvement). ``posexplode``
+    provides the chunk index for free."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
+    gen = d.select(
+        "doc_id",
+        t.alias("t"),
+        n.alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "i"),
+    )
+    return gen.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("t", F.col("i"), _CHUNK_LEN)).alias("chunk_text"),
+        F.least(F.lit(_CHUNK_LEN), F.col("n") - F.col("i") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
