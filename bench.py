@@ -63,6 +63,7 @@ R5_QUERIES = [
     "text_decontaminate",
     "q_docs_sample_split",
     "text_chunk_windows",
+    "text_pack_sequences",
 ]
 
 

@@ -93,6 +93,7 @@ _GATE_TAIL = [
     "q3_shipping_priority",
     "q1_pricing_summary",
     "q6_forecast_revenue",
+    "q_top_customers",
 ]
 
 

@@ -435,3 +435,25 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=None,  # FFD packing is inherently sequential per shard — not
+    # SQL-expressible, so the driver records a rows-only check; the real
+    # guarantees (budget respected, exactly-once packing, determinism
+    # across partitionings, bounded waste) are pinned by tests/test_packing.py.
+    survey_ref="beyond-reference: sequence packing (sharded first-fit-decreasing) — the padding-minimization step after chunking",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the context-window chunks into 256-token training sequences via
+    sharded FFD (operators/packing.py): one row per chunk with its
+    (shard, bin) assignment and the bin's fill. Deterministic: md5-derived
+    shard keys + (tokens DESC, key) FFD order — identical results across
+    partitionings, retries, and cluster sizes."""
+    from dblink_spark.operators.packing import pack_sequences
+
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("key"), "n_tokens"
+    )
+    return pack_sequences(chunks, "key", "n_tokens", budget=256, n_shards=8)
