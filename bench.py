@@ -64,6 +64,7 @@ R5_QUERIES = [
     "q_docs_sample_split",
     "text_chunk_windows",
     "text_pack_sequences",
+    "q_events_json_props",
 ]
 
 

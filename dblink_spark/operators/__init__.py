@@ -13,6 +13,8 @@ Arrow-batched pandas kernel only where they don't:
 - :mod:`.skew` — two-stage salted aggregation for hot grouping keys.
 - :mod:`.bucketing` — bucketed+sorted external tables; co-located joins and
   bucket-key aggregations run with zero Exchange.
+- :mod:`.packing` — sequence packing (sharded first-fit-decreasing):
+  deterministic bin assignment of chunks into fixed token budgets.
 - :mod:`.multimodal` — binary media columns with typed metadata; decode /
   feature-extract / resize / frame-sample as Arrow-batched pandas kernels
   over ``mapInPandas``.
@@ -24,5 +26,6 @@ from dblink_spark.operators.bucketing import (  # noqa: F401
     save_bucketed,
 )
 from dblink_spark.operators.components import connected_components  # noqa: F401
+from dblink_spark.operators.packing import pack_sequences  # noqa: F401
 from dblink_spark.operators.rangejoin import band_join  # noqa: F401
 from dblink_spark.operators.skew import salted_aggregate  # noqa: F401

@@ -84,16 +84,20 @@ _GATE_TAIL = [
     "q19_brand_band_revenue",
     "q_events_type_pivot",
     "q_customer_setops",
-    # r5: three more TPC-H shapes rotated out to keep dedup_survivors,
-    # q_events_user_distinct_approx and text_decontaminate inside the
-    # 50-entry window; all remain plan-audited (tests/test_plan_audit.py)
-    # and benched every round.
+    # r5: more TPC-H shapes rotated out as the beyond-reference families
+    # grew (dedup_survivors, HLL distinct, decontamination, sampling,
+    # chunking, packing, JSON extraction all sit inside the 50-entry
+    # window). q1/q3/q5/q6/q18 remain plan-audited
+    # (tests/test_plan_audit.py) and all but q_orders_rollup are benched
+    # every round; ALL tail entries are still hash-verified each round by
+    # tools/driver_sim.py (CORRECTNESS_LOCAL artifact).
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q_top_customers",
+    "q_orders_rollup",
 ]
 
 

@@ -363,3 +363,45 @@ def q_docs_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@register(
+    "q_events_json_props",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+""",
+    survey_ref="beyond-reference: semi-structured extraction — typed from_json projection over a JSON payload column",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON column:
+    parse with an EXPLICIT schema (``from_json`` — one pass, typed columns,
+    malformed rows become nulls counted in ``n_missing``) and aggregate per
+    event type.
+
+    100-TB shape: explicit schema means no inference pass over the corpus;
+    parsing is JVM-side (Jackson under codegen, no UDF); only the projected
+    field materializes. With many JSON fields the production variant is
+    the same ``from_json`` with a wider struct — still one parse per row —
+    never N ``get_json_object`` calls (N parses per row)."""
+    from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json(F.col("props"), ST_([SF_("k", LongType())])).alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("p.k").cast("long").alias("sum_k"),
+        F.min("p.k").cast("long").alias("min_k"),
+        F.max("p.k").cast("long").alias("max_k"),
+        F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+    )
