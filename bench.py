@@ -65,6 +65,7 @@ R5_QUERIES = [
     "text_chunk_windows",
     "text_pack_sequences",
     "q_events_json_props",
+    "multimodal_resize_stats",
 ]
 
 

@@ -98,6 +98,8 @@ _GATE_TAIL = [
     "q6_forecast_revenue",
     "q_top_customers",
     "q_orders_rollup",
+    "q_events_sessionize",
+    "q_events_asof_attribution",
 ]
 
 

@@ -22,6 +22,7 @@ from dblink_spark.operators.multimodal import (
     decode_media,
     extract_features,
     frame_sample,
+    resize_image,
 )
 from dblink_spark.queries import load, register
 
@@ -228,3 +229,69 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_items").cast("double") * F.lit(float(_FEAT_SCALE)))
         ).alias("mean_weight"),
     ).orderBy("media_type", "pos")
+
+
+_RS_W, _RS_H = 4, 4  # 16 output pixels per item
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, strlen(text) AS L, hex(encode(text)) AS hx FROM documents
+),
+px AS (
+  SELECT doc_id, L, hx, (k * L) // {_RS_W * _RS_H} AS i
+  FROM m, UNNEST(range(0, {_RS_W * _RS_H})) AS u(k)
+),
+vals AS (
+  SELECT doc_id, CASE WHEN L = 0 THEN 0 ELSE {_HEX_BYTE_SQL} END AS b FROM px
+),
+agg AS (SELECT doc_id, SUM(b) AS psum FROM vals GROUP BY doc_id)
+SELECT {_MEDIA_TYPE_SQL} AS media_type,
+  COUNT(*) AS n_items,
+  CAST(SUM(psum) AS BIGINT) AS total_pixel_sum
+FROM agg JOIN documents USING (doc_id)
+GROUP BY media_type
+""",
+    survey_ref="beyond-reference: media resize kernel (fixed-size output per item) — gated via the deterministic stub codec",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every media payload to a fixed 4x4 grid through the
+    Arrow-batched ``resize_image`` kernel and aggregate the pixel sums per
+    media type. The gate pins the DETERMINISTIC stub codec
+    (nearest-neighbor index resample — the container ships no media libs,
+    per the multimodal stub policy), so a hash match proves the resize
+    plumbing end-to-end: encode -> Arrow batch -> numpy index resample ->
+    fixed-size binary -> JVM byte unpack -> aggregate. The byte unpack on
+    the Spark side is hex/conv over binary substrings — JVM-side, no UDF.
+    On a cluster with PIL installed, `resize_image(codec=None)` swaps in
+    the real decoder with the identical contract."""
+    from dblink_spark.operators.multimodal import _fake_resize_codec
+
+    d = load(spark, sf_dir, "documents")
+    resized = resize_image(
+        attach_media(d), _RS_W, _RS_H, codec=_fake_resize_codec()
+    )
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n_px = _RS_W * _RS_H
+    px_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_px)),
+            lambda i: F.conv(F.hex(F.substring(F.col("pixels"), i, 1)), 16, 10)
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        resized.select(mt.alias("media_type"), px_sum.alias("psum"))
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("psum").cast("long").alias("total_pixel_sum"),
+        )
+    )
