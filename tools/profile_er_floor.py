@@ -141,9 +141,6 @@ def main() -> None:
                 real_sweeps(ps, cache, theta, "PCG-I", s.current_seed, p, pid, 1)
 
         t_cpu = timeit(cpu, n=2)
-        mx = max(
-            real_sweeps and 0, 0
-        )  # placeholder keeps lint quiet
         per = []
         for pid, ps in states:
             t0 = time.time()
