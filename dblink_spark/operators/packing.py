@@ -40,6 +40,43 @@ PACK_SCHEMA = StructType(
 )
 
 
+def _make_ffd_pack():
+    """Factory so ``ffd_pack`` is a CLOSURE, not a plain module attribute:
+    cloudpickle serializes closures by VALUE, while module-level functions
+    go by reference — and the driver imports ``__spark_entry__`` by file
+    path, so executor Python workers cannot ``import dblink_spark`` (same
+    pitfall documented at operators/multimodal.py:_fake_decode; caught by
+    tools/driver_sim.py when the kernel first referenced a module-level
+    helper)."""
+
+    def ffd_pack(toks: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
+        """First-fit packing of an (already ordered) token-count sequence.
+
+        Returns ``(bin_of, fills)``: each item's bin index and each bin's
+        total fill. Called with tokens sorted descending (the D in FFD);
+        pure and driver-testable — tests/test_packing.py property-checks
+        the first-fit invariants over random inputs."""
+        bin_of = np.empty(len(toks), dtype=np.int64)
+        fills: list[int] = []
+        for i, t in enumerate(toks):
+            placed = False
+            for b, fill in enumerate(fills):
+                if fill + t <= budget:
+                    fills[b] = fill + t
+                    bin_of[i] = b
+                    placed = True
+                    break
+            if not placed:
+                fills.append(int(t))
+                bin_of[i] = len(fills) - 1
+        return bin_of, np.array(fills, dtype=np.int64)
+
+    return ffd_pack
+
+
+ffd_pack = _make_ffd_pack()
+
+
 def pack_sequences(
     chunks: DataFrame,
     key_col: str,
@@ -79,6 +116,8 @@ def pack_sequences(
         F.col(tokens_col).cast("long").alias("n_tokens"),
     )
 
+    _ffd = ffd_pack  # closure capture -> pickled by value into the kernel
+
     def ffd(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sh = int(key[0])
         order = np.lexsort(
@@ -86,20 +125,7 @@ def pack_sequences(
         )
         toks = pdf["n_tokens"].to_numpy()[order]
         keys = pdf["chunk_key"].to_numpy()[order]
-        bin_of = np.empty(len(toks), dtype=np.int64)
-        fills: list[int] = []
-        for i, t in enumerate(toks):
-            placed = False
-            for b, fill in enumerate(fills):
-                if fill + t <= budget:
-                    fills[b] = fill + t
-                    bin_of[i] = b
-                    placed = True
-                    break
-            if not placed:
-                fills.append(int(t))
-                bin_of[i] = len(fills) - 1
-        fills_arr = np.array(fills, dtype=np.int64)
+        bin_of, fills_arr = _ffd(toks, budget)
         return pd.DataFrame(
             {
                 "shard": np.full(len(toks), sh, dtype=np.int64),

@@ -72,3 +72,57 @@ def test_waste_is_bounded(packed):
     capacity = sum(min(BUDGET, r["fill"]) if r["fill"] > BUDGET else BUDGET for r in rows)
     filled = sum(min(r["fill"], BUDGET) for r in rows)
     assert filled / capacity > 0.75, f"padding waste too high: {filled}/{capacity}"
+
+
+class TestFFDProperties:
+    """Driver-side property tests of the pure FFD core (hypothesis)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=200)
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_first_fit_invariants(self, sizes):
+        import numpy as np
+
+        from dblink_spark.operators.packing import ffd_pack
+
+        budget = 100
+        toks = np.sort(np.array(sizes, dtype=np.int64))[::-1]
+        bin_of, fills = ffd_pack(toks, budget)
+        # every item placed exactly once, fills consistent
+        assert len(bin_of) == len(toks)
+        recomputed = np.zeros(len(fills), dtype=np.int64)
+        np.add.at(recomputed, bin_of, toks)
+        assert (recomputed == fills).all()
+        # budget respected (max item here <= budget, so no oversize bins)
+        assert (fills <= budget).all()
+        # first-fit invariant: for any bin j>0, its LARGEST item (the first
+        # routed there, thanks to descending order) did not fit any earlier
+        # bin at the time — and fills only grow, so it does not fit now.
+        largest_in = {}
+        for i, b in enumerate(bin_of):
+            largest_in.setdefault(int(b), int(toks[i]))  # first seen = largest
+        for j in range(1, len(fills)):
+            assert all(
+                fills[i] + largest_in[j] > budget for i in range(j)
+            ), "a bin's defining item would fit an earlier bin"
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=100)
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_oversized_items_get_own_flagged_bin(self, sizes):
+        import numpy as np
+
+        from dblink_spark.operators.packing import ffd_pack
+
+        budget = 50  # half the max size -> some items oversized
+        toks = np.sort(np.array(sizes, dtype=np.int64))[::-1]
+        bin_of, fills = ffd_pack(toks, budget)
+        for b, fill in enumerate(fills):
+            members = np.flatnonzero(bin_of == b)
+            if fill > budget:
+                assert len(members) == 1, "oversized bins must be singletons"
