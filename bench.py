@@ -131,20 +131,32 @@ def _diff_vs_last_round(out: dict) -> None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+
+    def _round_no(path: str) -> int:
+        # tolerate stray files matching the glob (e.g. BENCH_rerun.json):
+        # non-numeric suffixes sort first instead of crashing the key — the
+        # stdout one-JSON-line contract must survive any filename
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    rounds = [p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if _round_no(p) >= 0]
+    rounds.sort(key=_round_no)
     if not rounds:
         return
     try:
+        from tools.bench_diff import NOISE_FLOOR_SEC
+
         with open(rounds[-1]) as f:
             prev = json.load(f).get("parsed", {})
         flagged = []
+        prev_queries = prev.get("queries", {})
         for name, t_new in out["queries"].items():
-            t_old = prev.get("queries", {}).get(name)
-            if t_old and t_new > 1.5 * t_old and t_new > 0.3:
+            t_old = prev_queries.get(name)
+            if t_old and t_new > 1.5 * t_old and t_new > NOISE_FLOOR_SEC:
                 flagged.append(f"{name}: {t_old:.3f}s -> {t_new:.3f}s")
+        for name in sorted(set(prev_queries) - set(out["queries"])):
+            flagged.append(f"{name}: missing from this run")
         base = os.path.basename(rounds[-1])
         if flagged:
             print(f"# REGRESSION vs {base}: " + "; ".join(flagged), file=sys.stderr)

@@ -965,15 +965,19 @@ def _cache_ref(state: State, df: DataFrame):
     """Lazily broadcast the cache (once per chain) and return the handle to
     capture in kernel closures; falls back to the bare object if broadcast
     creation fails (placement/size optimizations must never break the
-    chain)."""
+    chain). A failure is memoized (``cache_bcast = False``) so a broken
+    context is not re-attempted every transition. The successful handle
+    lives as long as the State holds it — the ContextCleaner reclaims the
+    broadcast blocks once the last State referencing it is garbage
+    collected, the normal Spark broadcast lifecycle."""
     if state.cache_bcast is None:
         try:
             state.cache_bcast = df.sparkSession.sparkContext.broadcast(
                 state.cache
             )
         except Exception:  # noqa: BLE001 - e.g. mocked/stopped context
-            return state.cache
-    return state.cache_bcast
+            state.cache_bcast = False
+    return state.cache_bcast if state.cache_bcast else state.cache
 
 
 def transition(state: State, mode: str) -> State:

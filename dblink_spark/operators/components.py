@@ -65,8 +65,12 @@ def connected_components(
 ) -> DataFrame:
     """Transitive closure of a pair set: ``(node, component)`` with
     ``component`` = the smallest node id in the node's connected component.
-    Every node that appears in ``pairs`` gets exactly one output row
-    (component minima label themselves).
+    Every node that appears in a NON-self pair gets exactly one output row
+    (component minima label themselves). Self-pairs (u == v) carry no
+    connectivity and are dropped up front — a node appearing ONLY in
+    self-pairs is absent from the output, exactly like a node absent from
+    ``pairs`` (pinned by tests/test_components.py); left-join the node
+    universe afterwards if singleton rows are wanted.
 
     ``max_rounds`` is a diverged-loop guard; the algorithm provably
     converges in O(log n) alternations, so 50 covers any realistic graph.
@@ -89,8 +93,9 @@ def connected_components(
         r = df.select(
             F.count("*").alias("n"),
             # decimal accumulator: summing raw int64 hashes overflows under
-            # ANSI mode; decimal(38,0) is exact for any realistic edge count
-            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h"),
+            # ANSI mode; decimal(38,0) input widens the sum to the max
+            # precision, exact for ~1e19 same-sign 64-bit terms
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (r["n"], r["h"])
 
@@ -102,11 +107,13 @@ def connected_components(
         # the exact exceptAll confirmation (once, on the final round,
         # instead of a count + set-difference job every round)
         if new_sig == sig and stepped.exceptAll(edges).isEmpty():
-            edges.unpersist()
             edges = stepped
             break
         sig = new_sig
-        edges.unpersist()
+        # dropping the previous round's reference is the cleanup: checkpoint
+        # blocks are freed by the ContextCleaner once the RDD is GC'd
+        # (DataFrame.unpersist() is a no-op for localCheckpoint storage —
+        # it only uncaches CacheManager entries)
         edges = stepped
     # fixpoint is a union of stars (u, m): every non-minimum node points at
     # its component minimum; minima label themselves

@@ -66,7 +66,20 @@ def salted_aggregate(
     if salt_col is not None:
         basis = [F.col(salt_col) if isinstance(salt_col, str) else salt_col]
     else:
-        basis = [F.col(c) for c in df.columns]
+        # hash() rejects MapType inputs, so exclude map columns from the
+        # default row-content basis (map-only rows would have no basis —
+        # then a salt_col is required)
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() != "map"
+        ]
+        if not hashable:
+            raise ValueError(
+                "no hashable columns for the default salt (all columns are "
+                "maps) — pass salt_col"
+            )
+        basis = [F.col(c) for c in hashable]
     salt = F.pmod(F.hash(*basis), F.lit(n_salts))
     stage1 = (
         df.withColumn("__salt", salt)

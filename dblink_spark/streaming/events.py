@@ -251,8 +251,10 @@ def minhash_key(text_col, n_hashes: int = 8):
     def hash_row(prefix: str):
         # single-parameter lambda: a 2-arg callable would make `transform`
         # pass the array index as the second argument (and a default-arg
-        # capture would be shadowed by it)
-        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+        # capture would be shadowed by it). The '|' separator domain-
+        # separates multi-digit row prefixes ('1' + '2x' vs '12' + 'x') so
+        # hash rows stay independent for any n_hashes.
+        return lambda t: F.md5(F.concat(F.lit(prefix + "|"), t))
 
     mins = [
         F.array_min(F.transform(toks, hash_row(str(i)))) for i in range(n_hashes)

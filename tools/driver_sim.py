@@ -93,6 +93,9 @@ if len(qs) > 50:
           f"(verified here, likely absent from driver file): {beyond}")
 
 if "--json" in sys.argv:
+    if sys.argv.index("--json") + 1 >= len(sys.argv):
+        print("--json requires a path argument", file=sys.stderr)
+        sys.exit(2)
     out = sys.argv[sys.argv.index("--json") + 1]
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
