@@ -90,3 +90,27 @@ def test_salt_col_spreads_duplicate_rows(spark):
         dup, ["k"], {"n": ("count", F.lit(1))}, n_salts=8, salt_col="rid"
     ).collect()
     assert out == [("hot", 4000)] or (out[0]["k"], out[0]["n"]) == ("hot", 4000)
+
+
+def test_default_salt_tolerates_map_columns(spark):
+    """hash() rejects MapType; the default row-content salt basis must skip
+    map columns instead of failing at plan time (code-review r5)."""
+    from dblink_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1}), ("a", 2, {"y": 2}), ("b", 3, {"z": 3})],
+        "k string, v int, m map<string,int>",
+    )
+    out = salted_aggregate(
+        df, ["k"], {"n": ("count", "v"), "s": ("sum", "v")}, n_salts=4
+    )
+    rows = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
+    assert rows == {"a": (2, 3), "b": (1, 3)}
+
+
+def test_default_salt_requires_hashable_column(spark):
+    from dblink_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([({"x": 1},)], "m map<string,int>")
+    with pytest.raises(ValueError, match="salt_col"):
+        salted_aggregate(df, ["m"], {"n": ("count", "m")})
