@@ -401,7 +401,9 @@ SELECT doc_id,
   (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
   array_to_string(t[i:i+{_CHUNK_LEN - 1}], ' ') AS chunk_text,
   CAST(LEAST({_CHUNK_LEN}, len(t) - i + 1) AS BIGINT) AS n_tokens
-FROM tok, UNNEST(range(1, GREATEST(len(t), 1) + 1, {_CHUNK_STRIDE})) AS u(i)
+FROM tok,
+  UNNEST(range(1, GREATEST(len(t) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1) + 1,
+               {_CHUNK_STRIDE})) AS u(i)
 """,
     survey_ref="beyond-reference: context-window chunking (sequence-packing prep) — fixed token windows with overlap, row-local",
 )
@@ -410,7 +412,12 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride (32-token overlap) — the chunking step that precedes sequence
     packing / embedding in a training pipeline. Emits
     ``(doc_id, chunk_idx, chunk_text, n_tokens)``; the final partial window
-    keeps its true token count.
+    keeps its true token count. A start is generated only while the
+    PREVIOUS window does not already reach the end of the document
+    (``start <= n_tokens - (window - stride)``), so a doc that fits one
+    window yields exactly one chunk and no fully-overlapped tail chunks
+    duplicate training data (caught by tests/test_query_edge_corpora.py on
+    a 127-token doc).
 
     100-TB shape: window starts come from ``sequence`` and the text from
     ``slice`` + ``concat_ws`` inside one generator projection — all
@@ -420,7 +427,11 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     n = F.size(t)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(_CHUNK_LEN - _CHUNK_STRIDE), F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
     gen = d.select(
         "doc_id",
         t.alias("t"),
