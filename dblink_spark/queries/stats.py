@@ -368,13 +368,24 @@ def q_docs_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_events_json_props",
     oracle="""
+WITH parsed AS (
+  -- exact mirror of Spark from_json(k LONG) PERMISSIVE semantics: k is
+  -- extracted ONLY when props is valid JSON and $.k is a JSON integer
+  -- (strings/floats/arrays/null/malformed/absent all -> NULL, never an
+  -- error) -- verified value-by-value in tests/test_query_edge_corpora.py
+  SELECT event_type,
+    CASE WHEN json_valid(props)
+              AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
 SELECT event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-FROM events GROUP BY event_type
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(MAX(k) AS BIGINT) AS max_k,
+  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM parsed GROUP BY event_type
 """,
     survey_ref="beyond-reference: semi-structured extraction — typed from_json projection over a JSON payload column",
 )

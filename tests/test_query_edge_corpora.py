@@ -87,3 +87,73 @@ def test_chunking_window_boundaries(spark, edge_dir):
         .collect()[0]
     )
     assert tail["n_tokens"] == 129 - 96
+
+
+# dirty-JSON payloads + extreme ids: the json query must agree with the
+# oracle on EVERY PERMISSIVE-parse case (malformed, empty, NULL, string
+# numbers, floats, arrays, missing field, int64 extremes), and the HLL /
+# count-min queries on extreme ids.
+_EVENTS = [
+    (1, 7, "click", 1.0, '{"k": 7}'),
+    (2, -(2**63), "click", 2.0, '{"k": "7"}'),       # string number -> null
+    (3, 2**63 - 1, "click", 3.0, '{"k": 7.9}'),      # float -> null
+    (4, 0, "view", 4.0, '{"k": null}'),
+    (5, -1, "view", 5.0, "{bad"),                    # malformed -> null
+    (6, 7, "view", 6.0, ""),                         # empty -> null
+    (7, 8, "view", 7.0, None),                       # NULL props
+    (8, 9, "buy", 8.0, '{"x": 1}'),                  # missing field
+    (9, 10, "buy", 9.0, '{"k": [1]}'),               # wrong type
+    (10, 11, "buy", 10.0, '{"k": 9223372036854775807}'),
+    (11, 12, "buy", 11.0, '{"k": -5}'),
+]
+
+_EVENT_QUERIES = [
+    "q_events_json_props",
+    "q_events_user_distinct_approx",
+    "sketch_count_min",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events") / "dir"
+    spark.createDataFrame(
+        [(i, None, u, t, v, p) for i, u, t, v, p in _EVENTS],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_events(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_edge_events_match_oracle(name, spark, edge_events_dir, duck_events):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, edge_events_dir).toPandas()
+    odf = duck_events.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name} on edge events: {problems}"
+    assert len(sdf) > 0
+
+
+def test_json_props_permissive_counts(spark, edge_events_dir):
+    """Spot-check the PERMISSIVE accounting: of the 'view' rows only the
+    null/malformed/empty/NULL-props quartet exists -> all missing."""
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["q_events_json_props"].fn(spark, edge_events_dir).collect()
+    }
+    assert out["view"]["n"] == 4 and out["view"]["n_missing"] == 4
+    assert out["click"]["n_missing"] == 2  # string + float k
+    assert out["click"]["sum_k"] == 7
+    assert out["buy"]["sum_k"] == 2**63 - 1 - 5
+    assert out["buy"]["n_missing"] == 2  # missing field + array
