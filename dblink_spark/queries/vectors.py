@@ -96,6 +96,17 @@ def make_lsh_bands_prefix(
     return bands
 
 
+def _safe_cosine(dot, sq_a, sq_b):
+    """cosine(dot, |a|^2, |b|^2) with a zero-norm guard: a zero vector (a
+    failed/empty encoder output — inevitable somewhere in 100 TB) makes the
+    denominator 0, which ANSI mode turns into a job-killing DIVIDE_BY_ZERO.
+    Guarded cosine is defined as 0.0 (a zero vector is similar to nothing),
+    so such rows simply never rank or pair; every oracle mirrors the same
+    CASE guard. Caught by tests/test_query_edge_corpora.py."""
+    den = F.sqrt(sq_a.cast("double")) * F.sqrt(sq_b.cast("double"))
+    return F.when(den > 0, dot.cast("double") / den).otherwise(F.lit(0.0))
+
+
 def _band_sql(band) -> str:
     terms = []
     for k, (i, j, s) in enumerate(band):
@@ -130,8 +141,8 @@ dots AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id, label,
-    dot / (sqrt(qq) * sqrt(bb)) AS cosine,
-    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(qq) * sqrt(bb)) DESC, neighbor_id) AS rank
+    CASE WHEN (sqrt(qq) * sqrt(bb)) > 0 THEN dot / (sqrt(qq) * sqrt(bb)) ELSE 0 END AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CASE WHEN (sqrt(qq) * sqrt(bb)) > 0 THEN dot / (sqrt(qq) * sqrt(bb)) ELSE 0 END DESC, neighbor_id) AS rank
   FROM dots
 )
 SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INT) AS rank
@@ -178,7 +189,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qq",
         "bb",
     )
-    cosine = F.col("dot") / (F.sqrt("qq") * F.sqrt("bb"))
+    cosine = _safe_cosine(F.col("dot"), F.col("qq"), F.col("bb"))
     w = Window.partitionBy("query_id").orderBy(F.desc(cosine), F.asc("neighbor_id"))
     return (
         dots.withColumn("cosine", cosine)
@@ -220,13 +231,13 @@ WITH e AS (
 ),
 cand AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
-      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+    CASE WHEN (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) > 0
+      THEN CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE) / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) ELSE 0 END AS cosine
   FROM e a JOIN e b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
   UNION
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
-      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+    CASE WHEN (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) > 0
+      THEN CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE) / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) ELSE 0 END AS cosine
   FROM e a JOIN e b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
 )
 SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.35
@@ -287,9 +298,10 @@ def embedding_near_dups(
         F.col("bd.band_key").alias("band_key"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    cosine = (
-        _dot_q(F.col("a.embedding"), F.col("b.embedding")).cast("double")
-        / (F.sqrt(F.col("a.sq").cast("double")) * F.sqrt(F.col("b.sq").cast("double")))
+    cosine = _safe_cosine(
+        _dot_q(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.sq"),
+        F.col("b.sq"),
     )
     return (
         a.join(
@@ -355,13 +367,13 @@ e AS (
 ),
 cand AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
-      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+    CASE WHEN (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) > 0
+      THEN CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE) / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) ELSE 0 END AS cosine
   FROM e a JOIN e b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
   UNION
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-    CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
-      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) AS cosine
+    CASE WHEN (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) > 0
+      THEN CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE) / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) ELSE 0 END AS cosine
   FROM e a JOIN e b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
 )
 SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.35
@@ -448,7 +460,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K, _IVF_NPROBE, _IVF_TOPK, _IVF_NQUERY = 8, 2, 5, 8
 
 _IVF_COS = (
-    "CAST({d} AS DOUBLE) / (sqrt(CAST({sa} AS DOUBLE)) * sqrt(CAST({sb} AS DOUBLE)))"
+    "CASE WHEN (sqrt(CAST({sa} AS DOUBLE)) * sqrt(CAST({sb} AS DOUBLE))) > 0 "
+    "THEN CAST({d} AS DOUBLE) "
+    "/ (sqrt(CAST({sa} AS DOUBLE)) * sqrt(CAST({sb} AS DOUBLE))) ELSE 0 END"
 )
 
 
@@ -572,9 +586,7 @@ def ivf_search(
     def cos_to_cent(vec_col, sq_col, cvals):
         cl = lit_vec(cvals)
         csq = _dot_q(cl, cl)
-        return _dot_q(vec_col, cl).cast("double") / (
-            F.sqrt(sq_col.cast("double")) * F.sqrt(csq.cast("double"))
-        )
+        return _safe_cosine(_dot_q(vec_col, cl), sq_col, csq)
 
     base = e.select(
         "vec_id", "embedding", _dot_q(F.col("embedding"), F.col("embedding")).alias("sq")
@@ -634,8 +646,8 @@ def ivf_search(
     cand = F.broadcast(probes).join(
         cells, on="cid"
     ).filter(F.col("vec_id") != F.col("query_id"))
-    cosine = _dot_q(F.col("qe"), F.col("embedding")).cast("double") / (
-        F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("sq").cast("double"))
+    cosine = _safe_cosine(
+        _dot_q(F.col("qe"), F.col("embedding")), F.col("qsq"), F.col("sq")
     )
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine")
@@ -667,8 +679,8 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, k.doc_id, k.lang,
-    CAST({_DOT_SQL.format(a="q.qe", b="k.embedding")} AS DOUBLE)
-      / (sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(k.sq AS DOUBLE))) AS cosine
+    CASE WHEN (sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(k.sq AS DOUBLE))) > 0
+      THEN CAST({_DOT_SQL.format(a="q.qe", b="k.embedding")} AS DOUBLE) / (sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(k.sq AS DOUBLE))) ELSE 0 END AS cosine
   FROM q CROSS JOIN keep k WHERE k.doc_id <> q.query_id
 ),
 ranked AS (
@@ -713,8 +725,8 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot_q(F.col("embedding"), F.col("embedding")).alias("qsq"),
         )
     )
-    cosine = _dot_q(F.col("qe"), F.col("embedding")).cast("double") / (
-        F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("sq").cast("double"))
+    cosine = _safe_cosine(
+        _dot_q(F.col("qe"), F.col("embedding")), F.col("qsq"), F.col("sq")
     )
     scored = (
         F.broadcast(q)

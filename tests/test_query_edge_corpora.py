@@ -157,3 +157,63 @@ def test_json_props_permissive_counts(spark, edge_events_dir):
     assert out["click"]["sum_k"] == 7
     assert out["buy"]["sum_k"] == 2**63 - 1 - 5
     assert out["buy"]["n_missing"] == 2  # missing field + array
+
+
+# zero-norm / duplicate / antipodal vectors: a single zero embedding (a
+# failed encoder output) used to crash every cosine query with ANSI
+# DIVIDE_BY_ZERO; guarded cosine defines it as 0.0 in BOTH engines.
+_VECTOR_QUERIES = [
+    "vector_norms_by_label",
+    "ann_topk_cosine",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_scaled",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_vectors_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("edge_vectors") / "dir"
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=64).astype("float32")], i % 3)
+        for i in range(10)
+    ]
+    rows.append((10, [0.0] * 64, 0))                      # zero vector
+    rows.append((11, rows[0][1], 1))                      # exact duplicate
+    rows.append((12, [float(-x) for x in rows[0][1]], 2))  # antipode
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_vectors(edge_vectors_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{edge_vectors_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _VECTOR_QUERIES)
+def test_edge_vectors_match_oracle(name, spark, edge_vectors_dir, duck_vectors):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, edge_vectors_dir).toPandas()
+    odf = duck_vectors.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name} on edge vectors: {problems}"
+    assert len(sdf) > 0
+
+
+def test_zero_vector_never_ranks(spark, edge_vectors_dir):
+    """The zero vector's guarded cosine is 0.0 everywhere, so it can only
+    appear as a trailing zero-score neighbor, never as a near-dup pair."""
+    out = REGISTRY["ann_topk_cosine"].fn(spark, edge_vectors_dir).toPandas()
+    z = out[out["neighbor_id"] == 10]
+    assert (z["cosine"] == 0.0).all()
