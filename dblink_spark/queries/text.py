@@ -274,11 +274,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
     words = d.select("doc_id", w.alias("w"))
+    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — on a
+    # single-token doc the transform would then index element 2 of a
+    # 1-element array (ANSI crash; caught by the edge corpus). Guard to an
+    # empty offset array for docs with < 2 tokens, matching the oracle's
+    # range(), which IS empty there.
+    offs = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     grams = words.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
+                offs,
                 lambda i: F.concat_ws(
                     " ", F.element_at("w", i), F.element_at("w", i + 1)
                 ),

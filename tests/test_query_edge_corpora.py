@@ -28,6 +28,7 @@ _DOCS = [
     (7, "a  b   c", "en", "src4"),                                # empty toks
     (8, "12x 1 2x 12 x", "en", "src5"),                           # digit-lead
     (9, " ".join(f"w{i}" for i in range(224)) + " tail", "en", "src5"),
+    (10, "solo", "en", "src0"),   # exact dup of doc 1, inside the benchmark source
 ]
 
 _QUERIES = [
@@ -35,6 +36,17 @@ _QUERIES = [
     "q_docs_sample_split",
     "text_token_count",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_bottomk_jaccard",
+    "dedup_components",
+    "dedup_survivors",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_gopher_rules",
+    "text_repetition",   # 1-token docs: descending sequence(1,0) ANSI crash, fixed
+    "text_decontaminate",
 ]
 
 
