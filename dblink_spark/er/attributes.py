@@ -58,6 +58,29 @@ class SimilarityFn:
         the domain cross-join before computing the edit distance."""
         raise NotImplementedError
 
+    def prune_key_column(self, value: Column) -> "Column | None":
+        """Optional per-value pruning key, precomputed ONCE per side of the
+        domain self-join (vs once per pair). None (default) = no key-based
+        prune available for this similarity."""
+        return None
+
+    def allowed_length_bounds(self, length: Column) -> "tuple[Column, Column] | None":
+        """Optional inclusive [lo, hi] partner-length range such that
+        sim > 0 implies the partner's length lies inside it. When provided,
+        the index build replaces the all-pairs scan with a length-bucketed
+        EQUI-join (each value joins only compatible length buckets — the
+        scan cost becomes proportional to emitted candidates, not |dom|^2).
+        None (default) = no length-based blocking available."""
+        return None
+
+    def prune_filter_column(
+        self, key_a: Column, key_b: Column, len_a: Column, len_b: Column
+    ) -> "Column | None":
+        """Keep-filter over a candidate pair given the two pruning keys —
+        must be IMPLIED by sim > 0 (a lower-bound prune, never dropping a
+        true neighbor). None when `prune_key_column` is None."""
+        return None
+
 
 @dataclass(frozen=True)
 class ConstantSim(SimilarityFn):
@@ -110,6 +133,62 @@ class LevenshteinSim(SimilarityFn):
         gap = F.abs(len_a - len_b).cast("double")
         total = (len_a + len_b).cast("double")
         return F.when(total > 0, 1.0 - 2.0 * gap / (total + gap)).otherwise(F.lit(1.0))
+
+    def prune_key_column(self, value: Column) -> Column:
+        """64-bit character-presence bitmask (bit = codepoint mod 64; ASCII
+        letters map collision-free). One edit op changes at most 2 presence
+        bits (substitution), so ``d >= popcount(maskA XOR maskB) / 2`` —
+        a Levenshtein LOWER bound computable per pair with two long ops.
+        Hash collisions only CLEAR xor bits, i.e. weaken the bound: the
+        prune stays semantics-preserving for any alphabet."""
+        one = F.lit(1).cast("long")
+        return F.aggregate(
+            F.array_distinct(F.split(value, "")),
+            F.lit(0).cast("long"),
+            # call_function: the SQL shiftleft accepts a COLUMN shift amount
+            # (the Python F.shiftleft wrapper pins numBits to an int literal)
+            lambda acc, ch: acc.bitwiseOR(
+                F.call_function("shiftleft", one, F.pmod(F.ascii(ch), F.lit(64)))
+            ),
+        )
+
+    def allowed_length_bounds(self, length: Column) -> "tuple[Column, Column]":
+        """sim > 0 requires unit > t (t = threshold/max_similarity), and the
+        length-gap lower bound on edit distance gives
+        ``1 - 2g/(total+g) > t  <=>  t*len_b < len_a < len_b/t`` (strict,
+        derived via g = |la-lb|, total = la+lb). Integer-exact bounds:
+        ``lo = floor(t*L)+1, hi = ceil(L/t)-1``; the one pair the division
+        derivation misses is two EMPTY strings (total=0 defines unit=1), so
+        L=0 maps to [0, 0]."""
+        t = self.threshold / self.max_similarity
+        if t <= 0.0:
+            # no truncation -> every length pairs with every other; signal
+            # "no blocking available" rather than an unbounded sequence
+            return None
+        lo = F.when(length == 0, F.lit(0)).otherwise(
+            (F.floor(length * F.lit(t)) + 1).cast("int")
+        )
+        hi = F.when(length == 0, F.lit(0)).otherwise(
+            (F.ceil(length / F.lit(t)) - 1).cast("int")
+        )
+        return lo, hi
+
+    def prune_filter_column(
+        self, key_a: Column, key_b: Column, len_a: Column, len_b: Column
+    ) -> Column:
+        """Keep iff the BEST-CASE unit similarity given the combined
+        Levenshtein lower bound ``d >= max(|len gap|, popcount(xor)/2)``
+        still clears the truncation floor. Implied by sim > 0: unit
+        similarity is decreasing in d and every true neighbor satisfies
+        unit > threshold/max_similarity."""
+        pc = F.bit_count(key_a.bitwiseXOR(key_b)).cast("double")
+        gap = F.abs(len_a - len_b).cast("double")
+        d_lb = F.greatest(gap, F.ceil(pc / 2.0).cast("double"))
+        total = (len_a + len_b).cast("double")
+        unit_ub = F.when(total > 0, 1.0 - 2.0 * d_lb / (total + d_lb)).otherwise(
+            F.lit(1.0)
+        )
+        return unit_ub > F.lit(self.threshold / self.max_similarity)
 
 
 def _levenshtein(a: str, b: str) -> int:

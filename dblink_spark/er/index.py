@@ -195,21 +195,59 @@ def build_attribute_index(
     dom_df = spark.createDataFrame(
         [(int(i), str(v)) for i, v in enumerate(values)], "id int, value string"
     )
-    a = dom_df.select(F.col("id").alias("a_id"), F.col("value").alias("a_value"))
-    b = dom_df.select(F.col("id").alias("b_id"), F.col("value").alias("b_value"))
+    # per-side pruning key (e.g. Levenshtein's 64-bit char-presence mask):
+    # computed ONCE per domain value here, instead of per candidate pair —
+    # |dom| evaluations, not |dom|^2
+    prune_key = sim_fn.prune_key_column(F.col("value"))
+    if prune_key is not None:
+        dom_df = dom_df.withColumn("pk", prune_key)
+    side_cols = ["id", "value"] + (["pk"] if prune_key is not None else [])
+    a = dom_df.select(*[F.col(c).alias(f"a_{c}") for c in side_cols])
+    b = dom_df.select(*[F.col(c).alias(f"b_{c}") for c in side_cols])
     unit_floor = sim_fn.threshold / sim_fn.max_similarity
-    pairs_df = (
-        # broadcast the right side: BroadcastNestedLoopJoin keeps the task
-        # count at |a|'s partitioning (a plain cartesian would multiply the
-        # two sides' partition counts — 32x32 = 1024 tasks for a 240-value
-        # domain).
-        a.crossJoin(F.broadcast(b))
-        # length-band prune: best-case unit similarity must clear the threshold
-        .filter(
-            sim_fn.unit_upper_bound_column(F.length("a_value"), F.length("b_value"))
-            > unit_floor
+    bounds = sim_fn.allowed_length_bounds(F.length("b_value"))
+    if bounds is not None:
+        # LENGTH-BUCKETED EQUI-JOIN (replaces the all-pairs scan): side b
+        # explodes to its admissible partner lengths (|dom| x O(len) rows,
+        # still tiny, still broadcast) and the join key is a's actual
+        # length — a BroadcastHashJoin that EMITS only length-compatible
+        # pairs, so scan cost tracks candidates instead of |dom|^2. sim > 0
+        # implies membership in the bounds (attributes.py), so no true
+        # neighbor is lost; the final sim > 0 filter decides semantics.
+        lo, hi = bounds
+        b_exp = b.withColumn("join_len", F.explode(F.sequence(lo, hi)))
+        pairs_df = a.join(
+            F.broadcast(b_exp), F.length("a_value") == F.col("join_len")
         )
-        .withColumn("sim", sim_fn.column(F.col("a_value"), F.col("b_value")))
+    else:
+        pairs_df = (
+            # broadcast the right side: BroadcastNestedLoopJoin keeps the
+            # task count at |a|'s partitioning (a plain cartesian would
+            # multiply the two sides' partition counts — 32x32 = 1024 tasks
+            # for a 240-value domain).
+            a.crossJoin(F.broadcast(b))
+            # length-band prune: best-case unit similarity must clear the
+            # threshold
+            .filter(
+                sim_fn.unit_upper_bound_column(
+                    F.length("a_value"), F.length("b_value")
+                )
+                > unit_floor
+            )
+        )
+    if prune_key is not None:
+        # key-based Levenshtein lower bound (d >= popcount(maskA^maskB)/2,
+        # attributes.py:prune_filter_column): two long ops per pair that
+        # eliminate the O(len^2) levenshtein for the bulk of the length-
+        # compatible candidates (measured ~7x pair reduction on the
+        # 1M-record RLdata name domains)
+        pairs_df = pairs_df.filter(
+            sim_fn.prune_filter_column(
+                F.col("a_pk"), F.col("b_pk"), F.length("a_value"), F.length("b_value")
+            )
+        )
+    pairs_df = (
+        pairs_df.withColumn("sim", sim_fn.column(F.col("a_value"), F.col("b_value")))
         .filter(F.col("sim") > 0.0)
         .select("a_id", "b_id", F.exp("sim").alias("exp_sim"))
     )

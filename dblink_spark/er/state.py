@@ -163,7 +163,8 @@ class State:
     spark: SparkSession | None = None
     #: iteration-loop block-format rows (BLOCK_SCHEMA)
     block_df: DataFrame | None = None
-    #: lazily-created ``sc.broadcast(cache)`` handle. The cache pickles to
+    #: lazily-created ``(weakref-to-cache, sc.broadcast(cache))`` memo
+    #: (see ``_cache_ref``). The cache pickles to
     #: ~7 MB at 100k records; captured directly in the kernel closure it is
     #: re-serialized into every iteration's task binary and re-unpickled per
     #: task. As a broadcast it ships once and the worker-side broadcast
@@ -965,19 +966,33 @@ def _cache_ref(state: State, df: DataFrame):
     """Lazily broadcast the cache (once per chain) and return the handle to
     capture in kernel closures; falls back to the bare object if broadcast
     creation fails (placement/size optimizations must never break the
-    chain). A failure is memoized (``cache_bcast = False``) so a broken
-    context is not re-attempted every transition. The successful handle
-    lives as long as the State holds it — the ContextCleaner reclaims the
-    broadcast blocks once the last State referencing it is garbage
-    collected, the normal Spark broadcast lifecycle."""
-    if state.cache_bcast is None:
+    chain). A failure is memoized (``cache_bcast = (id, False)``) so a
+    broken context is not re-attempted every transition. The successful
+    handle lives as long as the State holds it — the ContextCleaner
+    reclaims the broadcast blocks once the last State referencing it is
+    garbage collected, the normal Spark broadcast lifecycle.
+
+    The memo is keyed by a WEAKREF to the cache it was built from (r5
+    ADVICE): a State built with a DIFFERENT cache but a carried-over
+    ``cache_bcast`` (e.g. via ``dataclasses.replace``) would otherwise
+    silently run kernels against the stale broadcast; an identity mismatch
+    re-broadcasts instead (a weakref, not ``id()``, because ids are reused
+    after GC)."""
+    import weakref
+
+    memo = state.cache_bcast
+    if not (
+        isinstance(memo, tuple)
+        and len(memo) == 2
+        and memo[0]() is state.cache
+    ):
         try:
-            state.cache_bcast = df.sparkSession.sparkContext.broadcast(
-                state.cache
-            )
+            handle = df.sparkSession.sparkContext.broadcast(state.cache)
         except Exception:  # noqa: BLE001 - e.g. mocked/stopped context
-            state.cache_bcast = False
-    return state.cache_bcast if state.cache_bcast else state.cache
+            handle = False
+        state.cache_bcast = (weakref.ref(state.cache), handle)
+    handle = state.cache_bcast[1]
+    return handle if handle else state.cache
 
 
 def transition(state: State, mode: str) -> State:

@@ -119,6 +119,16 @@ def pack_sequences(
     _ffd = ffd_pack  # closure capture -> pickled by value into the kernel
 
     def ffd(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL key/tokens guard (public operator; r5 ADVICE): a NULL key
+        # makes the shard NULL and None entries crash the lexsort with an
+        # opaque TypeError; a NULL token count corrupts the FFD order.
+        # Checked HERE, in the kernel, so the guard costs zero extra Spark
+        # jobs (a driver-side pre-scan would be a full extra pass at scale).
+        if key[0] is None or pdf["chunk_key"].isna().any() or pdf["n_tokens"].isna().any():
+            raise ValueError(
+                "pack_sequences: NULL chunk key or token count — filter or "
+                "coalesce upstream (packing has no NULL semantics)"
+            )
         sh = int(key[0])
         order = np.lexsort(
             (pdf["chunk_key"].to_numpy(), -pdf["n_tokens"].to_numpy())

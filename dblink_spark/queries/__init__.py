@@ -56,6 +56,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def owns_caches(df: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Caller-owns-cache contract: a query that persists an intermediate
+    (so its tokenize/groupBy pipeline isn't replayed per consumer) cannot
+    unpersist it before returning — the returned frame is LAZY and still
+    needs the cache at materialization time. Instead the persisted handles
+    ride on the result; the caller materializes, then `release_caches`.
+    One-shot processes (the driver gate) may skip release — session exit
+    frees everything; LONG-LIVED sessions (bench.py, notebooks) must call
+    it or each invocation leaks one cache entry
+    (tests/test_cache_hygiene.py pins this)."""
+    owned = getattr(df, "_owned_caches", [])
+    df._owned_caches = list(owned) + list(cached)
+    return df
+
+
+def release_caches(df: DataFrame) -> None:
+    """Free the persisted intermediates attached by `owns_caches` (no-op
+    for queries that persist nothing). Call AFTER materializing df."""
+    for c in getattr(df, "_owned_caches", []):
+        c.unpersist()
+    df._owned_caches = []
+
+
 # Importing the modules populates REGISTRY.
 from dblink_spark.queries import tpch  # noqa: E402,F401
 from dblink_spark.queries import er_analysis  # noqa: E402,F401

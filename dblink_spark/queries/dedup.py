@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from dblink_spark.queries import load, register
+from dblink_spark.queries import load, owns_caches, register
 
 N_HASHES = 16  # minhash signature size; 4 bands x 4 rows (S-curve midpoint ~0.84)
 N_BANDS = 4
@@ -181,7 +181,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = adj.groupBy("doc_id").agg(
         F.count("*").alias("n_near_dups"), F.min("partner").alias("min_partner")
     )
-    return (
+    out = (
         d.select("doc_id")
         .join(grouped, "doc_id", "left")
         .select(
@@ -192,6 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_doc"),
         )
     )
+    return owns_caches(out, docs)  # caller releases after materializing
 
 
 def bottomk_sketches(d: DataFrame, k: int = 8) -> DataFrame:
@@ -257,13 +258,14 @@ def bottomk_sketch_pairs(
     )
     n_inter = F.size(F.array_intersect("sk1", "sk2"))
     jac = n_inter.cast("double") / (F.col("k1") + F.col("k2") - n_inter)
-    return (
+    out = (
         cand.join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn("sketch_jaccard", jac)
         .filter(F.col("sketch_jaccard") >= threshold)
         .select("doc1", "doc2", "sketch_jaccard")
     )
+    return owns_caches(out, docs)  # caller releases after materializing
 
 
 @register(
@@ -436,9 +438,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = pairs.select(
         F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner")
     ).unionAll(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("partner")))
-    return adj.groupBy("doc_id").agg(
+    out = adj.groupBy("doc_id").agg(
         F.count("*").alias("n_near_dups"), F.min("partner").alias("min_partner")
     )
+    return owns_caches(out, fp)  # caller releases after materializing
 
 
 @register(
@@ -482,11 +485,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/components.py, O(log n) rounds); the oracle recomputes the
     closure as a DuckDB recursive CTE over the same pair set."""
     from dblink_spark.operators.components import connected_components
+    from dblink_spark.queries import release_caches
 
     pairs = bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
-    return connected_components(pairs, "doc1", "doc2").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comps = connected_components(pairs, "doc1", "doc2")
+    # the closure materialized eagerly (localCheckpoint) — the sketch cache
+    # has served every consumer and can be freed before returning
+    release_caches(pairs)
+    return comps.select(F.col("node").alias("doc_id"), "component")
 
 
 @register(
@@ -543,9 +549,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy with a struct-min (map-side combinable); the doc-length join
     shuffles on doc_id."""
     from dblink_spark.operators.components import connected_components
+    from dblink_spark.queries import release_caches
 
     pairs = bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
     comps = connected_components(pairs, "doc1", "doc2")
+    release_caches(pairs)  # closure materialized eagerly; cache served all consumers
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len")
     )

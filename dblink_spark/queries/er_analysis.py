@@ -267,7 +267,9 @@ def pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
     r = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
-    return cm.select(
+    from dblink_spark.queries import owns_caches
+
+    out = cm.select(
         "tp",
         "fp",
         "fn",
@@ -275,6 +277,7 @@ def pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("recall_"),
         (2.0 * p * r / (p + r)).alias("f1"),
     )
+    return owns_caches(out, cust)  # caller releases after materializing
 
 
 @register(

@@ -370,13 +370,18 @@ def q_docs_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH parsed AS (
   -- exact mirror of Spark from_json(k LONG) PERMISSIVE semantics: k is
-  -- extracted ONLY when props is valid JSON and $.k is a JSON integer
-  -- (strings/floats/arrays/null/malformed/absent all -> NULL, never an
-  -- error) -- verified value-by-value in tests/test_query_edge_corpora.py
+  -- extracted ONLY when props is valid JSON and $.k is a JSON integer that
+  -- FITS int64 (strings/floats/arrays/null/malformed/absent all -> NULL,
+  -- never an error) -- verified value-by-value in
+  -- tests/test_query_edge_corpora.py. TRY_CAST, not CAST (r5 ADVICE):
+  -- DuckDB types every non-negative JSON integer 'UBIGINT' (even 123), so
+  -- the type test cannot exclude [2^63, 2^64) values -- Spark's LongType
+  -- parse nulls those out, and a plain CAST here would raise
+  -- out-of-range instead of comparing (2^63 row in the edge corpus).
   SELECT event_type,
     CASE WHEN json_valid(props)
               AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,

@@ -476,3 +476,100 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", "doc_id", "chunk_idx").alias("key"), "n_tokens"
     )
     return pack_sequences(chunks, "key", "n_tokens", budget=256, n_shards=8)
+
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 8
+
+
+@register(
+    "text_pack_shard_totals",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+    CAST(LEAST({_CHUNK_LEN}, len(t) - i + 1) AS BIGINT) AS n_tokens
+  FROM tok,
+    UNNEST(range(1, GREATEST(len(t) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1) + 1,
+                 {_CHUNK_STRIDE})) AS u(i)
+),
+sharded AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR)), 1, 8))::BIGINT
+           % {_PACK_SHARDS} AS shard,
+    n_tokens
+  FROM chunks
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  TRUE AS bins_ok, TRUE AS fill_ok, TRUE AS fill_consistent
+FROM sharded GROUP BY shard
+""",
+    survey_ref="beyond-reference: sequence-packing invariants under the hash gate (conservation + bin bounds); companion to the rows-only text_pack_sequences",
+)
+def text_pack_shard_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated invariant projection of the FFD packing (closing the r5
+    gap where the packing path was rows-only + pytest): the ASSIGNMENT is
+    order-dependent and not SQL-expressible, but its CONSERVATION LAWS are
+    — so this query runs the real packing and emits per shard
+
+    - ``n_chunks`` / ``total_tokens``: recomputed exactly by the oracle
+      from the INPUT via the same chunking + md5-shard spec (a dropped or
+      duplicated chunk anywhere in the chunk->shard->kernel pipeline
+      breaks the hash);
+    - ``bins_ok``: bins >= n_oversize + ceil(non-oversize tokens/budget)
+      (the bin-count lower bound);
+    - ``fill_ok``: every bin without an oversize chunk fills <= budget;
+    - ``fill_consistent``: each bin's carried ``bin_fill`` equals the sum
+      of its members' tokens (constant within the bin).
+
+    The three booleans are contract-as-data (oracle pins TRUE), the two
+    counts are exact — so the gate fails on conservation violations AND on
+    kernel-logic regressions. Same plan as `text_pack_sequences` plus two
+    map-side-combinable aggregations."""
+    from dblink_spark.operators.packing import pack_sequences
+
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("key"), "n_tokens"
+    )
+    packed = pack_sequences(
+        chunks, "key", "n_tokens", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    bins = packed.groupBy("shard", "bin_idx").agg(
+        F.count("*").alias("n_chunks_bin"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("bin_fill").alias("fill_min"),
+        F.max("bin_fill").alias("fill_max"),
+        F.max("n_tokens").alias("max_chunk"),
+    )
+    oversize = F.col("max_chunk") > _PACK_BUDGET
+    per_shard = bins.groupBy("shard").agg(
+        F.sum("n_chunks_bin").cast("long").alias("n_chunks"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.count("*").alias("n_bins"),
+        F.sum(F.when(oversize, 1).otherwise(0)).alias("n_oversize"),
+        F.sum(F.when(~oversize, F.col("bin_tokens")).otherwise(0)).alias(
+            "tok_non_over"
+        ),
+        F.max(F.when(~oversize, F.col("fill_max")).otherwise(0)).alias(
+            "max_fill_non_over"
+        ),
+        F.min(
+            (F.col("fill_min") == F.col("fill_max"))
+            & (F.col("fill_min") == F.col("bin_tokens"))
+        ).alias("fill_consistent"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_chunks",
+        "total_tokens",
+        (
+            F.col("n_bins")
+            >= F.col("n_oversize")
+            + F.ceil(F.col("tok_non_over") / F.lit(_PACK_BUDGET))
+        ).alias("bins_ok"),
+        (F.col("max_fill_non_over") <= _PACK_BUDGET).alias("fill_ok"),
+        "fill_consistent",
+    )

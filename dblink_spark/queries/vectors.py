@@ -24,26 +24,23 @@ CAST(list_sum(list_transform(list_zip({a}, {b}),
   p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000000.0) AS BIGINT))) AS BIGINT)
 """
 
-# Random-hyperplane LSH bands for near-dup blocking: 2 bands x 4 hyperplanes.
-# Each hyperplane is sign(e[i] +/- e[j]) on fixed (1-based) coordinates; a
-# band key packs its 4 sign bits into 0..15. Two true near-dups collide in a
-# band with high probability (banding trades recall for the N^2 blowup), and
-# the candidate join is a pure equi-join on (band_idx, band_key) — the same
-# pigeonhole shape as dedup_simhash. Coordinates are fixed, not data-derived:
-# NO ground-truth column participates anywhere.
+# Random-hyperplane LSH banding for near-dup blocking: each hyperplane is
+# sign(e[i] +/- e[j]) on fixed (1-based) coordinates; a band key packs its
+# sign bits into an int. Two true near-dups collide in a band with high
+# probability (banding trades recall for the N^2 blowup), and the candidate
+# join is a pure equi-join on (band_idx, band_key) — the same pigeonhole
+# shape as dedup_simhash. Coordinates are seeded-PRNG-fixed, not
+# data-derived: NO ground-truth column participates anywhere.
 #
 # BAND WIDTH MUST GROW WITH CORPUS SIZE (hot-key bound): a band key splits N
 # vectors into ~2^bits buckets, so the per-band candidate join fans out
 # ~N^2 / 2^bits pairs and the largest bucket holds ~N / 2^bits vectors
-# (plus skew from correlated coordinates). The 4-bit default is sized for
-# the test fixtures; at scale use `make_lsh_bands(n_bands,
-# bits_for_corpus(N), ...)` — bits scale with log2(N), band count with the
-# recall target. The registered queries keep this FIXED spec so the DuckDB
-# oracles (generated from the same spec) stay deterministic.
-_LSH_BANDS = [
-    [(1, 3, 1), (2, 5, -1), (4, 8, 1), (6, 7, -1)],
-    [(9, 11, 1), (10, 13, -1), (12, 16, 1), (14, 15, -1)],
-]
+# (plus skew from correlated coordinates). `bits_for_corpus(N)` sizes the
+# width so the expected bucket stays ~64 vectors at ANY N — the registered
+# query (`dedup_embedding_cosine_scaled`) derives its width that way; a
+# fixed-width variant existed through r5 as `dedup_embedding_cosine` and
+# was retired in r6 because its ~N^2/16 candidate fan-out is exactly the
+# failure mode the width scaling removes (VERDICT r5 "What's wrong" #1).
 
 
 def bits_for_corpus(n_vectors: int, target_bucket: int = 64) -> int:
@@ -105,17 +102,6 @@ def _safe_cosine(dot, sq_a, sq_b):
     CASE guard. Caught by tests/test_query_edge_corpora.py."""
     den = F.sqrt(sq_a.cast("double")) * F.sqrt(sq_b.cast("double"))
     return F.when(den > 0, dot.cast("double") / den).otherwise(F.lit(0.0))
-
-
-def _band_sql(band) -> str:
-    terms = []
-    for k, (i, j, s) in enumerate(band):
-        op = "+" if s > 0 else "-"
-        terms.append(
-            f"(CASE WHEN CAST(embedding[{i}] AS DOUBLE) {op} "
-            f"CAST(embedding[{j}] AS DOUBLE) > 0 THEN {1 << k} ELSE 0 END)"
-        )
-    return " + ".join(terms)
 
 
 def _band_col(band):
@@ -219,46 +205,6 @@ def vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq,
-    {_band_sql(_LSH_BANDS[0])} AS band0,
-    {_band_sql(_LSH_BANDS[1])} AS band1
-  FROM embeddings
-),
-cand AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
-    CASE WHEN (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) > 0
-      THEN CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE) / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) ELSE 0 END AS cosine
-  FROM e a JOIN e b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
-  UNION
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
-    CASE WHEN (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) > 0
-      THEN CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE) / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))) ELSE 0 END AS cosine
-  FROM e a JOIN e b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
-)
-SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.35
-""",
-    survey_ref="beyond-reference: embedding-cosine near-duplicate detection (LSH-banded)",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by cosine >= 0.35, blocked by random-hyperplane
-    LSH bands (2 bands x 4 sign bits, `_LSH_BANDS`): each vector emits one
-    (band_idx, band_key) row per band, candidates form via ONE equi-join on
-    the exploded band key, and pairs colliding in both bands dedup through
-    the final groupBy. No ground-truth column participates — this is the
-    pattern that holds at 100 TB, unlike the label-blocked r02 version.
-
-    Quantized dots (see module docstring) make the cosine a deterministic
-    function of BIGINTs, identical across engines."""
-    return embedding_near_dups(
-        load(spark, sf_dir, "embeddings"), bands=_LSH_BANDS, threshold=0.35
-    )
-
-
 def embedding_near_dups(
     embeddings: DataFrame, bands: list, threshold: float = 0.35
 ) -> DataFrame:
@@ -327,8 +273,8 @@ def embedding_near_dups(
 # (sign bits per band) derives from the corpus size via `bits_for_corpus`,
 # so the expected bucket holds ~TARGET_BUCKET vectors and the candidate
 # join stays ~N * TARGET_BUCKET per band at ANY corpus size — this is the
-# 100-TB path; `dedup_embedding_cosine` above keeps the fixed 4-bit demo
-# spec. MAX_BITS=30 bounds the generated SQL (enough for ~6e10 vectors).
+# 100-TB path. MAX_BITS=30 bounds the generated SQL (enough for ~6e10
+# vectors).
 _SCALED_N_BANDS = 2
 _SCALED_TARGET_BUCKET = 64
 _SCALED_MAX_BITS = 30
@@ -381,10 +327,12 @@ SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.35
     survey_ref="beyond-reference: embedding near-dup dedup, corpus-width-scaled LSH (the 100-TB path)",
 )
 def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`dedup_embedding_cosine` with the band width derived from the corpus
-    size (`bits_for_corpus`): ~2^bits buckets per band keep the expected
-    bucket at ~64 vectors, so candidate fan-out is ~N*64 per band instead of
-    the fixed-width demo's ~N^2/16 — the registered query IS the scale path.
+    """Near-duplicate pairs by cosine >= 0.35, LSH-band-blocked, with the
+    band width derived from the corpus size (`bits_for_corpus`): ~2^bits
+    buckets per band keep the expected bucket at ~64 vectors, so candidate
+    fan-out is ~N*64 per band instead of a fixed-width spec's ~N^2/2^bits —
+    the registered query IS the scale path (the fixed 4-bit demo was
+    retired in r6).
 
     The corpus count is a driver-side scalar (one number, same boundary as
     the IVF centroids); the oracle derives the identical width from
@@ -531,6 +479,92 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(e, cents, n_query=_IVF_NQUERY, nprobe=_IVF_NPROBE, topk=_IVF_TOPK)
 
 
+# Trained-IVF gate operating point. K=16 with nprobe=4 makes the gate
+# SHARP: a quantizer that scatters true neighbors randomly recovers only
+# ~nprobe/K = 0.25 of the brute-force top-k, while the trained spherical
+# k-means measures 0.575-0.675 aggregate recall across the sf0.001/0.01/0.1
+# fixtures — so the 0.45 floor separates the two regimes with margin on
+# both sides. The degenerate OPPOSITE failure (all vectors in one cell ->
+# recall 1.0 but no speedup) is caught by the balance bound instead:
+# observed max cell <= 1.3x N/K; the gate allows 2x.
+_IVF_TRAINED_K, _IVF_TRAINED_NPROBE = 16, 4
+_IVF_TRAINED_MIN_RECALL = 0.45
+_IVF_TRAINED_BALANCE = 2.0
+
+
+@register(
+    "ann_ivf_trained",
+    oracle=f"""
+SELECT CAST({_IVF_NQUERY} AS BIGINT) AS n_queries,
+  CAST({_IVF_NQUERY * _IVF_TOPK} AS BIGINT) AS n_returned_total,
+  TRUE AS recall_ok,
+  TRUE AS balance_ok
+""",
+    survey_ref="beyond-reference: IVF ANN with a TRAINED spherical-k-means quantizer — the fitted index is the used index (ref analogue: AttributeIndex.scala:106-125)",
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search end-to-end through the TRAINED quantizer
+    (`train_ivf_centroids`: spherical k-means on a deterministic sample,
+    fit driver-side like model weights) — closing the r5 gap where the
+    registered `ann_ivf` used first-K stand-in centroids while the trained
+    path had only a pytest recall check.
+
+    GATE DESIGN (contract-as-data, same trick as
+    `q_events_value_quantiles_approx`): DuckDB cannot replay k-means, so
+    the hash-gated contract is the two properties a working IVF index must
+    have — emitted as ONE row the oracle pins:
+
+    - ``recall_ok``: aggregate recall vs the brute-force top-5 over the 8
+      benchmark queries >= 0.45. A quantizer that scatters neighbors
+      (garbage centroids, broken assignment) falls to ~nprobe/K = 0.25.
+    - ``balance_ok``: max cell population <= 2x ceil(N/K). The degenerate
+      quantizer that lumps everything into one cell scores recall 1.0 but
+      fails here — together the booleans bound both failure directions.
+    - ``n_returned_total`` = 40 exactly: probed cells must always contain
+      enough candidates (a lost-cell regression shrinks result sets).
+
+    Scale shape: training is outside the query path (sample once, fit
+    once, broadcast forever); the search plan is identical to `ann_ivf`
+    (narrow literal-array cell assignment, broadcast probe equi-join).
+    The brute-force arm exists only to measure recall in the gate — a
+    production pipeline runs it once per index build on a sample, not per
+    query; the balance check is the one-shuffle groupBy(cid) any index
+    build runs anyway to write its cell directory."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, k=_IVF_TRAINED_K)
+    ivf = ivf_search(
+        e, cents, n_query=_IVF_NQUERY, nprobe=_IVF_TRAINED_NPROBE, topk=_IVF_TOPK
+    ).select("query_id", "neighbor_id")
+    brute = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    per = ivf.join(
+        brute.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    search_agg = per.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_returned_total"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    cell_agg = (
+        ivf_assign_cells(e, cents)
+        .groupBy("cid")
+        .count()
+        .agg(
+            F.max("count").alias("max_cell"),
+            F.sum("count").alias("n_vectors"),
+        )
+    )
+    min_hits = F.lit(_IVF_TRAINED_MIN_RECALL * _IVF_NQUERY * _IVF_TOPK)
+    max_cell_ok = F.col("max_cell") <= F.lit(_IVF_TRAINED_BALANCE) * F.ceil(
+        F.col("n_vectors") / F.lit(_IVF_TRAINED_K)
+    )
+    return search_agg.crossJoin(cell_agg).select(
+        "n_queries",
+        "n_returned_total",
+        (F.col("n_hits") >= min_hits).alias("recall_ok"),
+        max_cell_ok.alias("balance_ok"),
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame, k: int = 8, sample_n: int = 10_000, iters: int = 10, seed: int = 11
 ) -> list:
@@ -566,6 +600,35 @@ def train_ivf_centroids(
     return [(cid, [float(v) for v in cent[cid]]) for cid in range(k)]
 
 
+def _lit_vec(vals):
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _cos_to_cent(vec_col, sq_col, cvals):
+    cl = _lit_vec(cvals)
+    return _safe_cosine(_dot_q(vec_col, cl), sq_col, _dot_q(cl, cl))
+
+
+def ivf_assign_cells(e: DataFrame, cents: list) -> DataFrame:
+    """Nearest-centroid cell assignment ``(vec_id, embedding, sq, cid)``:
+    max over K (cosine, -cid) structs built from literal centroid arrays —
+    a NARROW column expression, zero shuffle, no crossJoin (the quantizer
+    is a driver-side constant, like trained model weights)."""
+    base = e.select(
+        "vec_id", "embedding", _dot_q(F.col("embedding"), F.col("embedding")).alias("sq")
+    )
+    structs = [
+        F.struct(
+            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias("cos"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, cvals in cents
+    ]
+    return base.withColumn(
+        "cid", (-F.greatest(*structs).getField("ncid")).cast("int")
+    )
+
+
 def ivf_search(
     e: DataFrame,
     cents: list,
@@ -579,31 +642,8 @@ def ivf_search(
     assignment, broadcast probe equi-join on cid, windowed top-k).
     ``query_ids`` selects an explicit query set (default: vec_id < n_query,
     the registered-query spec)."""
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
-
-    def cos_to_cent(vec_col, sq_col, cvals):
-        cl = lit_vec(cvals)
-        csq = _dot_q(cl, cl)
-        return _safe_cosine(_dot_q(vec_col, cl), sq_col, csq)
-
-    base = e.select(
-        "vec_id", "embedding", _dot_q(F.col("embedding"), F.col("embedding")).alias("sq")
-    )
-
-    # nearest cell: max over K (cosine, -cid) structs — narrow, no shuffle
-    def best_cell(vec_col, sq_col):
-        structs = [
-            F.struct(
-                cos_to_cent(vec_col, sq_col, cvals).alias("cos"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cvals in cents
-        ]
-        return (-F.greatest(*structs).getField("ncid")).cast("int")
-
-    cells = base.withColumn("cid", best_cell(F.col("embedding"), F.col("sq")))
+    cells = ivf_assign_cells(e, cents)
+    base = cells.drop("cid")
 
     # per-query probe list: rank the K cells per query (K rows per query —
     # tiny frame), keep nprobe
@@ -621,7 +661,7 @@ def ivf_search(
                 *[
                     F.struct(
                         F.lit(cid).alias("cid"),
-                        cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias(
+                        _cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias(
                             "ccos"
                         ),
                     )

@@ -1,0 +1,58 @@
+"""Caller-owns-cache contract (r5 VERDICT #7): queries that persist an
+intermediate attach the handle to their result (`owns_caches`); a
+long-lived session materializes, then `release_caches` — after which NO
+cached plan may outlive the invocation. Asserted against Spark's
+CacheManager directly, so a future persist() added without the contract
+fails here."""
+
+from __future__ import annotations
+
+import pytest
+
+from dblink_spark.queries import REGISTRY, release_caches
+
+SF = "/root/testdata/sf0.001"
+
+#: every registered query that persists an intermediate (grep .persist())
+_PERSISTING = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_bottomk_jaccard",
+    "pairwise_metrics",
+]
+
+
+def _cache_manager(spark):
+    return spark._jsparkSession.sharedState().cacheManager()
+
+
+@pytest.mark.parametrize("name", _PERSISTING)
+def test_release_caches_empties_cache_manager(name, spark):
+    cm = _cache_manager(spark)
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    df = REGISTRY[name].fn(spark, SF)
+    df.count()
+    assert not cm.isEmpty(), f"{name}: expected a persisted intermediate"
+    release_caches(df)
+    assert cm.isEmpty(), f"{name}: release_caches left cached plans behind"
+
+
+def test_components_queries_release_internally(spark):
+    """dedup_components / dedup_survivors consume their pair cache eagerly
+    inside the closure and must release it BEFORE returning."""
+    cm = _cache_manager(spark)
+    for name in ("dedup_components", "dedup_survivors"):
+        spark.catalog.clearCache()
+        df = REGISTRY[name].fn(spark, SF)
+        assert cm.isEmpty(), f"{name}: cache left behind at build time"
+        df.count()
+        release_caches(df)  # no-op by contract, but exercised
+        assert cm.isEmpty()
+
+
+def test_non_persisting_queries_are_noop(spark):
+    """release_caches must be safe on queries that persist nothing."""
+    df = REGISTRY["dedup_exact"].fn(spark, SF)
+    df.count()
+    release_caches(df)  # must not raise

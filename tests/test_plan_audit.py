@@ -115,7 +115,7 @@ class TestShuffleBudget:
         """The near-dup candidate join must be an equi-join on the exploded
         LSH (band_idx, band_key) — and the ground-truth `label` column must
         not appear anywhere in the plan (r02 blocked on it)."""
-        df = q.REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR)
+        df = q.REGISTRY["dedup_embedding_cosine_scaled"].fn(spark, SF_DIR)
         plan = formatted_plan(df)
         assert "band_key" in plan
         assert "label" not in plan

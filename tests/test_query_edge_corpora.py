@@ -117,6 +117,10 @@ _EVENTS = [
     (9, 10, "buy", 9.0, '{"k": [1]}'),               # wrong type
     (10, 11, "buy", 10.0, '{"k": 9223372036854775807}'),
     (11, 12, "buy", 11.0, '{"k": -5}'),
+    # 2^63: JSON integer that does NOT fit int64 — Spark LongType parse
+    # nulls it; the oracle must map it to NULL too (json_type 'UBIGINT'
+    # excluded), not raise a cast-out-of-range (r5 ADVICE)
+    (12, 13, "buy", 12.0, '{"k": 9223372036854775808}'),
 ]
 
 _EVENT_QUERIES = [
@@ -168,7 +172,7 @@ def test_json_props_permissive_counts(spark, edge_events_dir):
     assert out["click"]["n_missing"] == 2  # string + float k
     assert out["click"]["sum_k"] == 7
     assert out["buy"]["sum_k"] == 2**63 - 1 - 5
-    assert out["buy"]["n_missing"] == 2  # missing field + array
+    assert out["buy"]["n_missing"] == 3  # missing field + array + 2^63 overflow
 
 
 # zero-norm / duplicate / antipodal vectors: a single zero embedding (a
@@ -177,7 +181,6 @@ def test_json_props_permissive_counts(spark, edge_events_dir):
 _VECTOR_QUERIES = [
     "vector_norms_by_label",
     "ann_topk_cosine",
-    "dedup_embedding_cosine",
     "dedup_embedding_cosine_scaled",
     "ann_lsh_bucketed",
     "ann_ivf",

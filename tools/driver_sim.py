@@ -52,9 +52,13 @@ qs = mod.queries()
 oracles = mod.oracle_sql()
 results: dict[str, dict] = {}
 fails = 0
+from dblink_spark.queries import release_caches
+
 for name, fn in qs.items():
     try:
-        sdf = fn(spark, SF).toPandas()
+        df = fn(spark, SF)
+        sdf = df.toPandas()
+        release_caches(df)  # long-lived session: free persisted intermediates
     except Exception as exc:  # noqa: BLE001 - record, keep going, fail at exit
         fails += 1
         results[name] = {"rows_match": False, "schema_match": False,

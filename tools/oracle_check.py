@@ -10,12 +10,17 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+# runnable as `python tools/oracle_check.py` from anywhere: the repo root
+# (not tools/) must be importable for dblink_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -92,7 +97,11 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = q.fn(spark, sf_dir).toPandas()
+            df = q.fn(spark, sf_dir)
+            sdf = df.toPandas()
+            from dblink_spark.queries import release_caches
+
+            release_caches(df)  # long-lived session: free persisted intermediates
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
