@@ -52,10 +52,12 @@ EXTENDED_QUERIES = [
     "text_repetition",
 ]
 
-# r6: queries added this round (trained-IVF gate, packing invariant gate).
+# r6: queries added this round (trained-IVF gate, packing invariant gate,
+# BPE-style token counting).
 R6_QUERIES = [
     "ann_ivf_trained",
     "text_pack_shard_totals",
+    "text_token_count_bpe",
 ]
 
 # r5: queries added (or first benched) this round — their own total, their

@@ -153,8 +153,15 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         broadcast_joins=broadcast_join_count(plan),
         sortmerge_joins=sortmerge_join_count(plan),
         codegen_spans=codegen_span_count(plan),
+        # detail-section headers only ("(8) FlatMapGroupsInPandas") — the
+        # tree rendering repeats each node, so a raw substring count would
+        # double-count every kernel
         python_ops=len(
-            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+            re.findall(
+                r"^\(\d+\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)",
+                plan,
+                re.M,
+            )
         ),
     )
 

@@ -114,6 +114,12 @@ _GATE_TAIL = [
     # (tests/test_plan_audit.py) and all but q_orders_rollup are benched
     # every round; ALL tail entries are still hash-verified each round by
     # tools/driver_sim.py (CORRECTNESS_LOCAL artifact).
+    # r6: retired dedup_embedding_cosine (-1), added ann_ivf_trained +
+    # text_pack_shard_totals + text_token_count_bpe (+3) -> 67 registered;
+    # q_events_error_click_band rotates out (benched every round + pinned
+    # by tests/test_rangejoin.py) keeping the head EXACTLY 50 so every
+    # non-tail entry sits inside the driver's gate window.
+    "q_events_error_click_band",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",

@@ -37,6 +37,58 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex, restricted to constructs Java regex and
+# DuckDB's RE2 evaluate IDENTICALLY: ASCII classes only (unicode property
+# classes differ between engines; even \s differs — Java includes \x0B,
+# RE2 does not — so whitespace is an explicit class), no lookarounds,
+# alternation ordered longest-first so contractions win over letter runs.
+# Non-ASCII codepoints fall into the punctuation-run class in both engines
+# (each matches per codepoint on BMP text).
+_BPE_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+"
+)
+#: SQL-quoted twin (apostrophes doubled for the single-quoted literal)
+_BPE_REGEX_SQL = _BPE_REGEX.replace("'", "''")
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_REGEX_SQL}'))) AS BIGINT)
+    AS total_bpe_tokens,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_REGEX_SQL}'))) AS DOUBLE)
+    / SUM(len(string_split(text, ' '))) AS bpe_per_ws_token
+FROM documents GROUP BY lang, source
+""",
+    survey_ref="beyond-reference: token counting (BPE-style pre-tokenizer regex) — the token-budget estimator a training pipeline runs corpus-wide",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counts per (lang, source): the GPT-2 pre-tokenizer
+    split (contractions | space-prefixed letter runs | digit runs |
+    punctuation runs | whitespace runs) counts the units a byte-pair
+    encoder would start from — a far better token-budget estimate than
+    whitespace words (emitted alongside as the ratio).
+
+    100-TB shape: one `regexp_extract_all` + `size` per row inside
+    whole-stage codegen (no UDF, no explode — counting never materializes
+    the token array per row beyond the expression), then an ordinary
+    partial-aggregated groupBy. The regex is ASCII-class-only so Spark
+    (Java regex) and the DuckDB oracle (RE2) agree codepoint-for-codepoint;
+    the edge corpus (unicode, digit-leads, empty docs) pins that."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_REGEX), F.lit(0)))
+    ws = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(ws).cast("bigint").alias("total_ws_tokens"),
+        (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws_token"),
+    )
+
+
 @register(
     "text_quality_score",
     oracle=f"""

@@ -2,9 +2,14 @@
 
 Design for scale:
 
-- Aggregations are **watermarked** so state is bounded: late rows beyond the
-  watermark are dropped and completed windows are evicted from the state
-  store. Without a watermark a 100 TB stream accumulates state forever.
+- Aggregations are **watermarked** so state is bounded: completed windows
+  are evicted from the state store and late arrivals for them are dropped.
+  Without a watermark a 100 TB stream accumulates state forever. Exact
+  late-data semantics differ per operator and are pinned empirically in
+  tests/test_streaming_edge.py: the windowed agg drops a late row only if
+  its window was already evicted in an earlier batch (a never-seen window
+  is accepted and emitted late), while dropDuplicatesWithinWatermark and
+  session_window pre-filter rows older than the in-force watermark.
 - Session windows use the built-in ``F.session_window`` (JVM-side state
   merge, whole-stage codegen on the agg) rather than a Python stateful op.
 - The one custom stateful operator (``user_running_stats``) uses

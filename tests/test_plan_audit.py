@@ -111,6 +111,34 @@ class TestShuffleBudget:
         a = _audit(spark, "q1_pricing_summary")
         assert a.exchanges <= 1
 
+    def test_ivf_trained_no_product_joins(self, spark):
+        """Trained-IVF gate: cell assignment must stay a narrow literal
+        expression and candidates must come from broadcast equi-joins —
+        no nested-loop/cartesian anywhere, no Python ops (training is
+        driver-side numpy, outside the plan)."""
+        df = q.REGISTRY["ann_ivf_trained"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        a = audit_plan(df)
+        assert a.python_ops == 0
+
+    def test_pack_shard_totals_single_kernel_one_shuffle_path(self, spark):
+        """Packing invariants: exactly ONE Python op (the FFD kernel) and
+        the pre-kernel path is a zero-shuffle generator projection — the
+        only wide ops are the shard groupBy plus the two invariant
+        aggregations."""
+        df = q.REGISTRY["text_pack_shard_totals"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.python_ops == 1
+        assert a.exchanges <= 3
+
+    def test_bpe_token_count_jvm_only_single_shuffle(self, spark):
+        """BPE-ish counting must stay a codegen'd regexp expression (no
+        UDF, no explode-materialized token arrays) with one agg shuffle."""
+        a = _audit(spark, "text_token_count_bpe")
+        assert a.python_ops == 0
+        assert a.exchanges <= 1
+
     def test_embedding_dedup_keyed_on_lsh_band_not_ground_truth(self, spark):
         """The near-dup candidate join must be an equi-join on the exploded
         LSH (band_idx, band_key) — and the ground-truth `label` column must

@@ -35,6 +35,7 @@ _QUERIES = [
     "text_chunk_windows",
     "q_docs_sample_split",
     "text_token_count",
+    "text_token_count_bpe",  # unicode + digit-lead + empty docs pin the regex
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -232,3 +233,94 @@ def test_zero_vector_never_ranks(spark, edge_vectors_dir):
     out = REGISTRY["ann_topk_cosine"].fn(spark, edge_vectors_dir).toPandas()
     z = out[out["neighbor_id"] == 10]
     assert (z["cosine"] == 0.0).all()
+
+
+# JOINT documents+embeddings corpus for the one multi-table query
+# (hybrid_search): quality-boundary docs, a passing doc with a ZERO-NORM
+# embedding, a passing doc with NO embedding row, an embedding with no doc,
+# and a doc that is itself a query. r5 VERDICT gap #2.
+def _tok_text(n):
+    return " ".join(f"t{i}" for i in range(n))
+
+
+_JOINT_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, _tok_text(20), "en", "s1", 150),     # passes; embedding ~ query 0
+    (1, _tok_text(30), "en", "s1", 200),     # passes; ZERO-NORM embedding
+    (2, _tok_text(25), "de", "s2", 300),     # passes; NO embedding row
+    (3, _tok_text(40), "de", "s2", 50),      # fails n_chars >= 100
+    (4, _tok_text(10), "fr", "s3", 100),     # both boundaries: 10 toks, 100 chars
+    (5, _tok_text(9), "fr", "s3", 500),      # fails tokens >= 10
+    (6, _tok_text(15), "en", "s4", 20000),   # n_chars upper boundary, passes
+    (7, _tok_text(15), "en", "s4", 20001),   # fails n_chars <= 20000
+]
+
+
+@pytest.fixture(scope="module")
+def edge_joint_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("edge_joint") / "dir"
+    spark.createDataFrame(
+        _JOINT_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    rng = np.random.default_rng(13)
+
+    def vec():
+        return [float(x) for x in rng.normal(size=64).astype("float32")]
+
+    rows = [(i, vec(), i % 3) for i in (0, 2, 3)]  # queries 0, 2, 3
+    # vec 1 is the ZERO vector — and vec_id < 4 makes it BOTH query 1 (a
+    # zero-norm query: guarded cosine 0 against everything, ranking falls
+    # back to doc_id ties) AND passing doc 1's embedding
+    rows.append((1, [0.0] * 64, 1))
+    rows.append((4, vec(), 1))                     # boundary doc 4
+    base0 = rows[0][1]
+    rows.append((6, [v + 0.01 for v in base0], 0))  # doc 6 ~ near query 0
+    rows.append((9, vec(), 2))                     # embedding with NO doc
+    # NOTE: doc 8 has no embedding at all is implicit (no vec row); docs
+    # 3/5/7 fail the quality filter; queries share the embeddings table,
+    # so corpus docs 0..2 double as query vectors
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_joint(edge_joint_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_joint_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def test_hybrid_search_joint_edge_corpus(spark, edge_joint_dir, duck_joint):
+    q = REGISTRY["hybrid_search"]
+    sdf = q.fn(spark, edge_joint_dir).toPandas()
+    odf = duck_joint.execute(q.oracle).fetchdf()
+    problems = compare("hybrid_search", sdf, odf)
+    assert not problems, f"hybrid_search on joint edge corpus: {problems}"
+    assert len(sdf) > 0
+
+
+def test_hybrid_search_joint_semantics(spark, edge_joint_dir):
+    """Spot-check the join/filter semantics the hash can't explain:
+    filter-failing and embedding-less docs never appear; the zero-norm doc
+    scores exactly 0; the zero-norm QUERY ranks purely by doc_id ties; the
+    near-duplicate of query 0 ranks first."""
+    out = REGISTRY["hybrid_search"].fn(spark, edge_joint_dir).toPandas()
+    # keep = filter-passing docs with embeddings: {0,1,2,4,6}
+    assert set(out["doc_id"]) <= {0, 1, 2, 4, 6}
+    z = out[out["doc_id"] == 1]
+    assert (z["cosine"] == 0.0).all()
+    q1 = out[out["query_id"] == 1].sort_values("rank")
+    assert (q1["cosine"] == 0.0).all()  # zero-norm query: guarded everywhere
+    # pure doc_id tiebreak; doc 1 absent (self: doc_id == query_id)
+    assert list(q1["doc_id"]) == [0, 2, 4]
+    top_q0 = out[(out["query_id"] == 0) & (out["rank"] == 1)]
+    assert list(top_q0["doc_id"]) == [6]

@@ -1,0 +1,292 @@
+"""Streaming edge corpus (r5 VERDICT #6b): the streaming family was
+stream==batch tested on the benign fixture only. This module drives the
+operators over a CRAFTED 4-micro-batch file sequence exercising exactly
+the semantics the fixture can't reach:
+
+- a late row INSIDE the watermark (must be included),
+- a late row BEYOND the watermark (must be dropped),
+- duplicate event ids within one batch and across batches,
+- rows exactly ON a window boundary and a session gap of exactly 30 min,
+- near-duplicate documents across micro-batches.
+
+File k becomes micro-batch k (``maxFilesPerTrigger=1`` + strictly
+increasing mtimes); watermark after each batch = max event time seen - 2h,
+so the "advancer"/"flusher" sentinel events move the watermark
+deterministically between batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dblink_spark.streaming.events import (
+    dedup_event_stream,
+    near_dedup_doc_stream,
+    read_event_stream,
+    run_to_memory_sink,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+H = 3_600_000_000  # 1 hour in µs
+T0 = 1_900_000_800_000_000  # µs; NOT hour-aligned epoch offset is irrelevant
+# align T0 to an hour boundary so "exactly on the window edge" is exact:
+T0 -= T0 % H
+
+#: (event_id, ts_us, user_id, event_type, value) per micro-batch file.
+#:
+#: Empirical watermark semantics pinned here (verified on this Spark):
+#: the aggregation does NOT pre-filter rows older than the watermark — a
+#: late row is dropped only when its window/session was ALREADY EVICTED in
+#: an earlier batch (append mode emits each window exactly once, so a
+#: post-eviction arrival must be discarded); a late row whose window was
+#: never seen is still accepted and emitted late. Eviction of a window
+#: happens at the end of the first batch whose pre-batch watermark exceeds
+#: the window end.
+_BATCHES = [
+    [  # batch 0: base rows + in-batch duplicate id 1
+        (1, T0, 1, "click", 1.0),               # exactly at window 0 start
+        (1, T0 + 10_000_000, 1, "click", 99.0),  # same id, 10s later
+        (2, T0 + 3_599_000_000, 1, "click", 2.0),  # last second of window 0
+        (3, T0 + H, 2, "view", 3.0),            # exactly at window 1 start
+        (4, T0 + H + 1_800_000_000, 2, "view", 4.0),  # session gap exactly 30m
+    ],
+    [  # batch 1: watermark advancer (-> wm = T0+8h from batch 2 on) + a
+        # cross-batch duplicate of id 2 (same ts, different value)
+        (100, T0 + 10 * H, 9, "adv", 0.0),
+        (2, T0 + 3_599_000_000, 1, "click", 77.0),  # dup of id 2
+    ],
+    [  # batch 2: runs with wm = T0+8h; at its END every window with
+        # end < 8h is evicted + emitted (click window 0, view window 1)
+        (6, T0 + 9 * H, 3, "lateok", 6.0),   # inside watermark -> kept
+    ],
+    [  # batch 3: late row into the ALREADY-EVICTED click window 0 ->
+        # dropped (append emitted that window in batch 2; re-emission
+        # would break exactly-once). New user so sessions are unaffected.
+        (5, T0 + 1_800_000_000, 4, "click", 1000.0),
+    ],
+    [  # batch 4: flusher (-> wm = T0+18h, emits window [9h,10h))
+        (101, T0 + 20 * H, 9, "adv", 0.0),
+    ],
+]
+
+_SENTINEL_TYPES = {"adv"}
+
+
+@pytest.fixture(scope="module")
+def edge_events_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for k, rows in enumerate(_BATCHES):
+        # ts written as int64 NANOS — the probe in read_event_stream sees
+        # bigint on every Spark version, so the dispatch is deterministic
+        df = spark.createDataFrame(
+            [(i, us * 1000, u, t, v, None) for i, us, u, t, v in rows],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        build = d / f"_build{k}"
+        df.coalesce(1).write.parquet(str(build))
+        part = next(p for p in os.listdir(build) if p.endswith(".parquet"))
+        os.replace(build / part, d / f"part-{k:03d}.parquet")
+    base = os.path.getmtime(d / "part-000.parquet")
+    for k in range(len(_BATCHES)):
+        os.utime(d / f"part-{k:03d}.parquet", (base + 60 * k, base + 60 * k))
+    return str(d)
+
+
+def _stream(spark, events_dir):
+    return read_event_stream(spark, events_dir, max_files_per_trigger=1)
+
+
+def test_windowed_counts_respect_watermark(spark, edge_events_stream_dir):
+    """The late row into the already-evicted click window is dropped; the
+    late-but-inside row is counted; boundary rows land in the right
+    windows; duplicates are NOT deduped by a plain windowed agg; every
+    window is emitted exactly once (append contract)."""
+    run_to_memory_sink(
+        windowed_event_counts(_stream(spark, edge_events_stream_dir)),
+        "edge_win_counts",
+    )
+    rows = [
+        r
+        for r in spark.table("edge_win_counts").collect()
+        if r["event_type"] not in _SENTINEL_TYPES
+    ]
+    keys = [
+        (int(r["window_start"].timestamp() * 1_000_000 - T0) // H, r["event_type"])
+        for r in rows
+    ]
+    assert len(keys) == len(set(keys))  # exactly-once emission per window
+    got = {
+        k: (r["n_events"], r["total_value"]) for k, r in zip(keys, rows)
+    }
+    assert got == {
+        # window 0: id1, dup id1, id2 — 3 rows (agg does not dedup) — plus
+        # the cross-batch dup of id2 (arrives batch 1, window still open):
+        # 4 rows. The batch-3 late row (value 1000) is ABSENT: its window
+        # was evicted+emitted at the end of batch 2.
+        (0, "click"): (4, 1.0 + 99.0 + 2.0 + 77.0),
+        (1, "view"): (2, 3.0 + 4.0),
+        (9, "lateok"): (1, 6.0),
+    }
+
+
+def test_dedup_stream_keeps_first_within_watermark(spark, edge_events_stream_dir):
+    """dropDuplicatesWithinWatermark: one survivor per event_id; the
+    cross-batch duplicate of id 2 (value 77) is dropped because the first
+    sighting is still inside the watermark horizon. The batch-3 late row
+    (id 5, hours older than the watermark) is dropped on INPUT even though
+    its key was never seen — dropDuplicatesWithinWatermark pre-filters
+    rows older than the in-force watermark (unlike the windowed agg, whose
+    drop is eviction-based)."""
+    run_to_memory_sink(
+        dedup_event_stream(_stream(spark, edge_events_stream_dir)),
+        "edge_dedup",
+    )
+    collected = [
+        r
+        for r in spark.table("edge_dedup").collect()
+        if r["event_type"] not in _SENTINEL_TYPES
+    ]
+    assert len(collected) == len({r["event_id"] for r in collected})
+    rows = {r["event_id"]: r for r in collected}
+    assert set(rows) == {1, 2, 3, 4, 6}
+    assert rows[2]["value"] == 2.0  # batch-0 copy won, not the 77.0 dup
+    assert rows[6]["value"] == 6.0
+
+
+def test_sessionize_exact_gap_boundary(spark, edge_events_stream_dir):
+    """An event at EXACTLY the 30-min gap MERGES into the session —
+    F.session_window closes a session only strictly after last+gap
+    (verified here; matches the batch lag rule ``ts - prev > gap``, so the
+    two formulations agree even on the knife-edge). Duplicates are not
+    deduped by sessionization; the batch-3 late row is dropped on input
+    (session_window pre-filters below-watermark rows, like the dedup
+    operator), so no user-4 session exists."""
+    run_to_memory_sink(
+        sessionize_stream(_stream(spark, edge_events_stream_dir)),
+        "edge_sessions",
+    )
+    sessions = [
+        (r["user_id"], r["n_events"])
+        for r in spark.table("edge_sessions").collect()
+        if r["user_id"] not in (9,)
+    ]
+    by_user = {}
+    for u, n in sessions:
+        by_user.setdefault(u, []).append(n)
+    # user 1: rows at +0s and +10s; then +3599s (gap 3589s > 30min) opens a
+    # second session that also holds the cross-batch duplicate of id 2
+    assert sorted(by_user[1]) == [2, 2]
+    # user 2: gap exactly 30 min -> ONE session (boundary merges)
+    assert by_user[2] == [2]
+    # user 3: the in-watermark late row is one singleton session
+    assert by_user[3] == [1]
+    # user 4: the below-watermark row was dropped on input -> no session
+    assert 4 not in by_user
+
+
+def test_batch_lag_formulation_agrees_at_exact_gap(spark, edge_events_stream_dir):
+    """The batch twin's rule (`ts - prev > gap` opens a session) also
+    merges the exact-gap pair — stream and batch sessionization agree at
+    the boundary (both close strictly AFTER last + gap)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(edge_events_stream_dir).select(
+        "event_id", "user_id", (F.col("ts") / 1000).cast("bigint").alias("ts_us")
+    ).filter(F.col("user_id") == 2)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_sessions = (
+        e.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .select("session_id")
+        .distinct()
+        .count()
+    )
+    assert n_sessions == 1  # same answer as the streaming session_window
+
+
+# ---- near-duplicate document stream across micro-batches -----------------
+
+_DOC_BATCHES = [
+    [  # batch 0
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "an entirely different document about spark streams"),
+        (2, ""),                       # empty text
+    ],
+    [  # batch 1: exact dup of doc 0 (different id), near-dup of doc 1,
+        # another empty doc (empty == empty exact dup)
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "an entirely different document about flink streams"),
+        (12, ""),
+    ],
+]
+
+
+@pytest.fixture(scope="module")
+def edge_docs_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_docs_stream")
+    for k, rows in enumerate(_DOC_BATCHES):
+        df = spark.createDataFrame(
+            [(i, t, T0 // 1_000_000 + k * 60) for i, t in rows],
+            "doc_id long, text string, epoch_s long",
+        ).select(
+            "doc_id", "text", F.timestamp_seconds("epoch_s").alias("event_time")
+        )
+        build = d / f"_build{k}"
+        df.coalesce(1).write.parquet(str(build))
+        part = next(p for p in os.listdir(build) if p.endswith(".parquet"))
+        os.replace(build / part, d / f"part-{k:03d}.parquet")
+    base = os.path.getmtime(d / "part-000.parquet")
+    for k in range(len(_DOC_BATCHES)):
+        os.utime(d / f"part-{k:03d}.parquet", (base + 60 * k, base + 60 * k))
+    return str(d)
+
+
+def test_near_dedup_stream_equals_batch(spark, edge_docs_stream_dir):
+    """Stream == batch on the edge corpus: the streaming near-dedup must
+    keep exactly the first doc per MinHash signature key (exact dups and
+    the empty-text pair collapse; whether the one-token near-dup collides
+    is decided deterministically by the md5 signature — the BATCH twin
+    computes the same key, so the two agree row-for-row either way)."""
+    from dblink_spark.streaming.events import minhash_key
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(edge_docs_stream_dir)
+    )
+    run_to_memory_sink(near_dedup_doc_stream(stream), "edge_near_dedup")
+    got = sorted(r["doc_id"] for r in spark.table("edge_near_dedup").collect())
+
+    batch = spark.read.parquet(edge_docs_stream_dir).withColumn(
+        "near_key", minhash_key(F.col("text"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("near_key").orderBy("event_time", "doc_id")
+    expect = sorted(
+        r["doc_id"]
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    )
+    assert got == expect
+    assert 0 in got and 10 not in got  # exact dup dropped
+    assert 2 in got and 12 not in got  # empty == empty: first kept
