@@ -101,6 +101,11 @@ def connected_components(
 
     sig = _sig(edges)
     for _ in range(max_rounds):
+        # EAGER checkpoint, deliberately: with eager=False the checkpoint
+        # only materializes when THIS DataFrame executes, but the probe
+        # below derives a new aggregate plan that recomputes the full
+        # untruncated lineage instead — measured no faster and up to ~60%
+        # slower across runs (local[32] timing noise is large here).
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         new_sig = _sig(stepped)
         # signature equality is necessary for set equality; only then pay
