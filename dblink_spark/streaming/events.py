@@ -243,14 +243,16 @@ def run_to_memory_sink(
     q.awaitTermination()
 
 
-def minhash_key(text_col, n_hashes: int = 8):
+def minhash_key(text_col, n_hashes: int = 8, first_row: int = 0):
     """Per-row MinHash signature key via JVM higher-order functions — NO
     explode/groupBy, so it is legal in any streaming context and costs zero
     shuffles in batch: ``array_min(transform(tokens, t -> md5(i || t)))``
     per hash row, concatenated and md5'd into one 32-char key. Two
     documents share the key iff every one of the ``n_hashes`` min-hashes
     agrees — P(match) = jaccard^n_hashes, a sharp high-similarity detector
-    (the single-band limit of the batch LSH in queries/dedup.py)."""
+    (the single-band limit of the batch LSH in queries/dedup.py).
+    ``first_row`` selects a disjoint hash-row range so several BAND keys
+    can be built from independent hash families (`near_dedup_doc_stream_banded`)."""
     toks = F.array_distinct(F.split(text_col, " "))
 
     def hash_row(prefix: str):
@@ -262,7 +264,8 @@ def minhash_key(text_col, n_hashes: int = 8):
         return lambda t: F.md5(F.concat(F.lit(prefix + "|"), t))
 
     mins = [
-        F.array_min(F.transform(toks, hash_row(str(i)))) for i in range(n_hashes)
+        F.array_min(F.transform(toks, hash_row(str(i))))
+        for i in range(first_row, first_row + n_hashes)
     ]
     return F.md5(F.concat_ws("|", *mins))
 
@@ -286,11 +289,42 @@ def near_dedup_doc_stream(
 
     Recall knob: one key of ``n_hashes`` min-hashes is the single-band
     limit (catches jaccard ~> 0.92 at n=8 with >50% probability); for
-    band-OR semantics chain several ``dropDuplicatesWithinWatermark``
-    calls on keys built from disjoint hash rows (Spark 4 supports chained
-    stateful operators in append mode)."""
+    band-OR semantics use `near_dedup_doc_stream_banded`."""
     return (
         docs.withColumn("near_key", minhash_key(F.col("text"), n_hashes))
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["near_key"])
     )
+
+
+def near_dedup_doc_stream_banded(
+    docs: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    watermark: str = "2 hours",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Band-OR streaming near-dedup: a document is suppressed if ANY of its
+    ``n_bands`` MinHash band keys (disjoint hash-row families of
+    ``rows_per_band`` rows each) was already claimed inside the watermark
+    horizon — the streaming twin of the batch LSH banding's OR semantics
+    and its recall knob (P(caught) = 1 - (1 - j^r)^b vs the single band's
+    j^(r*b)).
+
+    Mechanism: one ``dropDuplicatesWithinWatermark`` PER BAND, chained
+    (Spark 4 supports chained stateful operators in append mode). Stage k
+    records the band-k key of every row that REACHES it, so suppression is
+    relative to stream order exactly like the single-key operator; state is
+    one row per distinct band key per band inside the watermark — still
+    bounded. The batch twin (pinned stream==batch in
+    tests/test_streaming_edge.py) is the same sequence of keep-first-per-key
+    filters applied in band order."""
+    # ONE watermark definition feeds every chained stateful op (Spark
+    # propagates it; redefining it mid-chain is an analysis error)
+    out = docs.withWatermark(time_col, watermark)
+    for b in range(n_bands):
+        out = out.withColumn(
+            f"band_{b}",
+            minhash_key(F.col("text"), rows_per_band, first_row=b * rows_per_band),
+        ).dropDuplicatesWithinWatermark([f"band_{b}"])
+    return out.drop(*[f"band_{b}" for b in range(n_bands)])

@@ -290,3 +290,50 @@ def test_near_dedup_stream_equals_batch(spark, edge_docs_stream_dir):
     assert got == expect
     assert 0 in got and 10 not in got  # exact dup dropped
     assert 2 in got and 12 not in got  # empty == empty: first kept
+
+
+def test_banded_near_dedup_stream_equals_batch(spark, edge_docs_stream_dir):
+    """Band-OR chained dedup == the batch sequence of keep-first-per-band
+    filters, and it can only suppress MORE than the single-key operator
+    (band-OR recall dominates the AND of all rows)."""
+    from dblink_spark.streaming.events import (
+        minhash_key,
+        near_dedup_doc_stream_banded,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(edge_docs_stream_dir)
+    )
+    run_to_memory_sink(
+        near_dedup_doc_stream_banded(stream, n_bands=2, rows_per_band=4),
+        "edge_near_dedup_banded",
+    )
+    got = sorted(
+        r["doc_id"] for r in spark.table("edge_near_dedup_banded").collect()
+    )
+
+    from pyspark.sql import Window
+
+    batch = spark.read.parquet(edge_docs_stream_dir)
+    for b in range(2):
+        batch = batch.withColumn(
+            "bk", minhash_key(F.col("text"), 4, first_row=b * 4)
+        )
+        w = Window.partitionBy("bk").orderBy("event_time", "doc_id")
+        batch = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("bk", "rn")
+        )
+    expect = sorted(r["doc_id"] for r in batch.collect())
+    assert got == expect
+    assert 0 in got and 10 not in got  # exact dup still suppressed
+    # band-OR suppresses a superset of the single 8-row-key operator
+    single = {
+        r["doc_id"] for r in spark.table("edge_near_dedup").collect()
+    } if spark.catalog.tableExists("edge_near_dedup") else None
+    if single is not None:
+        assert set(got) <= single

@@ -54,12 +54,23 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
         print(f"{'TOTAL':<32} {t_old:>8.3f} {t_new:>8.3f} {t_new / t_old:>6.2f}x")
     io, inw = old.get("er_mcmc_iters_per_sec"), new.get("er_mcmc_iters_per_sec")
     if io and inw:
-        # higher is better for throughput
-        print(f"{'er_mcmc_iters_per_sec':<32} {io:>8.3f} {inw:>8.3f} {inw / io:>6.2f}x")
-        if inw < io / args_threshold_global:
-            regressions.append(
-                f"er_mcmc_iters_per_sec: {io:.2f} -> {inw:.2f} ({io / inw:.2f}x slower)"
+        # values are only comparable under the same probe methodology
+        # (r6 lengthened the timing window 10 -> 200 iterations after the
+        # r5 flag proved to be noise on a ~30ms measurement)
+        if old.get("er_mcmc_probe_iters") != new.get("er_mcmc_probe_iters"):
+            print(
+                f"{'er_mcmc_iters_per_sec':<32} {io:>8.3f} {inw:>8.3f} "
+                f"{'n/a':>7} (probe methodology changed: "
+                f"{old.get('er_mcmc_probe_iters') or 10} -> "
+                f"{new.get('er_mcmc_probe_iters') or 10} iters/window)"
             )
+        else:
+            # higher is better for throughput
+            print(f"{'er_mcmc_iters_per_sec':<32} {io:>8.3f} {inw:>8.3f} {inw / io:>6.2f}x")
+            if inw < io / args_threshold_global:
+                regressions.append(
+                    f"er_mcmc_iters_per_sec: {io:.2f} -> {inw:.2f} ({io / inw:.2f}x slower)"
+                )
     return regressions
 
 
