@@ -155,21 +155,28 @@ class LevenshteinSim(SimilarityFn):
     def allowed_length_bounds(self, length: Column) -> "tuple[Column, Column]":
         """sim > 0 requires unit > t (t = threshold/max_similarity), and the
         length-gap lower bound on edit distance gives
-        ``1 - 2g/(total+g) > t  <=>  t*len_b < len_a < len_b/t`` (strict,
-        derived via g = |la-lb|, total = la+lb). Integer-exact bounds:
-        ``lo = floor(t*L)+1, hi = ceil(L/t)-1``; the one pair the division
-        derivation misses is two EMPTY strings (total=0 defines unit=1), so
-        L=0 maps to [0, 0]."""
+        ``1 - 2g/(total+g) > t  <=>  t*len_b < len_a < len_b/t`` (derived
+        via g = |la-lb|, total = la+lb). The emitted bounds are WIDENED one
+        integer on each side — ``lo = max(floor(t*L)-1, 0), hi =
+        ceil(L/t)+1`` — because t is a rounded double and the exact
+        strict-inequality bounds can exclude a pair whose truncated
+        similarity is positive only by float epsilon (e.g. t=0.3, lengths
+        10 vs 3: trans ~ 8e-17 > 0 but ceil(3/0.3)-1 = 9 < 10). A
+        one-ulp-of-t error moves each boundary by < 1 length unit, so the
+        +-1 widening restores 'sim > 0 implies in-bounds' for every
+        representable t; the extra candidates just pay one levenshtein.
+        Empty strings: total=0 defines unit=1, so L=0 must pair with L=0 —
+        covered since lo=0 and hi>=1."""
         t = self.threshold / self.max_similarity
         if t <= 0.0:
             # no truncation -> every length pairs with every other; signal
             # "no blocking available" rather than an unbounded sequence
             return None
         lo = F.when(length == 0, F.lit(0)).otherwise(
-            (F.floor(length * F.lit(t)) + 1).cast("int")
+            F.greatest(F.floor(length * F.lit(t)) - 1, F.lit(0)).cast("int")
         )
         hi = F.when(length == 0, F.lit(0)).otherwise(
-            (F.ceil(length / F.lit(t)) - 1).cast("int")
+            (F.ceil(length / F.lit(t)) + 1).cast("int")
         )
         return lo, hi
 
@@ -188,7 +195,11 @@ class LevenshteinSim(SimilarityFn):
         unit_ub = F.when(total > 0, 1.0 - 2.0 * d_lb / (total + d_lb)).otherwise(
             F.lit(1.0)
         )
-        return unit_ub > F.lit(self.threshold / self.max_similarity)
+        # epsilon guard: the final filter keeps sim>0 i.e. ms*u - th > 0,
+        # while this prune tests u > th/ms with a ROUNDED quotient — at the
+        # knife edge the two can disagree by an ulp, so lower the floor a
+        # hair rather than risk pruning a true neighbor
+        return unit_ub > F.lit(self.threshold / self.max_similarity - 1e-12)
 
 
 def _levenshtein(a: str, b: str) -> int:

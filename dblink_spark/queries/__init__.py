@@ -65,7 +65,13 @@ def owns_caches(df: DataFrame, *cached: DataFrame) -> DataFrame:
     One-shot processes (the driver gate) may skip release — session exit
     frees everything; LONG-LIVED sessions (bench.py, notebooks) must call
     it or each invocation leaks one cache entry
-    (tests/test_cache_hygiene.py pins this)."""
+    (tests/test_cache_hygiene.py pins this).
+
+    CAVEAT: ownership rides on the DataFrame OBJECT — any further
+    transformation returns a new frame without it, making a later
+    `release_caches` a silent no-op. Attach ownership to the FINAL frame a
+    caller will materialize, or re-attach when deriving:
+    ``owns_caches(derived, *getattr(orig, "_owned_caches", []))``."""
     owned = getattr(df, "_owned_caches", [])
     df._owned_caches = list(owned) + list(cached)
     return df

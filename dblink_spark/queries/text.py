@@ -450,20 +450,31 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_LEN = 128
 _CHUNK_STRIDE = 96
 
+# The chunking spec in SQL, ONE copy shared by every oracle that re-derives
+# chunks (text_chunk_windows, text_pack_shard_totals) — a rule change
+# edited in one oracle but not the other would make the pack gate silently
+# test a different chunking than the one produced.
+_CHUNK_TOK_CTE = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+_CHUNK_STARTS_SQL = (
+    f"UNNEST(range(1, GREATEST(len(t) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1) + 1, "
+    f"{_CHUNK_STRIDE})) AS u(i)"
+)
+_CHUNK_IDX_SQL = f"(i - 1) // {_CHUNK_STRIDE}"
+_CHUNK_NTOK_SQL = f"CAST(LEAST({_CHUNK_LEN}, len(t) - i + 1) AS BIGINT)"
+
 
 @register(
     "text_chunk_windows",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  {_CHUNK_TOK_CTE}
 )
 SELECT doc_id,
-  (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+  {_CHUNK_IDX_SQL} AS chunk_idx,
   array_to_string(t[i:i+{_CHUNK_LEN - 1}], ' ') AS chunk_text,
-  CAST(LEAST({_CHUNK_LEN}, len(t) - i + 1) AS BIGINT) AS n_tokens
+  {_CHUNK_NTOK_SQL} AS n_tokens
 FROM tok,
-  UNNEST(range(1, GREATEST(len(t) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1) + 1,
-               {_CHUNK_STRIDE})) AS u(i)
+  {_CHUNK_STARTS_SQL}
 """,
     survey_ref="beyond-reference: context-window chunking (sequence-packing prep) — fixed token windows with overlap, row-local",
 )
@@ -537,15 +548,14 @@ _PACK_BUDGET, _PACK_SHARDS = 256, 8
     "text_pack_shard_totals",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  {_CHUNK_TOK_CTE}
 ),
 chunks AS (
   SELECT doc_id,
-    (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
-    CAST(LEAST({_CHUNK_LEN}, len(t) - i + 1) AS BIGINT) AS n_tokens
+    {_CHUNK_IDX_SQL} AS chunk_idx,
+    {_CHUNK_NTOK_SQL} AS n_tokens
   FROM tok,
-    UNNEST(range(1, GREATEST(len(t) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1) + 1,
-                 {_CHUNK_STRIDE})) AS u(i)
+    {_CHUNK_STARTS_SQL}
 ),
 sharded AS (
   SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR)), 1, 8))::BIGINT

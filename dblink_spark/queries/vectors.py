@@ -539,6 +539,10 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_cols = [
         _cos_to_cent(F.col("embedding"), F.col("sq"), cvals) for _, cvals in cents
     ]
+    # ONE cell-assignment frame feeds both the search and the balance arm —
+    # the assignment is the K-cosines-per-row pass over the whole corpus,
+    # and duplicating it doubles the dominant scan work
+    cells = ivf_assign_cells(e, cents, cos_cols=cos_cols)
     ivf = ivf_search(
         e,
         cents,
@@ -546,6 +550,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVF_TRAINED_NPROBE,
         topk=_IVF_TOPK,
         cos_cols=cos_cols,
+        cells=cells,
     ).select("query_id", "neighbor_id")
     brute = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     per = ivf.join(
@@ -557,7 +562,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
     )
     cell_agg = (
-        ivf_assign_cells(e, cents, cos_cols=cos_cols)
+        cells
         .groupBy("cid")
         .count()
         .agg(
@@ -587,7 +592,10 @@ _TRAINED_CENTS_MEMO: dict = {}
 
 
 def _trained_centroids_cached(e: DataFrame, sf_dir: str) -> list:
-    key = (sf_dir, _IVF_TRAINED_K, e.count())
+    # keyed by fixture path + K only: the fixture layout makes the path
+    # unique per corpus, and a count()-based key would cost a full scan
+    # job per invocation just to build the key
+    key = (sf_dir, _IVF_TRAINED_K)
     cents = _TRAINED_CENTS_MEMO.get(key)
     if cents is None:
         cents = train_ivf_centroids(e, k=_IVF_TRAINED_K)
@@ -688,13 +696,15 @@ def ivf_search(
     topk: int = _IVF_TOPK,
     query_ids: "list | None" = None,
     cos_cols: "list | None" = None,
+    cells: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF search against an arbitrary coarse quantizer ``[(cid, vec)]`` —
     the plan shape documented on `ann_ivf` (narrow literal-array cell
     assignment, broadcast probe equi-join on cid, windowed top-k).
     ``query_ids`` selects an explicit query set (default: vec_id < n_query,
-    the registered-query spec); ``cos_cols`` lets the caller share
-    already-built per-centroid cosine Columns (see `ivf_assign_cells`)."""
+    the registered-query spec); ``cos_cols`` / ``cells`` let the caller
+    share already-built per-centroid cosine Columns and the cell-assignment
+    frame (see `ivf_assign_cells`)."""
     # per-centroid cosine Columns built ONCE and reused by both the cell
     # assignment and the probe ranking (driver-side plan-build cost is
     # linear in K x dim; duplicating it dominated wall time before)
@@ -703,7 +713,8 @@ def ivf_search(
             _cos_to_cent(F.col("embedding"), F.col("sq"), cvals)
             for _, cvals in cents
         ]
-    cells = ivf_assign_cells(e, cents, cos_cols=cos_cols)
+    if cells is None:
+        cells = ivf_assign_cells(e, cents, cos_cols=cos_cols)
     base = cells.drop("cid")
 
     # per-query probe list: rank the K cells per query (K rows per query —

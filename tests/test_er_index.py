@@ -178,3 +178,53 @@ def test_index_build_self_only_neighbors_matches_local(spark):
         assert idx.neighbor_ids[v].tolist() == ref.neighbor_ids[v].tolist() == [v]
         assert idx.neighbor_expsims[v].tolist() == ref.neighbor_expsims[v].tolist()
     assert idx.sim_norms.tolist() == ref.sim_norms.tolist()
+
+
+@pytest.mark.parametrize(
+    "threshold,max_sim",
+    [
+        # t = 0.3: float-boundary adversary — exact strict bounds computed
+        # from the rounded quotient EXCLUDE the (len 10, len 3) pair whose
+        # truncated similarity is positive only by ~8e-17; the widened
+        # bounds must keep it (caught in r6 review; regression pin)
+        (0.3, 1.0),
+        (7.0, 10.0),   # the RLdata default
+        (0.33, 1.0),
+        (6.6, 11.0),
+    ],
+)
+def test_bucketed_build_matches_local_at_float_boundaries(spark, threshold, max_sim):
+    """The length-bucketed equi-join + bitmask prune are PRUNES: for any
+    representable threshold ratio the Spark build's neighbor sets must
+    equal the exhaustive driver-local build's, including pairs that clear
+    sim > 0 only by float epsilon."""
+    from dblink_spark.er.attributes import LevenshteinSim
+    from dblink_spark.er.index import (
+        build_attribute_index,
+        build_attribute_index_local,
+    )
+
+    values = {
+        "aaaaaaaaaa": 1.0,  # len 10
+        "aaa": 1.0,         # len 3 — d=7 vs len 10: unit = 0.3 + 4e-17
+        "aaaaaaa": 2.0,     # len 7
+        "bbbb": 1.0,
+        "": 1.0,            # empty: pairs only with itself (unit := 1)
+        "ab": 1.0,
+    }
+    sim = LevenshteinSim(threshold, max_sim)
+    dom = spark.createDataFrame(list(values.items()), "value string, weight double")
+    idx = build_attribute_index(dom, sim)
+    ref = build_attribute_index_local(values, sim)
+    for v in range(len(values)):
+        assert idx.neighbor_ids[v].tolist() == ref.neighbor_ids[v].tolist(), (
+            f"value id {v} ({idx.values[v]!r}) neighbors diverge at "
+            f"t={threshold}/{max_sim}"
+        )
+        # JVM Math.exp and Python math.exp may differ in the LAST ULP for
+        # identical inputs (libm implementations) — membership is the
+        # contract here, values to 1-ulp
+        assert idx.neighbor_expsims[v].tolist() == pytest.approx(
+            ref.neighbor_expsims[v].tolist(), rel=1e-14
+        )
+    assert idx.sim_norms.tolist() == pytest.approx(ref.sim_norms.tolist(), rel=1e-14)

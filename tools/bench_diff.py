@@ -34,18 +34,38 @@ def load_bench(path: str) -> dict:
 
 def diff(old: dict, new: dict, threshold: float) -> list[str]:
     regressions = []
+    # a query listed in the NEW payload's queries_retired was removed
+    # deliberately (bench.py records retirements when diffing against the
+    # previous round) — report it, don't fail the gate on it
+    retired = set(new.get("queries_retired", []))
+    # bench.py marks flags whose OLD baseline reused a warm cache across
+    # reps while the new run measures cold (r6 caller-owns-cache change):
+    # a known comparability artifact, annotated instead of gate-failed
+    warm = {
+        e["query"]
+        for e in new.get("regressions", [])
+        if isinstance(e, dict) and e.get("baseline_warm_cache")
+    }
     print(f"{'query':<32} {'old':>8} {'new':>8} {'ratio':>7}")
     for name, t_old in sorted(old["queries"].items()):
         t_new = new["queries"].get(name)
         if t_new is None:
-            print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'gone':>7}")
-            regressions.append(f"{name}: missing from new bench")
+            if name in retired:
+                print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'retired':>7}")
+            else:
+                print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'gone':>7}")
+                regressions.append(f"{name}: missing from new bench")
             continue
         ratio = t_new / t_old if t_old > 0 else float("inf")
         flag = ""
         if ratio > threshold and t_new > NOISE_FLOOR_SEC:
-            flag = "  << REGRESSION"
-            regressions.append(f"{name}: {t_old:.3f}s -> {t_new:.3f}s ({ratio:.2f}x)")
+            if name in warm:
+                flag = "  (warm-cache baseline; not comparable)"
+            else:
+                flag = "  << REGRESSION"
+                regressions.append(
+                    f"{name}: {t_old:.3f}s -> {t_new:.3f}s ({ratio:.2f}x)"
+                )
         print(f"{name:<32} {t_old:>8.3f} {t_new:>8.3f} {ratio:>6.2f}x{flag}")
     for name in sorted(set(new["queries"]) - set(old["queries"])):
         print(f"{name:<32} {'—':>8} {new['queries'][name]:>8.3f} {'new':>7}")
