@@ -63,11 +63,12 @@ EXTENDED_QUERIES = [
 ]
 
 # r6: queries added this round (trained-IVF gate, packing invariant gate,
-# BPE-style token counting).
+# BPE-style token counting, end-to-end corpus-prep composition).
 R6_QUERIES = [
     "ann_ivf_trained",
     "text_pack_shard_totals",
     "text_token_count_bpe",
+    "pipeline_corpus_prep",
 ]
 
 # r5: queries added (or first benched) this round — their own total, their

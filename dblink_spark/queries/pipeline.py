@@ -1,0 +1,231 @@
+"""End-to-end corpus-prep pipeline — the composition every training-data
+build actually runs, as ONE registered query: Gopher quality filter →
+near-dup pairs (bottom-k Jaccard) → transitive groups (large-star/small-star
+closure) → one survivor per group → cleaned corpus → per-language yield
+accounting.
+
+The individual stages are each gated on their own (text_gopher_rules,
+dedup_bottomk_jaccard, dedup_components, dedup_survivors); this query gates
+their COMPOSITION, which is where real pipelines break: the dedup stage must
+run on the FILTERED corpus (filter-first shrinks the pair join's input and
+changes which pairs exist), survivor selection must use the filtered
+universe, and the yield numbers must reconcile (n_raw ≥ n_quality ≥ n_kept,
+per language).
+
+100-TB shape: the quality filter is a pure map stage (no shuffle, no UDF)
+that runs FIRST so every downstream shuffle sees only surviving rows; pairs
+come from the prefix-filtered sketch equi-join (never all-pairs); the
+closure is O(log n) rounds of two hash shuffles over (bigint, bigint)
+edges; survivor selection is one map-side-combinable struct-min groupBy;
+the cleaned corpus is a broadcast-able anti-join (drop set ≪ corpus); the
+final per-language rollup is a partial-aggregated groupBy on a
+low-cardinality key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from dblink_spark.queries import load, owns_caches, register
+from dblink_spark.queries.text import _STOPWORDS
+
+# Stopword list rendered for the oracle (same set text_gopher_rules uses).
+_STOP_SQL = ", ".join("'" + w + "'" for w in _STOPWORDS)
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+WITH RECURSIVE feats AS (
+  SELECT doc_id, COALESCE(lang, '') AS lang, text,
+    COALESCE(n_chars, 0) AS len,
+    len(string_split(text, ' ')) AS n_words,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_word_len,
+    len(list_filter([{_STOP_SQL}],
+        s -> list_contains(string_split(text, ' '), s))) AS stop_hits,
+    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS symbol_ratio
+  FROM documents
+),
+pass AS (
+  SELECT * FROM feats
+  WHERE n_words BETWEEN 20 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND stop_hits >= 2
+    AND symbol_ratio < 0.1
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM pass
+),
+hashed AS (
+  SELECT doc_id, lang, md5(token) AS h,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
+  FROM tok
+),
+sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
+sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
+cnt AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+  FROM sk a JOIN sk b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT p.doc1, p.doc2
+  FROM cnt p
+  JOIN sizes s1 ON s1.doc_id = p.doc1
+  JOIN sizes s2 ON s2.doc_id = p.doc2
+  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
+),
+edges AS (SELECT doc1 AS u, doc2 AS v FROM pr UNION SELECT doc2, doc1 FROM pr),
+cc AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, cc.label FROM cc JOIN edges e ON e.u = cc.node
+),
+grp AS (SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node),
+surv AS (
+  SELECT g.component,
+    (ARRAY_AGG(g.doc_id ORDER BY p.len DESC, g.doc_id ASC))[1] AS survivor
+  FROM grp g JOIN pass p ON p.doc_id = g.doc_id
+  GROUP BY g.component
+),
+drops AS (
+  SELECT g.doc_id
+  FROM grp g JOIN surv s ON s.component = g.component
+  WHERE g.doc_id <> s.survivor
+),
+kept AS (
+  SELECT * FROM pass WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+raw AS (
+  SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_raw
+  FROM documents GROUP BY 1
+),
+q AS (SELECT lang, COUNT(*) AS n_quality FROM pass GROUP BY lang),
+k AS (
+  SELECT lang, COUNT(*) AS n_kept,
+    SUM(n_words) AS words_kept
+  FROM kept GROUP BY lang
+)
+SELECT r.lang,
+  CAST(r.n_raw AS BIGINT) AS n_raw,
+  CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(COALESCE(q.n_quality, 0) - COALESCE(k.n_kept, 0) AS BIGINT)
+    AS n_dupes_dropped,
+  CAST(COALESCE(k.words_kept, 0) AS BIGINT) AS words_kept
+FROM raw r
+LEFT JOIN q ON q.lang = r.lang
+LEFT JOIN k ON k.lang = r.lang
+""",
+    survey_ref=(
+        "beyond-reference: end-to-end corpus-prep composition "
+        "(quality filter -> near-dup closure -> survivor -> cleaned-corpus "
+        "yield); composes text_gopher_rules + dedup_survivors filter-first"
+    ),
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language yield of the full corpus-prep pipeline:
+    ``(lang, n_raw, n_quality, n_kept, n_dupes_dropped, words_kept)``.
+
+    Stages: Gopher rules drop low-quality docs FIRST (pure map — at 100 TB
+    this is the cheapest place to shrink the corpus, and it changes which
+    near-dup pairs exist, so the composition is a distinct behavior from
+    running the stages independently); bottom-k sketch pairs + transitive
+    closure group the survivors' near-duplicates; the longest doc per group
+    (smallest doc_id on ties) survives; everything else anti-joins away.
+    ``lang`` is null-safe (NULL groups as '') so the three yield aggregates
+    join consistently in both engines.
+    """
+    from dblink_spark.operators.components import connected_components
+    from dblink_spark.queries import release_caches
+    from dblink_spark.queries.dedup import bottomk_sketch_pairs
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    mean_word_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+    symbol_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ).cast("double") / n_words
+    feats = d.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        "text",
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("len"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    passing = feats.filter(
+        F.col("n_words").between(20, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("symbol_ratio") < 0.1)
+    ).persist()  # feeds the pair build, survivor lengths, and both yield aggs
+
+    # near-dup closure over the FILTERED corpus only (within-lang blocking
+    # inside bottomk_sketch_pairs matches the oracle's a.lang = b.lang)
+    pairs = bottomk_sketch_pairs(passing, k=8, threshold=0.99)
+    comps = connected_components(pairs, "doc1", "doc2")
+    release_caches(pairs)  # closure materialized eagerly (localCheckpoint)
+
+    surv = (
+        comps.join(passing.select(F.col("doc_id").alias("node"), "len"), "node")
+        .groupBy("component")
+        .agg(
+            # survivor = argmax(len, tie: min doc_id) as a struct-min —
+            # map-side combinable, no window over the group
+            F.min(
+                F.struct(
+                    (-F.col("len")).alias("neg_len"), F.col("node").alias("d")
+                )
+            )["d"].alias("survivor")
+        )
+    )
+    drops = (
+        comps.join(surv, "component")
+        .filter(F.col("node") != F.col("survivor"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = passing.join(drops, "doc_id", "left_anti")
+
+    raw = d.groupBy(F.coalesce("lang", F.lit("")).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_raw")
+    )
+    qual = passing.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_quality")
+    )
+    keep = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_words").cast("long").alias("words_kept"),
+    )
+    out = (
+        raw.join(qual, "lang", "left")
+        .join(keep, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce("n_quality", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dupes_dropped"),
+            F.coalesce("words_kept", F.lit(0)).cast("long").alias("words_kept"),
+        )
+    )
+    return owns_caches(out, passing)

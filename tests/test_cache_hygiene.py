@@ -19,6 +19,10 @@ _PERSISTING = [
     "dedup_simhash",
     "dedup_bottomk_jaccard",
     "pairwise_metrics",
+    # persists the quality-filtered corpus; its internal pair-sketch cache
+    # is released before return (closure is eager), leaving exactly one
+    # owned cache on the result
+    "pipeline_corpus_prep",
 ]
 
 

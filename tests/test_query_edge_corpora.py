@@ -17,6 +17,10 @@ from tools.oracle_check import compare
 # 128-token window / 96 stride boundaries, empty-ish strings, unicode,
 # consecutive spaces (empty tokens), and a token that begins with digits
 # (hash-prefix separator probe).
+_PASSING_TEXT = (
+    "the quick brown fox jumps over a lazy dog and runs into the forest "
+    "while birds sing songs of morning light across quiet fields today"
+)
 _DOCS = [
     (0, "", "en", "src1"),
     (1, "solo", "en", "src1"),
@@ -29,6 +33,13 @@ _DOCS = [
     (8, "12x 1 2x 12 x", "en", "src5"),                           # digit-lead
     (9, " ".join(f"w{i}" for i in range(224)) + " tail", "en", "src5"),
     (10, "solo", "en", "src0"),   # exact dup of doc 1, inside the benchmark source
+    # Gopher-PASSING docs (25 words, mean word len 4.3, 4 stopwords, no '#')
+    # for pipeline_corpus_prep: 11 pins the NULL-lang coalesce path; 12/13
+    # are an identical pair inside 'en' — nonzero closure, survivor = 12
+    # (equal length, smaller doc_id), so 'en' yields n_dupes_dropped >= 1.
+    (11, _PASSING_TEXT, None, "src6"),
+    (12, _PASSING_TEXT, "en", "src6"),
+    (13, _PASSING_TEXT, "en", "src6"),
 ]
 
 _QUERIES = [
@@ -48,6 +59,9 @@ _QUERIES = [
     "text_gopher_rules",
     "text_repetition",   # 1-token docs: descending sequence(1,0) ANSI crash, fixed
     "text_decontaminate",
+    # end-to-end composition: NULL-lang coalesce, mostly-failing quality
+    # gate, and a passing identical pair driving a nonzero closure
+    "pipeline_corpus_prep",
 ]
 
 
