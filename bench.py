@@ -69,6 +69,9 @@ R6_QUERIES = [
     "text_pack_shard_totals",
     "text_token_count_bpe",
     "pipeline_corpus_prep",
+    "text_pii_redact",
+    # first benched r6 (rotated past the driver-gate window this round)
+    "q_events_bucket_rollup",
 ]
 
 # r5: queries added (or first benched) this round — their own total, their

@@ -134,6 +134,10 @@ _GATE_TAIL = [
     # unsalted shape of the same aggregate stays head-gated via
     # q_events_bucket_rollup.
     "q_events_type_stats_salted",
+    # r6: text_pii_redact enters the head; q_events_bucket_rollup rotates
+    # out — it joins the r6 bench set (timed every round) and stays
+    # hash-verified by tools/driver_sim.py like every tail entry.
+    "q_events_bucket_rollup",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",

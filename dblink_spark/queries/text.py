@@ -635,3 +635,62 @@ def text_pack_shard_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_fill_non_over") <= _PACK_BUDGET).alias("fill_ok"),
         "fill_consistent",
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub step a training-data build runs before release.
+# Both engines compile the SAME pattern text: simple character classes and
+# counted quantifiers only, valid and identical in meaning under Java regex
+# (Spark) and RE2 (DuckDB); no lookaround, no backrefs, no unicode classes.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_LONGNUM = r"[0-9]{9,}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH scrub AS (
+  SELECT doc_id, lang, text,
+    regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS no_email
+  FROM documents
+)
+SELECT doc_id, lang,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(no_email, '{_PII_LONGNUM}')) AS INT)
+    AS n_longnums,
+  md5(regexp_replace(no_email, '{_PII_LONGNUM}', '<NUM>', 'g')) AS redacted_fp,
+  CAST(length(regexp_replace(no_email, '{_PII_LONGNUM}', '<NUM>', 'g'))
+    - length(text) AS BIGINT) AS chars_delta
+FROM scrub
+""",
+    survey_ref=(
+        "beyond-reference: PII redaction scrub (email + long-digit-run "
+        "masking) — the pre-release step of a training-data pipeline"
+    ),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: emails then 9+-digit runs replaced by typed
+    mask tokens, emitting match counts, the scrubbed-text fingerprint, and
+    the length delta. On a clean corpus the fingerprint equals md5(text) —
+    the gate therefore pins NO FALSE POSITIVES on every fixture doc, while
+    the adversarial edge corpus pins the true-positive behavior (emails
+    with digits, runs at the 8/9 boundary, masks adjacent to punctuation).
+
+    Longnum counting runs on the email-scrubbed text so a digit-bearing
+    email is one <EMAIL>, not an <EMAIL> plus a spurious <NUM>.
+
+    100-TB shape: pure map stage — two JVM regexp passes, no shuffle, no
+    UDF; projection pushdown reads only (doc_id, lang, text)."""
+    d = load(spark, sf_dir, "documents")
+    no_email = F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>"))
+    scrubbed = F.regexp_replace(no_email, F.lit(_PII_LONGNUM), F.lit("<NUM>"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_PII_LONGNUM))
+        .cast("int")
+        .alias("n_longnums"),
+        F.md5(scrubbed).alias("redacted_fp"),
+        (F.length(scrubbed) - F.length("text")).cast("long").alias("chars_delta"),
+    )

@@ -40,6 +40,13 @@ _DOCS = [
     (11, _PASSING_TEXT, None, "src6"),
     (12, _PASSING_TEXT, "en", "src6"),
     (13, _PASSING_TEXT, "en", "src6"),
+    # PII true positives for text_pii_redact: emails (incl. digit-bearing
+    # local part and subdomain), digit runs at the 8/9 boundary, masks
+    # adjacent to punctuation, and an email embedded mid-token.
+    (14, "contact bob.smith+spam@mail.example.co and 123456789 now", "en", "src7"),
+    (15, "short 12345678 run but a1b2@sub.domain.org stays", "en", "src7"),
+    (16, "ids 9876543210123 touch,alice@ex.io,commas and (555)"
+         " 4155550123456789 end", "en", "src7"),
 ]
 
 _QUERIES = [
@@ -62,6 +69,7 @@ _QUERIES = [
     # end-to-end composition: NULL-lang coalesce, mostly-failing quality
     # gate, and a passing identical pair driving a nonzero closure
     "pipeline_corpus_prep",
+    "text_pii_redact",   # true positives live ONLY here (fixture is clean)
 ]
 
 
