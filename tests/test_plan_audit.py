@@ -269,3 +269,34 @@ class TestR5QueryPlans:
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestR6QueryPlans:
+    def test_pii_redact_is_pure_map(self, spark):
+        """The PII scrub must stay a single pruned scan + project: two JVM
+        regexp passes, no shuffle, no Python — the 100-TB contract stated
+        in its docstring."""
+        a = _audit(spark, "text_pii_redact")
+        assert a.exchanges == 0
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        df = q.REGISTRY["text_pii_redact"].fn(spark, SF_DIR)
+        scans = scan_infos(formatted_plan(df))
+        # projection pushdown: only doc_id, lang, text read (not n_chars/source)
+        assert all(len(s.read_columns) <= 3 for s in scans)
+
+    def test_pipeline_corpus_prep_no_product_joins(self, spark):
+        """The end-to-end composition must keep every join keyed (sketch
+        prefix, component id, lang) — a cartesian fallback anywhere in the
+        filter->dedup->survivor->yield chain would be a scale-killer. The
+        closure runs at build time, so the audit covers the post-closure
+        plan; pair generation itself is pinned by the dedup-family tests."""
+        df = q.REGISTRY["pipeline_corpus_prep"].fn(spark, SF_DIR)
+        try:
+            plan = formatted_plan(df)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            a = audit_plan(df)
+            assert a.python_ops == 0
+        finally:
+            q.release_caches(df)
