@@ -328,3 +328,30 @@ def near_dedup_doc_stream_banded(
             minhash_key(F.col("text"), rows_per_band, first_row=b * rows_per_band),
         ).dropDuplicatesWithinWatermark([f"band_{b}"])
     return out.drop(*[f"band_{b}" for b in range(n_bands)])
+
+
+def pii_redact_doc_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming PII scrub — the stream-side twin of
+    `queries.text.text_pii_redact` (same pattern constants, same
+    email-then-longnum order so digit-bearing emails don't double-mask).
+    Entirely stateless (two JVM regexp projections, no watermark, no
+    state store), so it composes with ANY streaming output mode and drops
+    into a pipeline before the stateful dedup stages: scrub, then
+    near-dedup, exactly like the batch corpus-prep ordering. Replaces the
+    text column in place and appends the match counts."""
+    from dblink_spark.queries.text import _PII_EMAIL, _PII_LONGNUM
+
+    no_email = F.regexp_replace(text_col, F.lit(_PII_EMAIL), F.lit("<EMAIL>"))
+    return (
+        docs.withColumn(
+            "n_emails", F.regexp_count(text_col, F.lit(_PII_EMAIL)).cast("int")
+        )
+        .withColumn(
+            "n_longnums",
+            F.regexp_count(no_email, F.lit(_PII_LONGNUM)).cast("int"),
+        )
+        .withColumn(
+            text_col,
+            F.regexp_replace(no_email, F.lit(_PII_LONGNUM), F.lit("<NUM>")),
+        )
+    )

@@ -228,6 +228,9 @@ _DOC_BATCHES = [
         (0, "the quick brown fox jumps over the lazy dog"),
         (1, "an entirely different document about spark streams"),
         (2, ""),                       # empty text
+        # PII true positive for the scrub test (unique content — forms its
+        # own near-dedup signature group, invisible to the other tests)
+        (3, "reach me at jane.doe99@corp.example.com or 5551234567890 thanks"),
     ],
     [  # batch 1: exact dup of doc 0 (different id), near-dup of doc 1,
         # another empty doc (empty == empty exact dup)
@@ -337,3 +340,43 @@ def test_banded_near_dedup_stream_equals_batch(spark, edge_docs_stream_dir):
     } if spark.catalog.tableExists("edge_near_dedup") else None
     if single is not None:
         assert set(got) <= single
+
+
+def test_pii_redact_stream_equals_batch(spark, edge_docs_stream_dir):
+    """The stateless scrub must produce identical redactions streamed
+    batch-by-batch and in one batch read — and composing it BEFORE the
+    stateful near-dedup must remain a legal append-mode plan (scrub ->
+    dedup is the corpus-prep ordering)."""
+    from dblink_spark.streaming.events import (
+        near_dedup_doc_stream,
+        pii_redact_doc_stream,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(edge_docs_stream_dir)
+    )
+    run_to_memory_sink(
+        near_dedup_doc_stream(pii_redact_doc_stream(stream)), "edge_pii_scrub"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_emails"], r["n_longnums"])
+        for r in spark.table("edge_pii_scrub").collect()
+    }
+
+    batch = pii_redact_doc_stream(spark.read.parquet(edge_docs_stream_dir))
+    expect = {
+        r["doc_id"]: (r["text"], r["n_emails"], r["n_longnums"])
+        for r in batch.collect()
+    }
+    # every streamed row matches its batch twin exactly (dedup only drops
+    # rows, never alters the scrub)
+    for doc_id, row in got.items():
+        assert row == expect[doc_id], doc_id
+    # the PII doc was truly redacted in-stream, not just passed through
+    text3, n_em3, n_num3 = got[3]
+    assert n_em3 == 1 and n_num3 == 1
+    assert "<EMAIL>" in text3 and "<NUM>" in text3
+    assert "jane.doe99" not in text3 and "5551234567890" not in text3
