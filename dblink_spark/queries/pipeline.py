@@ -174,16 +174,22 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("mean_word_len").between(3.0, 10.0)
         & (F.col("stop_hits") >= 2)
         & (F.col("symbol_ratio") < 0.1)
-    ).persist()  # feeds the pair build, survivor lengths, and both yield aggs
+    )
+    # only the pair build needs text; everything downstream (survivor
+    # lengths, both yield aggregates, the anti-join) reads these four
+    # narrow columns — so THIS is what gets cached, not the full corpus
+    # (at 100 TB the text-bearing frame must never be pinned in memory)
+    passing_meta = passing.select("doc_id", "lang", "len", "n_words").persist()
 
     # near-dup closure over the FILTERED corpus only (within-lang blocking
-    # inside bottomk_sketch_pairs matches the oracle's a.lang = b.lang)
+    # inside bottomk_sketch_pairs matches the oracle's a.lang = b.lang);
+    # scans the source once, un-persisted
     pairs = bottomk_sketch_pairs(passing, k=8, threshold=0.99)
     comps = connected_components(pairs, "doc1", "doc2")
     release_caches(pairs)  # closure materialized eagerly (localCheckpoint)
 
     surv = (
-        comps.join(passing.select(F.col("doc_id").alias("node"), "len"), "node")
+        comps.join(passing_meta.select(F.col("doc_id").alias("node"), "len"), "node")
         .groupBy("component")
         .agg(
             # survivor = argmax(len, tie: min doc_id) as a struct-min —
@@ -200,12 +206,12 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("survivor"))
         .select(F.col("node").alias("doc_id"))
     )
-    kept = passing.join(drops, "doc_id", "left_anti")
+    kept = passing_meta.join(drops, "doc_id", "left_anti")
 
     raw = d.groupBy(F.coalesce("lang", F.lit("")).alias("lang")).agg(
         F.count("*").cast("long").alias("n_raw")
     )
-    qual = passing.groupBy("lang").agg(
+    qual = passing_meta.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_quality")
     )
     keep = kept.groupBy("lang").agg(
@@ -228,4 +234,4 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("words_kept", F.lit(0)).cast("long").alias("words_kept"),
         )
     )
-    return owns_caches(out, passing)
+    return owns_caches(out, passing_meta)
