@@ -70,8 +70,10 @@ R6_QUERIES = [
     "text_token_count_bpe",
     "pipeline_corpus_prep",
     "text_pii_redact",
+    "q_docs_top_quality_per_lang",
     # first benched r6 (rotated past the driver-gate window this round)
     "q_events_bucket_rollup",
+    "q_events_value_quantiles",
 ]
 
 # r5: queries added (or first benched) this round — their own total, their

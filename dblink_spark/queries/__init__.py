@@ -138,6 +138,12 @@ _GATE_TAIL = [
     # out — it joins the r6 bench set (timed every round) and stays
     # hash-verified by tools/driver_sim.py like every tail entry.
     "q_events_bucket_rollup",
+    # r6: q_docs_top_quality_per_lang enters the head; the EXACT events
+    # quantile rotates out — it exists as the oracle-replayable twin of the
+    # head-gated approx path (q_events_value_quantiles_approx, the 100-TB
+    # default); like every tail entry it stays hash-verified per round by
+    # tools/driver_sim.py and now also timed per round by bench.py.
+    "q_events_value_quantiles",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",

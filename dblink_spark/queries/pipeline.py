@@ -235,3 +235,84 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return owns_caches(out, passing_meta)
+
+
+@register(
+    "q_docs_top_quality_per_lang",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars_m,
+    len(list_filter(string_split(text, ' '),
+        x -> x IN ({_STOP_SQL}))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+    (CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+              THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN CAST(n_chars_m AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+              THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM feats
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY quality_score DESC, n_tokens DESC, doc_id ASC
+    ) AS rnk
+  FROM scored
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality_score,
+  CAST(n_tokens AS INT) AS n_tokens
+FROM ranked WHERE rnk <= 25
+""",
+    survey_ref=(
+        "beyond-reference: per-group top-k curation (best-N docs per "
+        "language by quality score) — the selection step after scoring"
+    ),
+)
+def q_docs_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents per language by quality score (same heuristic as
+    text_quality_score), deterministic tie-breaks (score DESC, n_tokens
+    DESC, doc_id ASC) so both engines rank identically.
+
+    100-TB shape: a rank-limited window is NOT a full per-partition sort —
+    Spark's WindowGroupLimit optimization (pinned in
+    tests/test_plan_audit.py) pushes the rank<=k predicate below the
+    window, keeping only k rows per group on each map task before the
+    shuffle, so the exchanged data is bounded by k*|langs| per task, not
+    the corpus."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_stop.alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens") >= 10, 0.5).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 0.2).otherwise(0.0)
+    )
+    scored = feats.select(
+        "doc_id", "lang", "n_tokens", score.alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 25")
+        .select("lang", "rnk", "doc_id", "quality_score", "n_tokens")
+    )

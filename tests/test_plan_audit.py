@@ -300,3 +300,16 @@ class TestR6QueryPlans:
             assert a.python_ops == 0
         finally:
             q.release_caches(df)
+
+    def test_top_quality_rank_limit_pushed_below_window(self, spark):
+        """Per-group top-k must ride WindowGroupLimit: the rank<=k predicate
+        prunes to k rows per group BEFORE the exchange (map side) and again
+        after it — without this, the window sorts the whole corpus. Scan
+        must read only the 3 referenced columns."""
+        df = q.REGISTRY["q_docs_top_quality_per_lang"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert plan.count("WindowGroupLimit") >= 2  # map-side + final
+        scans = scan_infos(plan)
+        assert all(len(s.read_columns) <= 3 for s in scans)
+        a = audit_plan(df)
+        assert a.python_ops == 0

@@ -70,6 +70,9 @@ _QUERIES = [
     # gate, and a passing identical pair driving a nonzero closure
     "pipeline_corpus_prep",
     "text_pii_redact",   # true positives live ONLY here (fixture is clean)
+    # heavy score ties (most edge docs score 0.0/0.2) pin the deterministic
+    # tie-break chain (score DESC, n_tokens DESC, doc_id ASC) across engines
+    "q_docs_top_quality_per_lang",
 ]
 
 
