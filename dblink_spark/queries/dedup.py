@@ -111,8 +111,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, n_near_dups, rep_doc)``.
 
     Scale shape:
-    - signatures, token arrays and sizes come from ONE groupBy over the
-      exploded tokens (single shuffle on doc_id);
+    - signatures, token arrays and sizes are computed ROW-LOCALLY with
+      higher-order functions (zero shuffles — the same trick as
+      streaming/events.py:minhash_key; the former explode->distinct->groupBy
+      build shuffled the full token table twice);
     - no all-pairs product ever forms — candidates only via band equi-join
       (4×4 banding puts the S-curve midpoint at ~0.84, so candidate volume
       tracks true near-dup volume, not N²);
@@ -131,15 +133,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       (this corpus: 2.9M true pairs at sf0.1 from 5k docs).
     """
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
-    docs = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.col("token")))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-        F.sort_array(F.collect_list("token")).alias("toks"),
-        F.count("*").alias("n_tok"),
-    ).persist()
+    toks_arr = F.array_distinct(F.split("text", " "))
+
+    def _hash_row(prefix: str):
+        # single-parameter lambda bound via factory (see minhash_key's
+        # shadowing caveat); prefix concat matches the oracle: str(i)+token
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    docs = (
+        _widen_small_scan(d.filter(F.col("text").isNotNull()))
+        .select(
+            "doc_id",
+            *[
+                F.array_min(F.transform(toks_arr, _hash_row(str(i)))).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ],
+            F.sort_array(toks_arr).alias("toks"),
+            F.size(toks_arr).cast("long").alias("n_tok"),
+        )
+        .persist()
+    )
     band_keys = [
         F.md5(F.concat(F.lit(str(b)), *cols))
         for b, (_, cols) in enumerate(_band_defs())
@@ -195,21 +208,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owns_caches(out, docs)  # caller releases after materializing
 
 
+def _widen_small_scan(d: DataFrame) -> DataFrame:
+    """Row-local signature builds run at the INPUT's split count — fine at
+    scale (splits >> cores) but a small input underuses the cluster; widen
+    with one text-byte shuffle, still strictly cheaper than the token-table
+    shuffles these builds replaced. The trigger reads the optimizer's
+    scan-size estimate (cheap, no job): a source smaller than
+    cores × maxPartitionBytes cannot yield enough splits. At 100 TB the
+    estimate is huge and this is a guaranteed no-op. (NOT df.rdd
+    .getNumPartitions(): the Python-RDD conversion reports 1 partition
+    pre-execution and its first call costs ~1s of driver time.)"""
+    spark = d.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable (non-JVM frame): keep the narrow pass
+        return d
+    return d.repartition(target) if est < target * (128 << 20) else d
+
+
 def bottomk_sketches(d: DataFrame, k: int = 8) -> DataFrame:
     """Per-doc bottom-k (KMV) token sketch as a SORTED array + its size:
-    ``(doc_id, lang, sketch array<string>, k)``. One shuffle (groupBy doc)."""
-    from pyspark.sql import Window
+    ``(doc_id, lang, sketch array<string>, k)``.
 
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy(F.md5("token"))
-    return (
-        tok.select("doc_id", "lang", F.md5("token").alias("h"))
-        .withColumn("rn", F.row_number().over(w.orderBy("h")))
-        .filter(f"rn <= {k}")
-        .groupBy("doc_id", "lang")
-        .agg(F.sort_array(F.collect_list("h")).alias("sketch"), F.count("*").alias("k"))
+    ZERO shuffles: the sketch is computed row-locally with higher-order
+    functions — distinct tokens, md5 each, sort, slice k — the same trick
+    the streaming near-dedup uses (streaming/events.py:minhash_key). The
+    previous formulation (explode -> distinct -> window rank -> groupBy)
+    shuffled the full token table twice and sorted it once; at 100 TB that
+    was the dominant cost of every bottom-k consumer. Tokens-per-doc is
+    bounded by the document itself (already one row), so the row-local
+    arrays add no memory beyond what the text column costs.
+
+    NULL-text docs are absent from the output, exactly like the exploded
+    formulation (explode of a null array emits no rows) and the oracles'
+    ``unnest(string_split(...))``."""
+    src = _widen_small_scan(d.filter(F.col("text").isNotNull()))
+    hashes = F.transform(
+        F.array_distinct(F.split("text", " ")), lambda t: F.md5(t)
+    )
+    sk = F.slice(F.sort_array(hashes), 1, k)
+    return src.select(
+        "doc_id",
+        "lang",
+        sk.alias("sketch"),
+        F.size(sk).cast("long").alias("k"),
     )
 
 
