@@ -426,18 +426,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs sharing an 8-bit half-fingerprint), not N²-per-language — the
     all-pairs-within-lang join this replaces was N²/|langs| at 100 TB."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
-    h = _hex_to_int_spark(F.md5("token"), 1, 8)
-    bits = tok.select("doc_id", "lang", h.alias("h"))
+    # per-doc bit sums computed ROW-LOCALLY: hash the distinct tokens once
+    # into an int array, then 16 array-aggregates accumulate the ±1 bit
+    # votes — zero shuffles (the former explode -> distinct -> groupBy
+    # build shuffled the full token table twice; see bottomk_sketches)
+    hs = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: _hex_to_int_spark(F.md5(t), 1, 8),
+    )
+    base = _widen_small_scan(d.filter(F.col("text").isNotNull())).select(
+        "doc_id", "lang", hs.alias("hs")
+    )
+    def _bit_vote(i: int):
+        # two-parameter merge lambda bound via factory: pyspark infers the
+        # lambda's arity from its signature, so a default-arg third param
+        # would be mistaken for a higher-arity callable (same caveat as
+        # streaming/events.py:minhash_key)
+        mask = F.lit(1 << i)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     sig_cols = [
-        F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.aggregate("hs", F.lit(0).cast("bigint"), _bit_vote(i)).alias(f"b{i}")
         for i in range(16)
     ]
-    sig = bits.groupBy("doc_id", "lang").agg(*sig_cols)
+    sig = base.select("doc_id", "lang", *sig_cols)
     fp_expr = None
     for i in range(16):
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
