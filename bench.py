@@ -133,6 +133,11 @@ def main() -> None:
         "r6: dedup_embedding_cosine retired (scaled variant supersedes)",
         "r6: er_mcmc probe window 10 -> 200 iters (r5 flag was noise on a "
         "~30ms measurement)",
+        "r6: sketch builds (bottom-k/minhash/simhash) rewritten row-local — "
+        "zero token-table shuffles at scale; local sf0.1 cost shifts from "
+        "shuffle stages to per-row array ops (bottom-k consumers ~0.5s "
+        "slower here, minhash faster; the removed shuffles are the "
+        "100-TB-dominant term)",
     ]
     try:
         out["er_mcmc_iters_per_sec"] = round(mcmc_iters_per_sec(spark), 3)
