@@ -313,3 +313,15 @@ class TestR6QueryPlans:
         assert all(len(s.read_columns) <= 3 for s in scans)
         a = audit_plan(df)
         assert a.python_ops == 0
+
+    def test_sketch_builds_are_row_local(self, spark):
+        """The bottom-k/MinHash signature builds must stay row-local: at
+        most ONE exchange (the small-input widening repartition), never the
+        token-table explode->distinct->groupBy shuffles they replaced."""
+        from dblink_spark.plans.audit import audit_plan, exchange_count
+        from dblink_spark.queries.dedup import bottomk_sketches
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = audit_plan(bottomk_sketches(d))
+        assert a.exchanges <= 1
+        assert a.python_ops == 0
