@@ -1,6 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+(default /root/testdata/sf0.1) and prints ONE JSON line on stdout.
+
+OUTPUT CONTRACT (r7): the driver captures only the LAST ~2000 characters of
+stdout — r6's single line outgrew that window and the committed artifact
+lost its own headline number (BENCH_r06.json: "parsed": null). So stdout is
+now a COMPACT payload (headline per-query dict + totals + the ER probe
+medians, guarded to stay under the capture window), and the FULL payload
+(every timed query, notes, regressions, per-window probe rates) is written
+to BENCH_FULL_LATEST.json next to this file. tools/bench_diff.py follows
+the compact payload's "full" pointer automatically.
 
 Each query is executed three times; the best timing is reported, since the
 first runs pay one-off JVM/codegen costs that a long-lived cluster amortizes
@@ -9,21 +17,17 @@ Timing forces full materialization via a count on a cheap projection
 (df.toPandas would add driver transfer that a real pipeline writes to
 parquet instead).
 
-r6 comparability notes (vs BENCH_r05 and earlier):
-- persisted intermediates are RELEASED between reps (caller-owns-cache
-  contract), so queries that persist (minhash/simhash/bottomk and the
-  components/survivors built on bottomk) now report honest COLD cost —
-  r5's best-of-3 reused the sketch cache across reps for those entries;
-- dedup_embedding_cosine is retired (the scaled variant supersedes it);
-- er_mcmc_iters_per_sec times a 200-iteration (>=1s) window instead of a
-  10-iteration ~30ms one (the r5 flag was measurement-floor noise).
-These are also emitted in the JSON as "notes".
+ER probes report the MEDIAN of 3 independent timing windows plus the
+min..max spread (r7: committed r6 probe numbers were 30-40% below an
+isolated re-run — sweep contamination; a single window cannot be trusted
+to ±30% on local[32], see COVERAGE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,17 +56,28 @@ BENCH_QUERIES = [
 EXTENDED_QUERIES = [
     "dedup_simhash",
     "dedup_bottomk_jaccard",
-    # r6: dedup_embedding_cosine (fixed-width LSH demo, ~N^2/16 candidates)
-    # retired from the registry — dedup_embedding_cosine_scaled (in
-    # R5_QUERIES) is the superseding scale path. extended_total therefore
-    # drops by that query's ~3.6s vs r5; compare per-query, not the total.
     "ann_lsh_bucketed",
-    "ann_ivf",
+    "ann_ivf_untrained_baseline",
     "text_gopher_rules",
     "text_repetition",
 ]
 
-# r6: queries added this round (trained-IVF gate, packing invariant gate,
+# Deliberately removed/renamed query names, with the reason — the ONLY names
+# bench_diff waives when they disappear from a new run. Anything else
+# missing is a gate failure (an accidental drop — e.g. a typo silently
+# filtered by the REGISTRY membership check — must not pass as retirement).
+RETIRED_QUERIES = {
+    "dedup_embedding_cosine": (
+        "r6: fixed-width LSH demo retired; dedup_embedding_cosine_scaled "
+        "supersedes it"
+    ),
+    "ann_ivf": (
+        "r7: renamed ann_ivf_untrained_baseline — the trained quantizer "
+        "(ann_ivf_trained) is the canonical IVF entry"
+    ),
+}
+
+# r6: queries added that round (trained-IVF gate, packing invariant gate,
 # BPE-style token counting, end-to-end corpus-prep composition).
 R6_QUERIES = [
     "ann_ivf_trained",
@@ -71,12 +86,16 @@ R6_QUERIES = [
     "pipeline_corpus_prep",
     "text_pii_redact",
     "q_docs_top_quality_per_lang",
-    # first benched r6 (rotated past the driver-gate window this round)
     "q_events_bucket_rollup",
     "q_events_value_quantiles",
 ]
 
-# r5: queries added (or first benched) this round — their own total, their
+# r7: queries added this round (composite inventory checksum).
+R7_QUERIES = [
+    "q_inventory_checksum",
+]
+
+# r5: queries added (or first benched) that round — their own total, their
 # own baseline; "combined_total" (headline + extended) is the one number
 # comparable with r4 (8.796 + 11.917 = 20.713s).
 R5_QUERIES = [
@@ -95,6 +114,11 @@ R5_QUERIES = [
     "multimodal_resize_stats",
 ]
 
+FULL_PAYLOAD_FILE = "BENCH_FULL_LATEST.json"
+# the driver's stdout tail capture is ~2000 chars (measured: BENCH_r05/r06
+# both carry exactly 2000); stay well inside it
+COMPACT_LINE_BUDGET = 1800
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,48 +128,50 @@ def main() -> None:
     spark = get_spark("dblink_spark_bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    names = [
-        n for n in BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
-        if n in REGISTRY
-    ]
+    all_names = (
+        BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES + R7_QUERIES
+    )
+    unknown = [n for n in all_names if n not in REGISTRY]
+    if unknown:
+        # a typo here must fail loudly, never silently shrink the bench set
+        # (ADVICE r6: missing-from-run used to be indistinguishable from a
+        # deliberate retirement)
+        raise SystemExit(f"bench names not in REGISTRY: {unknown}")
     timings: dict[str, float] = {}
-    for name in names:
+    for name in all_names:
         timings[name], n = _time_query(spark, sf_dir, name)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings[n] for n in BENCH_QUERIES if n in timings), 3),
+        "value": round(sum(timings[n] for n in BENCH_QUERIES), 3),
         "unit": "sec",
         "queries": timings,
-        "extended_total": round(
-            sum(timings[n] for n in EXTENDED_QUERIES if n in timings), 3
-        ),
-        "r5_total": round(sum(timings[n] for n in R5_QUERIES if n in timings), 3),
-        "r6_total": round(sum(timings[n] for n in R6_QUERIES if n in timings), 3),
+        "extended_total": round(sum(timings[n] for n in EXTENDED_QUERIES), 3),
+        "r5_total": round(sum(timings[n] for n in R5_QUERIES), 3),
+        "r6_total": round(sum(timings[n] for n in R6_QUERIES), 3),
+        "r7_total": round(sum(timings[n] for n in R7_QUERIES), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out["combined_total"] = round(out["value"] + out["extended_total"], 3)
     out["notes"] = [
-        "r6: persisted intermediates released between reps -> dedup-family "
-        "timings are honest-cold (r5 best-of-3 reused the sketch cache)",
-        "r6: dedup_embedding_cosine retired (scaled variant supersedes)",
-        "r6: er_mcmc probe window 10 -> 200 iters (r5 flag was noise on a "
-        "~30ms measurement)",
-        "r6: sketch builds (bottom-k/minhash/simhash) rewritten row-local — "
-        "zero token-table shuffles at scale; local sf0.1 cost shifts from "
-        "shuffle stages to per-row array ops (bottom-k consumers ~0.5s "
-        "slower here, minhash faster; the removed shuffles are the "
-        "100-TB-dominant term)",
+        "r7: stdout is the COMPACT payload (driver tail capture is ~2000 "
+        "chars; r6's full line overflowed it and lost the headline) — the "
+        "full payload incl. every timed query lives in BENCH_FULL_LATEST.json",
+        "r7: ER probes report median-of-3 independent windows + min..max "
+        "spread (committed r6 single-window numbers were 30-40% below an "
+        "isolated re-run; COVERAGE.md documents the ±30% variance)",
+        "r7: ann_ivf renamed ann_ivf_untrained_baseline (trained quantizer "
+        "is canonical); dedup_minhash_lsh derives its 16 hash families from "
+        "ONE md5 per token (digest split + rotate-xor mixing) instead of 16 "
+        "md5 calls per token",
     ]
     try:
-        out["er_mcmc_iters_per_sec"] = round(mcmc_iters_per_sec(spark), 3)
-        # r6 methodology change: 200-iter (>=1s) window replaces the 10-iter
-        # ~30ms window of r4/r5; the r5 377->277 flag was measurement-floor
-        # noise (isolated same-code trials: 184/293/323 it/s). Values before
-        # r6 are not comparable; the marker records the window the probe
-        # ACTUALLY timed so bench_diff can detect any future change too.
+        med, spread, windows = mcmc_iters_per_sec(spark)
+        out["er_mcmc_iters_per_sec"] = med
+        out["er_mcmc_spread"] = spread
+        out["er_mcmc_window_rates"] = windows
         out["er_mcmc_probe_iters"] = mcmc_iters_per_sec.last_window_iters
     except Exception as e:  # never let the ER probe break the contract line
         print(f"# er bench skipped: {e}", file=sys.stderr)
@@ -157,8 +183,67 @@ def main() -> None:
         out.update(paper_scale_spark_path(spark))
     except Exception as e:
         print(f"# paper-scale bench skipped: {e}", file=sys.stderr)
+    try:
+        out.update(er_1m_partition_scaling(spark))
+    except Exception as e:
+        print(f"# 1M-chain bench skipped: {e}", file=sys.stderr)
     _diff_vs_last_round(out, spark, sf_dir)
-    print(json.dumps(out))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, FULL_PAYLOAD_FILE)
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# full payload -> {full_path}", file=sys.stderr)
+    print(json.dumps(_compact(out, timings)))
+
+
+def _compact(out: dict, timings: dict[str, float]) -> dict:
+    """The stdout payload: headline queries + totals + probe medians, with a
+    pointer to the full file. Hard-guarded under COMPACT_LINE_BUDGET — if a
+    future key addition overflows, secondary probe keys are dropped (in
+    order) rather than truncating the line mid-JSON again."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {n: timings[n] for n in BENCH_QUERIES},
+        "extended_total": out["extended_total"],
+        "r5_total": out["r5_total"],
+        "r6_total": out["r6_total"],
+        "r7_total": out["r7_total"],
+        "combined_total": out["combined_total"],
+        "n_queries_timed": len(timings),
+        "full": FULL_PAYLOAD_FILE,
+    }
+    for k in (
+        "er_mcmc_iters_per_sec",
+        "er_mcmc_probe_iters",
+        "er_mcmc_spread",
+        "er_rl10k_1part_iters_per_sec",
+        "er_rl10k_2part_iters_per_sec",
+        "er_rl10k_spark_1part_iters_per_sec",
+        "er_rl10k_spark_2part_iters_per_sec",
+        "er_rl10k_spark_4part_iters_per_sec",
+        "er_paper_spark_1part_iters_per_sec",
+        "er_paper_spark_4part_iters_per_sec",
+        "er_1m_8part_sec_per_iter",
+        "er_1m_16part_sec_per_iter",
+        "er_1m_max_partition_clusters",
+    ):
+        if k in out:
+            compact[k] = out[k]
+    droppable = [
+        "er_rl10k_spark_1part_iters_per_sec",
+        "er_rl10k_spark_2part_iters_per_sec",
+        "er_rl10k_1part_iters_per_sec",
+        "er_rl10k_2part_iters_per_sec",
+        "er_paper_spark_1part_iters_per_sec",
+        "er_mcmc_spread",
+    ]
+    while len(json.dumps(compact)) > COMPACT_LINE_BUDGET and droppable:
+        compact.pop(droppable.pop(), None)
+    return compact
 
 
 def _time_query(spark, sf_dir: str, name: str, reps: int = 3):
@@ -180,51 +265,92 @@ def _time_query(spark, sf_dir: str, name: str, reps: int = 3):
     return round(best, 3), n
 
 
-def _diff_vs_last_round(out: dict, spark=None, sf_dir: str | None = None) -> None:
-    """Surface round-over-round query regressions mechanically: compare this
-    run against the newest committed BENCH_r{N}.json (stderr only — the
-    stdout contract stays one JSON line, and a regression must not fail the
-    bench itself; tools/bench_diff.py is the exit-code gate).
+def _median_windows(run_window, n_windows: int = 3):
+    """Run ``run_window() -> rate`` n times; return (median, "min..max",
+    [rates]). The committed artifact must reproduce within ~15% on an
+    isolated re-run (VERDICT r6 task 2) — a single window cannot promise
+    that on local[32]."""
+    rates = [run_window() for _ in range(n_windows)]
+    med = statistics.median(rates)
+    spread = f"{min(rates):.3g}..{max(rates):.3g}"
+    return round(med, 3), spread, [round(r, 3) for r in rates]
 
-    r6: each flagged query is immediately RE-TIMED in isolation (best-of-3,
-    same process, after the full sweep) and the result lands in the JSON as
-    ``regressions: [{query, prev, sweep, isolated}]`` — so a noise flag
-    carries its own adjudicating evidence instead of needing a judge re-run
-    (r5's minhash 1.92x flag re-timed at 0.65-0.75s, i.e. noise)."""
+
+def _payload_history() -> list[tuple[int, dict]]:
+    """Usable bench payloads by round, newest first. Prefers the committed
+    full local artifact (BENCH_LOCAL_r{N}.json, raw payload) over the
+    driver's tail-parsed BENCH_r{N}.json — r6's driver artifact carries
+    "parsed": null (truncated tail) and is unusable."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    by_round: dict[int, dict] = {}
+    for pattern, wrapped in (("BENCH_r*.json", True), ("BENCH_LOCAL_r*.json", False)):
+        for path in glob.glob(os.path.join(here, pattern)):
+            m = re.fullmatch(
+                r"BENCH(?:_LOCAL)?_r(\d+)\.json", os.path.basename(path)
+            )
+            if not m:
+                continue
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                continue
+            payload = data.get("parsed") if wrapped else data
+            if isinstance(payload, dict) and "queries" in payload:
+                # local full artifacts overwrite driver tails (same loop
+                # order: BENCH_r* first, BENCH_LOCAL_r* second)
+                by_round[int(m.group(1))] = payload
+    return sorted(by_round.items(), key=lambda kv: -kv[0])
 
-    def _round_no(path: str) -> int:
-        # tolerate stray files matching the glob (e.g. BENCH_rerun.json):
-        # non-numeric suffixes sort first instead of crashing the key — the
-        # stdout one-JSON-line contract must survive any filename
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
-        return int(m.group(1)) if m else -1
 
-    rounds = [p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-              if _round_no(p) >= 0]
-    rounds.sort(key=_round_no)
-    if not rounds:
+def _diff_vs_last_round(out: dict, spark=None, sf_dir: str | None = None) -> None:
+    """Surface round-over-round query regressions mechanically: compare this
+    run against the newest usable committed payload (stderr only — stdout
+    stays one JSON line; tools/bench_diff.py is the exit-code gate).
+
+    Each flagged query is immediately RE-TIMED in isolation (best-of-3, same
+    process, after the full sweep) and lands in the payload as
+    ``regressions: [{query, prev, sweep, isolated}]`` — a noise flag carries
+    its own adjudicating evidence.
+
+    ``queries_retired`` is derived ONLY from the explicit RETIRED_QUERIES
+    constant (ADVICE r6): an accidental drop lands in ``queries_missing``
+    and fails the bench_diff gate.
+
+    ``baseline_warm_cache`` (the r5→r6 warm-vs-cold comparability flag) is
+    only set when the isolated re-time is ALSO within threshold of the
+    newest honest-cold baseline for that query — a genuine regression
+    confirmed by the isolated re-time is never waived (ADVICE r6)."""
+    history = _payload_history()
+    if not history:
         return
+    prev_round, prev = history[0]
     try:
         from tools.bench_diff import NOISE_FLOOR_SEC
 
-        with open(rounds[-1]) as f:
-            prev = json.load(f).get("parsed", {})
         # queries whose r5-and-earlier "best" reused a persisted
-        # intermediate across reps: their committed baselines are WARM
-        # numbers while r6+ measures cold (caches released between reps) —
-        # a flag against an old round for these is a comparability
-        # artifact unless the isolated re-time ALSO regressed vs its own
-        # r6+ baseline
+        # intermediate across reps (warm baselines, cold from r6 on)
         warm_baseline = {
             "dedup_minhash_lsh", "dedup_simhash", "dedup_bottomk_jaccard",
             "pairwise_metrics", "dedup_components", "dedup_survivors",
         }
-        prev_notes = prev.get("notes", [])
-        prev_is_cold = any("honest-cold" in n for n in prev_notes)
+        prev_is_cold = any("honest-cold" in n for n in prev.get("notes", []))
+
+        def _cold_ref(name: str) -> float | None:
+            """Newest committed time for ``name`` measured under the
+            honest-cold methodology (notes carry the marker from r6 on)."""
+            for _, payload in history:
+                notes = payload.get("notes", [])
+                cold = any(
+                    "honest-cold" in n or "COMPACT payload" in n for n in notes
+                )
+                if cold and name in payload.get("queries", {}):
+                    return payload["queries"][name]
+            return None
+
         flagged = []
         prev_queries = prev.get("queries", {})
         for name, t_new in out["queries"].items():
@@ -234,40 +360,42 @@ def _diff_vs_last_round(out: dict, spark=None, sf_dir: str | None = None) -> Non
                 if spark is not None and sf_dir is not None:
                     entry["isolated"], _ = _time_query(spark, sf_dir, name)
                 if name in warm_baseline and not prev_is_cold:
-                    entry["baseline_warm_cache"] = True
+                    cold = _cold_ref(name)
+                    isolated = entry.get("isolated", t_new)
+                    if cold is None or isolated <= 1.5 * cold:
+                        entry["baseline_warm_cache"] = True
+                    else:
+                        entry["cold_baseline"] = cold
                 flagged.append(entry)
         missing = sorted(set(prev_queries) - set(out["queries"]))
-        base = os.path.basename(rounds[-1])
+        retired = [m for m in missing if m in RETIRED_QUERIES]
+        dropped = [m for m in missing if m not in RETIRED_QUERIES]
+        base = f"r{prev_round}"
         if flagged or missing:
             out["regressions"] = flagged
-            if missing:
-                out["queries_retired"] = missing
+            if retired:
+                out["queries_retired"] = retired
+            if dropped:
+                out["queries_missing"] = dropped
             msgs = [
                 f"{e['query']}: {e['prev']:.3f}s -> {e['sweep']:.3f}s"
                 + (f" (isolated {e['isolated']:.3f}s)" if "isolated" in e else "")
                 for e in flagged
-            ] + [f"{m}: missing from this run" for m in missing]
-            print(f"# REGRESSION vs {base}: " + "; ".join(msgs), file=sys.stderr)
+            ] + [f"{m}: MISSING from this run (not in RETIRED_QUERIES)" for m in dropped]
+            if msgs:
+                print(f"# REGRESSION vs {base}: " + "; ".join(msgs), file=sys.stderr)
+            if retired:
+                print(f"# retired vs {base}: {retired}", file=sys.stderr)
         else:
             print(f"# no query regressions vs {base} (1.5x gate)", file=sys.stderr)
     except Exception as e:  # diagnostic only — never break the bench line
         print(f"# bench diff skipped: {e}", file=sys.stderr)
 
 
-def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) -> dict:
-    """Partition scaling of the distributed ``applyInPandas``/``applyInArrow``
-    path at a scale where kernels dominate the per-iteration job floor —
-    the regime the reference's near-linear-scaling headline claim is about
-    (ref: /root/reference README; multi-hundred-thousand-record datasets).
-
-    100k synthetic RLdata-shaped records, KD-tree 4 partitions vs single
-    partition, PCG-I. At 300k records the same harness measured 1/2/4/8
-    partitions at ~7.5/2.9/1.7/1.5 s/iter after the r5 floor work
-    (2.6x/4.3x/5.1x vs one partition; tools/measure_300k_scaling.py),
-    beating the driver-local sequential kernels from 2 partitions up; the
-    bench uses 100k so the per-round cost stays bounded."""
-    import tempfile  # noqa: F401 - symmetry with rl10k probe
-
+def _make_er_problem(spark, n_records: int, seed: int, dup_fraction: float = 0.2):
+    """Shared probe scaffolding: RLdata-shaped synthetic -> records frame +
+    attribute spec + records cache (the same 5-attribute schema every ER
+    probe uses)."""
     from pyspark.sql import functions as F
 
     from dblink_spark.er.attributes import (
@@ -278,16 +406,15 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
     )
     from dblink_spark.er.cache import build_records_cache
     from dblink_spark.er.datagen import make_rldata
-    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
-    from dblink_spark.er.state import assign_partitions, init_state, transition
 
     pdf = make_rldata(
-        n_records=n_records, dup_fraction=0.2, missing_fraction=0.02, seed=11
+        n_records=n_records, dup_fraction=dup_fraction,
+        missing_fraction=0.02, seed=seed,
     )
+    if "ent_id" in pdf.columns:
+        pdf = pdf.drop(columns=["ent_id"])
     records = (
-        spark.createDataFrame(pdf.drop(columns=["ent_id"]))
-        .withColumn("file_id", F.lit("0"))
-        .repartition(32)
+        spark.createDataFrame(pdf).withColumn("file_id", F.lit("0")).repartition(32)
     )
     attrs = [
         Attribute("by", ConstantSim(), BetaParams(0.5, 50.0)),
@@ -297,6 +424,24 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
         Attribute("lname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
     ]
     cache = build_records_cache(records, attrs, expected_max_cluster_size=10)
+    return records, attrs, cache
+
+
+def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) -> dict:
+    """Partition scaling of the distributed ``applyInPandas``/``applyInArrow``
+    path at a scale where kernels dominate the per-iteration job floor —
+    the regime the reference's near-linear-scaling headline claim is about
+    (ref: /root/reference README; multi-hundred-thousand-record datasets).
+
+    100k synthetic RLdata-shaped records, KD-tree 4 partitions vs single
+    partition, PCG-I; median of 3 independent ``n_iters``-iteration windows
+    per point (r7 variance fix). At 300k records the same harness measured
+    1/2/4/8 partitions at ~7.5/2.9/1.7/1.5 s/iter after the r5 floor work
+    (tools/measure_300k_scaling.py)."""
+    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
+    from dblink_spark.er.state import assign_partitions, init_state, transition
+
+    records, attrs, cache = _make_er_problem(spark, n_records, seed=11)
     s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=99)
     out = {"er_paper_n_records": n_records}
     for p in (1, 4):
@@ -318,15 +463,64 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
             ]
             out["er_paper_max_partition_clusters"] = int(max(sizes))
         s = transition(s, "PCG-I")  # warm
+        state_box = [s]
+
+        def _window() -> float:
+            t0 = time.time()
+            for _ in range(n_iters):
+                state_box[0] = transition(state_box[0], "PCG-I")
+            return n_iters / (time.time() - t0)
+
+        med, spread, rates = _median_windows(_window)
+        out[f"er_paper_spark_{p}part_iters_per_sec"] = med
+        out[f"er_paper_spark_{p}part_spread"] = spread
+        print(
+            f"# er_paper({n_records}): {med:.3f} it/s at {p} partition(s) "
+            f"(median of 3 windows, {spread})", file=sys.stderr,
+        )
+    return out
+
+
+def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3) -> dict:
+    """1M-record distributed chain at p=8 vs p=16 (VERDICT r6 task 7: does
+    the 300k ~1.6x p=8→16 gain hold at 1M?). Reports sec/iter (the 1M
+    number COVERAGE.md quotes) plus the max partition population — the
+    per-partition memory ceiling the reference shares (SURVEY §4: "spill is
+    not handled"; a partition's packed state must fit one Arrow batch).
+
+    One window per point (each iteration is multi-second — far above the
+    noise floor that motivates median-of-3 on the smaller probes; three
+    windows would add ~1.5 min/round for no information)."""
+    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
+    from dblink_spark.er.state import assign_partitions, init_state, transition
+
+    t0 = time.time()
+    records, attrs, cache = _make_er_problem(spark, n_records, seed=17)
+    build_s = time.time() - t0
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=31)
+    out = {"er_1m_n_records": n_records, "er_1m_cache_build_sec": round(build_s, 1)}
+    for p in (8, 16):
+        pf = KDTreePartitioner(
+            num_levels=p.bit_length() - 1, attribute_ids=[3, 4, 0]
+        )
+        pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+        s = assign_partitions(s0, pf, pf.num_partitions)
+        if p == 16:
+            sizes = [
+                r["count"]
+                for r in s.df.filter("NOT is_summary")
+                .groupBy("partition_id")
+                .count()
+                .collect()
+            ]
+            out["er_1m_max_partition_clusters"] = int(max(sizes))
+        s = transition(s, "PCG-I")  # warm
         t0 = time.time()
         for _ in range(n_iters):
             s = transition(s, "PCG-I")
-        rate = n_iters / (time.time() - t0)
-        out[f"er_paper_spark_{p}part_iters_per_sec"] = round(rate, 3)
-        print(
-            f"# er_paper({n_records}): {rate:.3f} it/s at {p} partition(s) "
-            f"(distributed path)", file=sys.stderr,
-        )
+        spi = (time.time() - t0) / n_iters
+        out[f"er_1m_{p}part_sec_per_iter"] = round(spi, 2)
+        print(f"# er_1m: {spi:.2f} s/iter at {p} partitions", file=sys.stderr)
     return out
 
 
@@ -342,14 +536,16 @@ def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
       Forced via ``transition()`` directly (equivalent to
       ``SamplerOptions(local_exec_max_records=0)``).
 
+    All points are the MEDIAN of 3 independent windows (r7 variance fix).
+
     Expected shape at THIS problem size: the Spark path speeds up 1→2
     partitions (parallel kernel tasks) then plateaus, because the
     per-iteration fixed cost (job scheduling + Arrow shuffle of the state +
     lazy-checkpoint materialization + summary job, ~0.5s on local[32])
     dominates once the ~50ms/partition kernels shrink below it. That floor
     is why the sampler routes driver-sized problems local; the distributed
-    path pays off when per-partition kernel time >> job floor (see the
-    paper-scale probe, `paper_scale_spark_path`)."""
+    path pays off when per-partition kernel time >> job floor (see
+    `paper_scale_spark_path`)."""
     conf = "/root/reference/examples/RLdata10000.conf"
     csv_path = "/root/reference/examples/RLdata10000.csv"
     if not (os.path.exists(conf) and os.path.exists(csv_path)):
@@ -383,31 +579,43 @@ def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
         spark, records, cache, SinglePartition(), 1, seed=project.random_seed,
         population_size=project.population_size,
     )
+    out = {}
 
     s1 = transition_fused(s0, "PCG-I", 2)  # warm
-    t0 = time.time()
-    transition_fused(s1, "PCG-I", n_iters)
-    one_part = n_iters / (time.time() - t0)
+    state_box = [s1]
+
+    def _fused_window() -> float:
+        t0 = time.time()
+        state_box[0] = transition_fused(state_box[0], "PCG-I", n_iters)
+        return n_iters / (time.time() - t0)
+
+    med, spread, _ = _median_windows(_fused_window)
+    out["er_rl10k_1part_iters_per_sec"] = med
+    out["er_rl10k_1part_spread"] = spread
 
     part = project.build_partitioner()
     part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
     s2 = assign_partitions(s0, part, part.num_partitions)
     s2 = transition_local(s2, "PCG-I")  # warm (collects df -> local parts)
-    t0 = time.time()
-    for _ in range(n_iters):
-        s2 = transition_local(s2, "PCG-I")
-    two_part = n_iters / (time.time() - t0)
+    local_box = [s2]
+
+    def _local_window() -> float:
+        t0 = time.time()
+        for _ in range(n_iters):
+            local_box[0] = transition_local(local_box[0], "PCG-I")
+        return n_iters / (time.time() - t0)
+
+    med2, spread2, _ = _median_windows(_local_window)
+    out["er_rl10k_2part_iters_per_sec"] = med2
+    out["er_rl10k_2part_spread"] = spread2
     print(
-        f"# er_rl10k: {one_part:.1f} it/s 1-part, {two_part:.1f} it/s "
-        f"{part.num_partitions}-part (driver-local kernels)", file=sys.stderr,
+        f"# er_rl10k: {med:.1f} it/s 1-part ({spread}), {med2:.1f} it/s "
+        f"{part.num_partitions}-part ({spread2}) [driver-local kernels, "
+        f"median of 3]", file=sys.stderr,
     )
-    out = {
-        "er_rl10k_1part_iters_per_sec": round(one_part, 2),
-        "er_rl10k_2part_iters_per_sec": round(two_part, 2),
-    }
 
     # Distributed applyInPandas path, 1/2/4 partitions (10 timed iterations
-    # each — the per-iteration cost is ~10x the driver-local path here).
+    # per window — the per-iteration cost is ~10x the driver-local path).
     kd_order = [
         project.attr_names.index(a)
         for a in (
@@ -428,72 +636,62 @@ def rl10k_partition_scaling(spark, n_iters: int = 20) -> dict:
             pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
         s = assign_partitions(s0, pf, pf.num_partitions)
         s = transition(s, "PCG-I")  # warm
-        rate = 0.0
-        for _ in range(2):  # best-of-2: these short probes are load-noisy
+        box = [s]
+
+        def _spark_window() -> float:
             t0 = time.time()
             for _ in range(spark_iters):
-                s = transition(s, "PCG-I")
-            rate = max(rate, spark_iters / (time.time() - t0))
-        out[f"er_rl10k_spark_{p}part_iters_per_sec"] = round(rate, 2)
+                box[0] = transition(box[0], "PCG-I")
+            return spark_iters / (time.time() - t0)
+
+        medp, spreadp, _ = _median_windows(_spark_window)
+        out[f"er_rl10k_spark_{p}part_iters_per_sec"] = medp
+        out[f"er_rl10k_spark_{p}part_spread"] = spreadp
         print(
-            f"# er_rl10k_spark: {rate:.2f} it/s at {p} partition(s) "
-            f"(distributed applyInPandas path)", file=sys.stderr,
+            f"# er_rl10k_spark: {medp:.2f} it/s at {p} partition(s) "
+            f"(median of 3 windows, {spreadp})", file=sys.stderr,
         )
     return out
 
 
-def mcmc_iters_per_sec(spark, n_records: int = 300, n_iters: int = 200) -> float:
+def mcmc_iters_per_sec(spark, n_records: int = 300, n_iters: int = 200):
     """ER-engine throughput probe (BASELINE.md planned metric): PCG-I
     transitions/sec on an RLdata-shaped synthetic, single partition.
     No in-repo reference number exists (the reference publishes none), so
     this is regression-tracked round over round.
 
-    METHODOLOGY CHANGE (r6): n_iters 10 -> 200. The old probe timed ONE
-    10-iteration fused sweep — a 27-36ms window on local[32], where the
-    r4->r5 "regression" (377->277 it/s) is ~10ms of scheduler/GC jitter:
-    three isolated fresh-session runs of the identical r5 code gave
-    184/293/323 it/s. With a >=1s window the probe is stable run-to-run
-    (~148-152 it/s steady-state across isolated trials); numbers before r6
-    are not comparable to numbers after."""
-    from pyspark.sql import functions as F
-
-    from dblink_spark.er.attributes import Attribute, BetaParams, ConstantSim, LevenshteinSim
-    from dblink_spark.er.cache import build_records_cache
-    from dblink_spark.er.datagen import make_rldata
+    Window: 200 fused iterations (>=1s — the r6 methodology; the old
+    10-iteration ~30ms window made r5's "regression" out of scheduler
+    jitter). r7: median of 3 windows + spread instead of best-of-2.
+    Returns (median_rate, spread, window_rates)."""
     from dblink_spark.er.partition import SinglePartition
-    from dblink_spark.er.state import init_state, transition
+    from dblink_spark.er.state import init_state, transition, transition_fused
 
-    pdf = make_rldata(n_records=n_records, dup_fraction=0.2, missing_fraction=0.02, seed=7)
-    records = spark.createDataFrame(pdf).withColumn("file_id", F.lit("0"))
-    attrs = [
-        Attribute("by", ConstantSim(), BetaParams(0.5, 50.0)),
-        Attribute("bm", ConstantSim(), BetaParams(0.5, 50.0)),
-        Attribute("bd", ConstantSim(), BetaParams(0.5, 50.0)),
-        Attribute("fname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
-        Attribute("lname", LevenshteinSim(7.0, 10.0), BetaParams(0.5, 50.0)),
-    ]
-    cache = build_records_cache(records, attrs, expected_max_cluster_size=10)
+    records, attrs, cache = _make_er_problem(spark, n_records, seed=7)
     state = init_state(spark, records, cache, SinglePartition(), 1, seed=123)
     state = transition(state, "PCG-I")  # warm (codegen + arrow setup)
-    # effective sampler cadence: thinning 10 via fused sweeps (the
-    # single-partition fast path used by sample())
-    from dblink_spark.er.state import transition_fused
-
     reps = n_iters // 10 or 1
-    best = None
-    for _ in range(2):  # best-of-2: first rep still pays Arrow/codegen warmup
+    box = [state]
+
+    def _window() -> float:
         t0 = time.time()
         for _ in range(reps):
-            state = transition_fused(state, "PCG-I", 10)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+            box[0] = transition_fused(box[0], "PCG-I", 10)
+        return (10 * reps) / (time.time() - t0)
+
+    # discard one extra warmup window: the first fused sweep still pays
+    # Arrow/codegen setup (the old best-of-2 existed for the same reason)
+    _window()
+    med, spread, rates = _median_windows(_window)
     iters = 10 * reps
-    print(f"# er_mcmc: {iters} fused PCG-I iters on {n_records} recs in {best:.2f}s (best of 2)", file=sys.stderr)
+    print(
+        f"# er_mcmc: {iters}-iter fused windows on {n_records} recs: "
+        f"median {med:.1f} it/s ({spread})", file=sys.stderr,
+    )
     # exposed so main() can record the ACTUAL window in the payload —
-    # bench_diff only compares rates measured under the same window, and a
-    # hardcoded marker would go stale if n_iters ever changes
+    # bench_diff only compares rates measured under the same window
     mcmc_iters_per_sec.last_window_iters = iters
-    return iters / best
+    return med, spread, rates
 
 
 if __name__ == "__main__":

@@ -415,7 +415,7 @@ _IVF_COS = (
 
 
 @register(
-    "ann_ivf",
+    "ann_ivf_untrained_baseline",
     oracle=f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS ce,
@@ -454,12 +454,20 @@ FROM ranked WHERE rank <= {_IVF_TOPK}
 """,
     survey_ref="beyond-reference: IVF coarse-quantized ANN — the similarity-search scale path",
 )
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbors: K coarse centroids (here the
-    first K vectors, standing in for a trained quantizer), every vector
-    assigned to its nearest centroid (its *cell*), queries probing their
-    ``nprobe`` nearest cells, and top-k searched only among the probed
-    cells' members.
+def ann_ivf_untrained_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors with an UNTRAINED quantizer:
+    K coarse centroids (the first K vectors — an explicit baseline arm,
+    NOT the production path), every vector assigned to its nearest centroid
+    (its *cell*), queries probing their ``nprobe`` nearest cells, and top-k
+    searched only among the probed cells' members.
+
+    Renamed from ``ann_ivf`` in r7: the fitted index is the used index
+    (ref analogue AttributeIndex.scala:106-125), so the canonical IVF entry
+    is `ann_ivf_trained` (spherical-k-means quantizer, contract-as-data
+    gate). THIS entry stays registered because its value is the gate
+    STRENGTH: with literal centroids the full search — assignment, probe
+    selection, candidate join, ranking — is replayed value-for-value by the
+    DuckDB oracle, a bit-exact check the trained arm cannot express in SQL.
 
     Scale shape: the quantizer is a driver-side constant (like trained
     model weights), so cell assignment is a NARROW column expression —
@@ -506,7 +514,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search end-to-end through the TRAINED quantizer
     (`train_ivf_centroids`: spherical k-means on a deterministic sample,
     fit driver-side like model weights) — closing the r5 gap where the
-    registered `ann_ivf` used first-K stand-in centroids while the trained
+    registered `ann_ivf` (now `ann_ivf_untrained_baseline`) used first-K stand-in centroids while the trained
     path had only a pytest recall check.
 
     GATE DESIGN (contract-as-data, same trick as
@@ -524,7 +532,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
       enough candidates (a lost-cell regression shrinks result sets).
 
     Scale shape: training is outside the query path (sample once, fit
-    once, broadcast forever); the search plan is identical to `ann_ivf`
+    once, broadcast forever); the search plan is identical to `ann_ivf_untrained_baseline`
     (narrow literal-array cell assignment, broadcast probe equi-join).
     The brute-force arm exists only to measure recall in the gate — a
     production pipeline runs it once per index build on a sample, not per
@@ -609,7 +617,7 @@ def train_ivf_centroids(
 ) -> list:
     """Spherical k-means (Lloyd's on L2-normalized vectors, cosine
     assignment) over a deterministic sample, fit on the DRIVER in numpy —
-    the quantizer is model weights, the same boundary as `ann_ivf`'s
+    the quantizer is model weights, the same boundary as `ann_ivf_untrained_baseline`'s
     centroid collect; training is outside the query path at any scale
     (sample once, fit once, broadcast forever). Returns ``[(cid, vec)]``
     sorted by cid, plugging straight into `ivf_search`.
@@ -699,7 +707,7 @@ def ivf_search(
     cells: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF search against an arbitrary coarse quantizer ``[(cid, vec)]`` —
-    the plan shape documented on `ann_ivf` (narrow literal-array cell
+    the plan shape documented on `ann_ivf_untrained_baseline` (narrow literal-array cell
     assignment, broadcast probe equi-join on cid, windowed top-k).
     ``query_ids`` selects an explicit query set (default: vec_id < n_query,
     the registered-query spec); ``cos_cols`` / ``cells`` let the caller

@@ -11,13 +11,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    from dblink_spark.queries.vectors import ann_ivf, ann_topk_cosine
+    from dblink_spark.queries.vectors import ann_ivf_untrained_baseline, ann_topk_cosine
 
     brute: dict[int, set] = {}
     for r in ann_topk_cosine(spark, SF).collect():
         brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     ivf: dict[int, set] = {}
-    for r in ann_ivf(spark, SF).collect():
+    for r in ann_ivf_untrained_baseline(spark, SF).collect():
         ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert set(ivf) == set(brute), "every query must produce IVF results"
     recalls = [
@@ -71,7 +71,7 @@ def test_scaled_dedup_pairs_superset_recall(spark):
 
 
 def test_trained_quantizer_beats_seed_on_neutral_queries(spark):
-    """The registered `ann_ivf` keeps first-K seed centroids so its DuckDB
+    """The registered `ann_ivf_untrained_baseline` keeps first-K seed centroids so its DuckDB
     oracle stays expressible — but the queries there (vec_id < 8) ARE the
     seed centroids, which inflates recall (each query's own cell holds its
     halo). On NEUTRAL queries the trained spherical-k-means quantizer must

@@ -209,7 +209,7 @@ _VECTOR_QUERIES = [
     "ann_topk_cosine",
     "dedup_embedding_cosine_scaled",
     "ann_lsh_bucketed",
-    "ann_ivf",
+    "ann_ivf_untrained_baseline",
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 NOISE_FLOOR_SEC = 0.3
@@ -27,6 +28,22 @@ def load_bench(path: str) -> dict:
     data = json.loads(text)
     if "parsed" in data and isinstance(data["parsed"], dict):
         data = data["parsed"]
+    # r7: stdout payloads are COMPACT (headline queries only) and carry a
+    # "full" pointer to the complete payload written next to bench.py —
+    # merge it when present so per-query diffs cover the whole bench set.
+    # CAVEAT: BENCH_FULL_LATEST.json is overwritten per run; it matches the
+    # compact payload only for the newest round (older rounds should diff
+    # against their committed BENCH_LOCAL_r{N}.json full copies instead).
+    full_name = data.get("full")
+    if full_name and "value" in data:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(path)), full_name)
+        try:
+            with open(full_path) as f:
+                full = json.load(f)
+            if full.get("value") == data.get("value") and "queries" in full:
+                data = full
+        except OSError:
+            pass
     if "queries" not in data:
         raise SystemExit(f"{path}: no 'queries' key — not a bench payload")
     return data
@@ -46,12 +63,23 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
         for e in new.get("regressions", [])
         if isinstance(e, dict) and e.get("baseline_warm_cache")
     }
+    # a compact stdout payload whose full file couldn't be merged only
+    # carries the headline queries — diff those, don't call the rest "gone"
+    new_is_partial = len(new["queries"]) < new.get("n_queries_timed", 0)
+    if new_is_partial:
+        print(
+            f"note: NEW payload is compact ({len(new['queries'])} of "
+            f"{new['n_queries_timed']} timed queries; full file not found) "
+            f"— diff limited to the headline set"
+        )
     print(f"{'query':<32} {'old':>8} {'new':>8} {'ratio':>7}")
     for name, t_old in sorted(old["queries"].items()):
         t_new = new["queries"].get(name)
         if t_new is None:
             if name in retired:
                 print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'retired':>7}")
+            elif new_is_partial:
+                print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'n/a':>7}")
             else:
                 print(f"{name:<32} {t_old:>8.3f} {'—':>8} {'gone':>7}")
                 regressions.append(f"{name}: missing from new bench")
