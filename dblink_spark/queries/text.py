@@ -639,58 +639,96 @@ def text_pack_shard_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # PII redaction — the scrub step a training-data build runs before release.
-# Both engines compile the SAME pattern text: simple character classes and
-# counted quantifiers only, valid and identical in meaning under Java regex
-# (Spark) and RE2 (DuckDB); no lookaround, no backrefs, no unicode classes.
+# Both engines compile the SAME pattern text: simple character classes,
+# counted quantifiers, alternation, and ASCII \b only — valid and identical
+# in meaning under Java regex (Spark) and RE2 (DuckDB); no lookaround, no
+# backrefs, no unicode classes (Java \b is unicode-aware but the patterns
+# only ever border ASCII digits, where the engines agree).
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Phone: optional +CC, then (NNN) / NNN with a REQUIRED separator between
+# the 3-3-4 groups — separators are what distinguish a phone from a bare
+# digit run (bare 10-digit runs fall through to <NUM>, 7-digit local
+# numbers are a documented false negative: too collision-prone with
+# quantities/ids to mask by shape alone).
+_PII_PHONE = r"(\+[0-9]{1,2}[ ])?(\([0-9]{3}\)[ ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}"
+# IPv4: exact dotted quad with range-checked octets and \b fences. A
+# version string like "v1.2.3.4" never matches (no word boundary after a
+# word char); a BARE "1.2.3.4" is indistinguishable from an IP by shape
+# and is masked — the conservative choice for a pre-release scrub.
+_PII_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_PII_IPV4 = rf"\b({_PII_OCTET}\.){{3}}{_PII_OCTET}\b"
 _PII_LONGNUM = r"[0-9]{9,}"
+# scrub order: email -> phone -> ipv4 -> longnum. Each count runs on the
+# output of the previous pass so one piece of PII yields exactly one typed
+# mask (a digit-bearing email is one <EMAIL>, not an <EMAIL> plus a <NUM>;
+# a separator-formatted phone is one <PHONE>, its groups never re-counted
+# as digit runs).
+_PII_PASSES = [
+    ("n_emails", _PII_EMAIL, "<EMAIL>"),
+    ("n_phones", _PII_PHONE, "<PHONE>"),
+    ("n_ipv4", _PII_IPV4, "<IP>"),
+    ("n_longnums", _PII_LONGNUM, "<NUM>"),
+]
+
+
+def _pii_oracle_sql() -> str:
+    # nested CTE chain: s0 adds t0 (email-scrubbed), s1 adds t1, ...
+    ctes, src = [], "documents"
+    for i, (_cnt, pat, mask) in enumerate(_PII_PASSES):
+        base = "text" if i == 0 else f"t{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT *, regexp_replace({base}, '{pat}', '{mask}', 'g')"
+            f" AS t{i} FROM {src})"
+        )
+        src = f"s{i}"
+    n = len(_PII_PASSES) - 1
+    count_cols = []
+    for i, (cnt, pat, _mask) in enumerate(_PII_PASSES):
+        base = "text" if i == 0 else f"t{i - 1}"
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({base}, '{pat}')) AS INT) AS {cnt}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, lang,\n  "
+        + ",\n  ".join(count_cols)
+        + f",\n  md5(t{n}) AS redacted_fp,\n"
+        + f"  CAST(length(t{n}) - length(text) AS BIGINT) AS chars_delta\n"
+        + f"FROM s{n}"
+    )
 
 
 @register(
     "text_pii_redact",
-    oracle=f"""
-WITH scrub AS (
-  SELECT doc_id, lang, text,
-    regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS no_email
-  FROM documents
-)
-SELECT doc_id, lang,
-  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
-  CAST(len(regexp_extract_all(no_email, '{_PII_LONGNUM}')) AS INT)
-    AS n_longnums,
-  md5(regexp_replace(no_email, '{_PII_LONGNUM}', '<NUM>', 'g')) AS redacted_fp,
-  CAST(length(regexp_replace(no_email, '{_PII_LONGNUM}', '<NUM>', 'g'))
-    - length(text) AS BIGINT) AS chars_delta
-FROM scrub
-""",
+    oracle=_pii_oracle_sql(),
     survey_ref=(
-        "beyond-reference: PII redaction scrub (email + long-digit-run "
-        "masking) — the pre-release step of a training-data pipeline"
+        "beyond-reference: PII redaction scrub (email + phone + IPv4 + "
+        "long-digit-run masking) — the pre-release step of a training-data "
+        "pipeline"
     ),
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document PII scrub: emails then 9+-digit runs replaced by typed
-    mask tokens, emitting match counts, the scrubbed-text fingerprint, and
-    the length delta. On a clean corpus the fingerprint equals md5(text) —
-    the gate therefore pins NO FALSE POSITIVES on every fixture doc, while
-    the adversarial edge corpus pins the true-positive behavior (emails
-    with digits, runs at the 8/9 boundary, masks adjacent to punctuation).
+    """Per-document PII scrub: emails, separator-formatted phone numbers,
+    dotted-quad IPv4 addresses, then 9+-digit runs replaced by typed mask
+    tokens (in that order — each count runs on the previous pass's output),
+    emitting match counts, the scrubbed-text fingerprint, and the length
+    delta. On a clean corpus the fingerprint equals md5(text) — the gate
+    therefore pins NO FALSE POSITIVES on every fixture doc, while the
+    adversarial edge corpus pins the true-positive behavior (emails with
+    digits, phones in 3 separator styles, 7-digit locals NOT masked, IPs at
+    octet-range and word boundaries, version strings NOT masked, runs at
+    the 8/9 boundary, masks adjacent to punctuation).
 
-    Longnum counting runs on the email-scrubbed text so a digit-bearing
-    email is one <EMAIL>, not an <EMAIL> plus a spurious <NUM>.
-
-    100-TB shape: pure map stage — two JVM regexp passes, no shuffle, no
+    100-TB shape: pure map stage — four JVM regexp passes, no shuffle, no
     UDF; projection pushdown reads only (doc_id, lang, text)."""
     d = load(spark, sf_dir, "documents")
-    no_email = F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>"))
-    scrubbed = F.regexp_replace(no_email, F.lit(_PII_LONGNUM), F.lit("<NUM>"))
+    counts, scrubbed = [], F.col("text")
+    for cnt, pat, mask in _PII_PASSES:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).cast("int").alias(cnt))
+        scrubbed = F.regexp_replace(scrubbed, F.lit(pat), F.lit(mask))
     return d.select(
         "doc_id",
         "lang",
-        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
-        F.regexp_count(no_email, F.lit(_PII_LONGNUM))
-        .cast("int")
-        .alias("n_longnums"),
+        *counts,
         F.md5(scrubbed).alias("redacted_fp"),
         (F.length(scrubbed) - F.length("text")).cast("long").alias("chars_delta"),
     )

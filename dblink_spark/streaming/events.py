@@ -246,25 +246,22 @@ def run_to_memory_sink(
 def minhash_key(text_col, n_hashes: int = 8, first_row: int = 0):
     """Per-row MinHash signature key via JVM higher-order functions — NO
     explode/groupBy, so it is legal in any streaming context and costs zero
-    shuffles in batch: ``array_min(transform(tokens, t -> md5(i || t)))``
-    per hash row, concatenated and md5'd into one 32-char key. Two
-    documents share the key iff every one of the ``n_hashes`` min-hashes
-    agrees — P(match) = jaccard^n_hashes, a sharp high-similarity detector
-    (the single-band limit of the batch LSH in queries/dedup.py).
+    shuffles in batch: ONE md5 per distinct token split into four 32-bit
+    chunks, each hash row a cheap rotate-xor chunk mix (the r7 derivation
+    shared with the batch LSH — `queries.dedup.mh_mix`; the former build
+    evaluated ``n_hashes`` md5 digests per token), ``array_min`` per row,
+    mins concatenated and md5'd into one 32-char key. Two documents share
+    the key iff every one of the ``n_hashes`` min-hashes agrees —
+    P(match) = jaccard^n_hashes, a sharp high-similarity detector (the
+    single-band limit of the batch LSH in queries/dedup.py).
     ``first_row`` selects a disjoint hash-row range so several BAND keys
-    can be built from independent hash families (`near_dedup_doc_stream_banded`)."""
-    toks = F.array_distinct(F.split(text_col, " "))
+    can be built from independent hash families
+    (`near_dedup_doc_stream_banded`)."""
+    from dblink_spark.queries.dedup import mh_family, mh_token_chunks
 
-    def hash_row(prefix: str):
-        # single-parameter lambda: a 2-arg callable would make `transform`
-        # pass the array index as the second argument (and a default-arg
-        # capture would be shadowed by it). The '|' separator domain-
-        # separates multi-digit row prefixes ('1' + '2x' vs '12' + 'x') so
-        # hash rows stay independent for any n_hashes.
-        return lambda t: F.md5(F.concat(F.lit(prefix + "|"), t))
-
+    chunks = mh_token_chunks(F.array_distinct(F.split(text_col, " ")))
     mins = [
-        F.array_min(F.transform(toks, hash_row(str(i))))
+        F.array_min(F.transform(chunks, mh_family(i))).cast("string")
         for i in range(first_row, first_row + n_hashes)
     ]
     return F.md5(F.concat_ws("|", *mins))
@@ -332,26 +329,20 @@ def near_dedup_doc_stream_banded(
 
 def pii_redact_doc_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Streaming PII scrub — the stream-side twin of
-    `queries.text.text_pii_redact` (same pattern constants, same
-    email-then-longnum order so digit-bearing emails don't double-mask).
-    Entirely stateless (two JVM regexp projections, no watermark, no
-    state store), so it composes with ANY streaming output mode and drops
-    into a pipeline before the stateful dedup stages: scrub, then
-    near-dedup, exactly like the batch corpus-prep ordering. Replaces the
-    text column in place and appends the match counts."""
-    from dblink_spark.queries.text import _PII_EMAIL, _PII_LONGNUM
+    `queries.text.text_pii_redact` (same _PII_PASSES constant, same
+    email -> phone -> ipv4 -> longnum order so one piece of PII yields
+    exactly one typed mask). Entirely stateless (JVM regexp projections,
+    no watermark, no state store), so it composes with ANY streaming
+    output mode and drops into a pipeline before the stateful dedup
+    stages: scrub, then near-dedup, exactly like the batch corpus-prep
+    ordering. Replaces the text column in place and appends the match
+    counts."""
+    from dblink_spark.queries.text import _PII_PASSES
 
-    no_email = F.regexp_replace(text_col, F.lit(_PII_EMAIL), F.lit("<EMAIL>"))
-    return (
-        docs.withColumn(
-            "n_emails", F.regexp_count(text_col, F.lit(_PII_EMAIL)).cast("int")
+    scrubbed = F.col(text_col)
+    for cnt, pat, mask in _PII_PASSES:
+        docs = docs.withColumn(
+            cnt, F.regexp_count(scrubbed, F.lit(pat)).cast("int")
         )
-        .withColumn(
-            "n_longnums",
-            F.regexp_count(no_email, F.lit(_PII_LONGNUM)).cast("int"),
-        )
-        .withColumn(
-            text_col,
-            F.regexp_replace(no_email, F.lit(_PII_LONGNUM), F.lit("<NUM>")),
-        )
-    )
+        scrubbed = F.regexp_replace(scrubbed, F.lit(pat), F.lit(mask))
+    return docs.withColumn(text_col, scrubbed)

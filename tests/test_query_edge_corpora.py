@@ -47,6 +47,16 @@ _DOCS = [
     (15, "short 12345678 run but a1b2@sub.domain.org stays", "en", "src7"),
     (16, "ids 9876543210123 touch,alice@ex.io,commas and (555)"
          " 4155550123456789 end", "en", "src7"),
+    # Phone boundaries (r7): three separator styles match; a 7-digit local
+    # and a bare 10-digit run do NOT (the bare run falls through to <NUM>).
+    (17, "call 555-123-4567 or (555) 123 4567 or +1 555.123.4567 now",
+         "en", "src8"),
+    (18, "local 555-1234 seven digits and 4155550123 bare ten", "en", "src8"),
+    # IPv4 boundaries (r7): valid quads at range edges and punctuation
+    # match; 999.x octets and v-prefixed version strings do not.
+    (19, "ping 10.0.0.1, then 255.255.255.255 works but v1.2.3.4 and"
+         " 999.1.2.3 stay", "en", "src8"),
+    (20, "fax +12 345-678-9012 abroad or 123456789012 raw", "en", "src8"),
 ]
 
 _QUERIES = [
@@ -104,6 +114,34 @@ def test_edge_corpus_matches_oracle(name, spark, edge_dir, duck):
     problems = compare(name, sdf, odf)
     assert not problems, f"{name} on edge corpus: {problems}"
     assert len(sdf) > 0
+
+
+def test_pii_redact_typed_counts(spark, edge_dir):
+    """Engine agreement alone could bless a wrong pattern on both sides —
+    pin the EXPECTED per-doc typed-mask counts for every PII boundary doc:
+    three phone separator styles match, 7-digit locals and bare 10-digit
+    runs don't (the bare run is a <NUM>), valid dotted quads at the octet
+    range edges match while version strings and 999.x quads don't."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_pii_redact"].fn(spark, edge_dir).collect()
+    }
+
+    def counts(i):
+        r = rows[i]
+        return (r["n_emails"], r["n_phones"], r["n_ipv4"], r["n_longnums"])
+
+    assert counts(14) == (1, 0, 0, 1)   # email + 9-digit run
+    assert counts(15) == (1, 0, 0, 0)   # 8 digits is below the <NUM> floor
+    assert counts(16) == (1, 0, 0, 2)   # (555) + 16-digit run is NOT a phone
+    assert counts(17) == (0, 3, 0, 0)   # 555-123-4567 / (555) 123 4567 / +1 555.123.4567
+    assert counts(18) == (0, 0, 0, 1)   # 7-digit local unmasked; bare 10 digits -> <NUM>
+    assert counts(19) == (0, 0, 2, 0)   # 10.0.0.1 + 255.255.255.255; v1.2.3.4, 999.1.2.3 stay
+    assert counts(20) == (0, 1, 0, 1)   # +12 345-678-9012; 12-digit run -> <NUM>
+    # clean docs are byte-identical after the scrub (no false positives)
+    assert rows[12]["chars_delta"] == 0
+    scrubbed19 = rows[19]
+    assert scrubbed19["redacted_fp"] != rows[12]["redacted_fp"]
 
 
 def test_chunking_window_boundaries(spark, edge_dir):
