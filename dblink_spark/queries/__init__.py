@@ -56,6 +56,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: session-scoped registry of owned caches not yet released (ADVICE r6):
+#: id(cache) -> cache frame. Ownership rides on the returned DataFrame
+#: OBJECT, so deriving a new frame and releasing THAT is a silent no-op on
+#: the attribute path — this registry makes such leaks detectable
+#: (`outstanding_caches`) and recoverable (`release_outstanding`).
+_OUTSTANDING: dict[int, DataFrame] = {}
+
+
 def owns_caches(df: DataFrame, *cached: DataFrame) -> DataFrame:
     """Caller-owns-cache contract: a query that persists an intermediate
     (so its tokenize/groupBy pipeline isn't replayed per consumer) cannot
@@ -71,9 +79,15 @@ def owns_caches(df: DataFrame, *cached: DataFrame) -> DataFrame:
     transformation returns a new frame without it, making a later
     `release_caches` a silent no-op. Attach ownership to the FINAL frame a
     caller will materialize, or re-attach when deriving:
-    ``owns_caches(derived, *getattr(orig, "_owned_caches", []))``."""
+    ``owns_caches(derived, *getattr(orig, "_owned_caches", []))``.
+    Leak backstop: every attach also lands in a session-scoped registry;
+    `outstanding_caches()` after a materialize+release cycle must be empty,
+    and `release_outstanding()` frees whatever a derived-frame release
+    missed."""
     owned = getattr(df, "_owned_caches", [])
     df._owned_caches = list(owned) + list(cached)
+    for c in cached:
+        _OUTSTANDING[id(c)] = c
     return df
 
 
@@ -82,7 +96,25 @@ def release_caches(df: DataFrame) -> None:
     for queries that persist nothing). Call AFTER materializing df."""
     for c in getattr(df, "_owned_caches", []):
         c.unpersist()
+        _OUTSTANDING.pop(id(c), None)
     df._owned_caches = []
+
+
+def outstanding_caches() -> list[DataFrame]:
+    """Owned caches attached but never released. Nonempty after a
+    materialize+release cycle means the release ran against a DERIVED
+    frame (the silent-no-op caveat above) or was skipped entirely."""
+    return list(_OUTSTANDING.values())
+
+
+def release_outstanding() -> int:
+    """Unpersist every registered-but-unreleased owned cache (the recovery
+    handle for long-lived sessions); returns how many were freed."""
+    n = len(_OUTSTANDING)
+    for c in list(_OUTSTANDING.values()):
+        c.unpersist()
+    _OUTSTANDING.clear()
+    return n
 
 
 # Importing the modules populates REGISTRY.
@@ -94,6 +126,10 @@ from dblink_spark.queries import vectors  # noqa: E402,F401
 from dblink_spark.queries import stats  # noqa: E402,F401
 from dblink_spark.queries import multimodal  # noqa: E402,F401
 from dblink_spark.queries import pipeline  # noqa: E402,F401
+
+# LAST: the composite checksum reads the rotated entries' oracle SQL out of
+# REGISTRY at import time, so every covered module must already be loaded.
+from dblink_spark.queries import inventory  # noqa: E402,F401
 
 
 # The driver's correctness gate was observed to record only the FIRST 50
@@ -144,6 +180,14 @@ _GATE_TAIL = [
     # default); like every tail entry it stays hash-verified per round by
     # tools/driver_sim.py and now also timed per round by bench.py.
     "q_events_value_quantiles",
+    # r7: q_inventory_checksum enters the head — ONE slot that digests the
+    # FULL result of every tail entry below (query, n_rows, md5 of sorted
+    # canonical rows; oracle recomputes identically in DuckDB), so the
+    # driver's 50-entry window now externally verifies all 71 registered
+    # queries again. vector_norms_by_label rotates out to keep the head at
+    # exactly 50; like every tail entry it is digest-covered here AND still
+    # individually hash-verified per round by tools/driver_sim.py.
+    "vector_norms_by_label",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "q3_shipping_priority",

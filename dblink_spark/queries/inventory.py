@@ -1,0 +1,206 @@
+"""Composite inventory checksum — puts the rotated (beyond-window) queries
+back under the driver's independent gate with ONE registry slot.
+
+The driver's correctness gate records only the first 50 ``queries()``
+entries, so SQL-expressible TPC-H/events shapes rotate into a tail that is
+hash-verified per round only by the repo's own tools (tools/driver_sim.py,
+tools/oracle_check.py). ``q_inventory_checksum`` closes that externality
+(VERDICT r6 task 4): it emits one row per rotated query —
+``(query, n_rows, digest)`` where ``digest`` is the md5 of the
+'|'-joined, sorted canonical row strings of that query's FULL result —
+and the oracle recomputes the same digest in DuckDB over the same
+query SQL. A value change anywhere in any rotated query flips its digest
+on whichever engine diverged, and the driver's hash gate catches it.
+
+Reference analogue: every reference step is driven by one config entry
+(ref: ProjectSteps.scala:34-36) — one registered entry here likewise
+drives the whole rotated set.
+
+Canonical serialization (must be bit-identical across engines):
+- strings / ints: CAST AS VARCHAR (integer-to-string agrees everywhere);
+- doubles: CAST(floor(x * 1e6) AS BIGINT) — multiply and floor are single
+  correctly-rounded IEEE ops on the already bit-identical doubles, and the
+  integral result casts identically (Spark truncates, DuckDB rounds —
+  identical on integral input). The 1e6 scale keeps |x*1e6| far below
+  2^63 for every value these queries can produce at gate scale (largest:
+  sf0.1 revenue sums ~1e10 -> 1e16);
+- timestamps (NTZ): an explicit second-precision format string
+  (date_format / strftime) — these columns carry date-precision values;
+- NULLs: a '<NULL>' sentinel after canonicalization;
+- columns are ordered BY NAME in both engines, rows sorted as raw UTF-8
+  byte strings (Spark sort_array and DuckDB VARCHAR ORDER BY both compare
+  binary), then '|'-joined and md5'd. Empty results digest md5('') via
+  COALESCE on the DuckDB side (string_agg over zero rows is NULL there).
+
+This is a GATE query: it runs every rotated query at sf0.01 and funnels
+each result through one collect_list per query — fine at gate scale by
+construction, NOT a 100-TB path (the rotated queries themselves are the
+scale paths; their plans are pinned by tests/test_plan_audit.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from dblink_spark.queries import REGISTRY, register
+
+# (column -> kind) per covered query, frozen from the oracle result schema
+# (DuckDB DESCRIBE at generation time). Kinds: s=string, i=integer,
+# f=double, t=timestamp. The Spark side asserts its runtime schema against
+# this map, so silent drift fails loudly instead of hashing garbage.
+CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
+    "q4_order_priority": [("orderpriority", "s"), ("order_count", "i")],
+    "q13_customer_distribution": [("c_count", "i"), ("custdist", "i")],
+    "q14_promo_revenue": [
+        ("promo_rev", "f"), ("total_rev", "f"), ("promo_revenue", "f"),
+    ],
+    "q16_idle_parts": [("brand", "s"), ("idle_parts", "i")],
+    "q19_brand_band_revenue": [("revenue", "f")],
+    "q_events_type_pivot": [
+        ("user_id", "i"), ("click", "i"), ("error", "i"),
+        ("purchase", "i"), ("signup", "i"), ("view", "i"),
+    ],
+    "q_customer_setops": [("cohort", "s"), ("n", "i")],
+    "q_events_error_click_band": [
+        ("l_event_id", "i"), ("l_user_id", "i"), ("l_ts_us", "i"),
+        ("r_event_id", "i"), ("r_ts_us", "i"),
+    ],
+    "q_events_type_stats_salted": [
+        ("event_type", "s"), ("n_events", "i"), ("total_value", "f"),
+        ("first_us", "i"), ("last_us", "i"),
+    ],
+    "q_events_bucket_rollup": [
+        ("hour_bucket", "i"), ("event_type", "s"), ("n_events", "i"),
+        ("n_users", "i"), ("total_value", "f"),
+    ],
+    "q_events_value_quantiles": [
+        ("event_type", "s"), ("n", "i"), ("p50", "f"), ("p90", "f"),
+        ("p99", "f"),
+    ],
+    "q5_local_supplier_volume": [("nation", "s"), ("revenue", "f")],
+    "q18_large_orders": [
+        ("name", "s"), ("orderkey", "i"), ("orderdate", "t"),
+        ("totalprice", "f"), ("total_qty", "f"),
+    ],
+    "q3_shipping_priority": [
+        ("orderkey", "i"), ("revenue", "f"), ("orderdate", "t"),
+    ],
+    "q1_pricing_summary": [
+        ("l_returnflag", "s"), ("l_linestatus", "s"), ("sum_qty", "f"),
+        ("sum_base_price", "f"), ("sum_disc_price", "f"),
+        ("sum_charge", "f"), ("avg_qty", "f"), ("avg_price", "f"),
+        ("avg_disc", "f"), ("count_order", "i"),
+    ],
+    "q6_forecast_revenue": [("revenue", "f")],
+    "q_top_customers": [
+        ("name", "s"), ("mktsegment", "s"), ("total_spend", "f"),
+        ("n_orders", "i"), ("rank", "i"),
+    ],
+    "q_orders_rollup": [
+        ("o_orderstatus", "s"), ("o_orderpriority", "s"),
+        ("n_orders", "i"), ("total_price", "f"),
+    ],
+    "q_events_sessionize": [
+        ("user_id", "i"), ("session_id", "i"), ("n_events", "i"),
+        ("duration_us", "i"),
+    ],
+    "q_events_asof_attribution": [
+        ("event_id", "i"), ("user_id", "i"), ("ts_us", "i"),
+        ("value_asof", "f"), ("ts_us_asof", "i"),
+    ],
+    "vector_norms_by_label": [
+        ("label", "i"), ("n_vectors", "i"), ("total_sq_norm", "i"),
+    ],
+}
+
+_NULL = "<NULL>"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_SPARK_KIND = {
+    "string": "s",
+    "int": "i", "bigint": "i", "smallint": "i", "tinyint": "i",
+    "double": "f", "float": "f",
+    "timestamp": "t", "timestamp_ntz": "t",
+}
+
+
+def _canon_spark(col: str, kind: str):
+    c = F.col(col)
+    if kind == "f":
+        e = F.floor(c * F.lit(1000000.0)).cast("bigint").cast("string")
+    elif kind == "t":
+        e = F.date_format(c, _TS_FMT_SPARK)
+    else:
+        e = c.cast("string")
+    return F.coalesce(e, F.lit(_NULL))
+
+
+def _canon_duck(col: str, kind: str) -> str:
+    if kind == "f":
+        e = f"CAST(CAST(floor({col} * 1000000.0) AS BIGINT) AS VARCHAR)"
+    elif kind == "t":
+        e = f"strftime({col}, '{_TS_FMT_DUCK}')"
+    else:
+        e = f"CAST({col} AS VARCHAR)"
+    return f"COALESCE({e}, '{_NULL}')"
+
+
+def _digest_sql(name: str) -> str:
+    inner = REGISTRY[name].oracle
+    cols = sorted(CHECKSUM_KINDS[name])
+    row = " || '|' || ".join(_canon_duck(c, k) for c, k in cols)
+    return (
+        f"SELECT '{name}' AS query, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+        f"  md5(COALESCE(string_agg(r, '|' ORDER BY r), '')) AS digest\n"
+        f"FROM (SELECT {row} AS r FROM (\n{inner}\n) _q) _rows"
+    )
+
+
+def _checksum_oracle() -> str:
+    return "\nUNION ALL\n".join(_digest_sql(n) for n in sorted(CHECKSUM_KINDS))
+
+
+@register(
+    "q_inventory_checksum",
+    oracle=_checksum_oracle(),
+    survey_ref=(
+        "gate infrastructure: one-slot composite digest of every rotated "
+        "query (driver 50-entry window workaround; ref analogue "
+        "ProjectSteps.scala:34-36 — one config entry drives each step)"
+    ),
+)
+def q_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (query, n_rows, digest) row per rotated registry entry — see the
+    module docstring for the canonical-serialization contract."""
+    frames = []
+    for name in sorted(CHECKSUM_KINDS):
+        q = REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        kinds = dict(CHECKSUM_KINDS[name])
+        actual = {
+            f.name: _SPARK_KIND.get(f.dataType.simpleString(), "?")
+            for f in df.schema.fields
+        }
+        if actual != kinds:
+            raise AssertionError(
+                f"{name}: result schema drifted from CHECKSUM_KINDS — "
+                f"got {actual}, frozen {kinds}; regenerate the map"
+            )
+        row = F.concat_ws(
+            "|", *[_canon_spark(c, k) for c, k in sorted(kinds.items())]
+        )
+        frames.append(
+            df.select(row.alias("r"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.md5(
+                    F.array_join(F.sort_array(F.collect_list("r")), "|")
+                ).alias("digest"),
+            )
+            .select(F.lit(name).alias("query"), "n_rows", "digest")
+        )
+    return reduce(DataFrame.unionAll, frames)

@@ -60,3 +60,35 @@ def test_non_persisting_queries_are_noop(spark):
     df = REGISTRY["dedup_exact"].fn(spark, SF)
     df.count()
     release_caches(df)  # must not raise
+
+
+def test_outstanding_registry_detects_derived_frame_leak(spark):
+    """The ADVICE-r6 silent no-op: releasing a DERIVED frame frees nothing
+    (ownership rides on the object). The session registry must expose the
+    leaked cache and release_outstanding must recover it."""
+    from dblink_spark.queries import outstanding_caches, release_outstanding
+
+    cm = _cache_manager(spark)
+    spark.catalog.clearCache()
+    release_outstanding()  # clean slate for the registry too
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF)
+    derived = df.filter("n_near_dups >= 0")  # drops the ownership attribute
+    derived.count()
+    release_caches(derived)  # the silent no-op under test
+    assert not cm.isEmpty(), "precondition: the cache must still be live"
+    leaked = outstanding_caches()
+    assert len(leaked) == 1, "registry must surface the derived-frame leak"
+    assert release_outstanding() == 1
+    assert cm.isEmpty(), "release_outstanding must actually unpersist"
+    assert outstanding_caches() == []
+
+
+def test_outstanding_registry_empty_after_proper_release(spark):
+    from dblink_spark.queries import outstanding_caches, release_outstanding
+
+    spark.catalog.clearCache()
+    release_outstanding()
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF)
+    df.count()
+    release_caches(df)
+    assert outstanding_caches() == []

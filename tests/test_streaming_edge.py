@@ -380,3 +380,82 @@ def test_pii_redact_stream_equals_batch(spark, edge_docs_stream_dir):
     assert n_em3 == 1 and n_num3 == 1
     assert "<EMAIL>" in text3 and "<NUM>" in text3
     assert "jane.doe99" not in text3 and "5551234567890" not in text3
+
+
+def test_unbounded_rate_source_runs_scrub_and_dedup(spark):
+    """The scrub -> near-dedup chain must not depend on file-source replay
+    semantics (VERDICT r6 task 8): run it off ``rate-micro-batch`` — a
+    genuinely UNBOUNDED source with synthetic offsets, no files, and no
+    replayable input — under a processing-time trigger, and stop it
+    mid-stream like a production job.
+
+    Determinism: rowsPerBatch=5 with doc class = value % 5 puts exactly one
+    doc per class in batch 0 (values 0..4) and only duplicates in every
+    later batch, so the kept set is exactly {0..4} regardless of intra-batch
+    partition order.
+
+    startTimestamp must be ABOVE epoch 0: Spark's stateful operators filter
+    rows at-or-below the current watermark, and the INITIAL watermark is
+    epoch 0 — a source whose first events carry timestamp 0 silently loses
+    its entire first batch to the late filter (verified empirically; the
+    plain projection keeps those rows, the dedup drops them)."""
+    import time
+
+    from dblink_spark.streaming.events import (
+        near_dedup_doc_stream,
+        pii_redact_doc_stream,
+    )
+
+    classes = [
+        "the quick brown fox jumps over the lazy dog",
+        "reach me at jane.doe99@corp.example.com or 5551234567890 thanks",
+        "an entirely different document about spark streams",
+        "rate sources generate rows without any backing files",
+        "final class of documents closing out the cycle",
+    ]
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "5")
+        .option("numPartitions", "2")
+        .option("startTimestamp", "1600000000000")
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    text = F.element_at(
+        F.array(*[F.lit(t) for t in classes]),
+        (F.col("value") % 5 + 1).cast("int"),
+    )
+    docs = stream.select(
+        F.col("value").alias("doc_id"),
+        text.alias("text"),
+        F.col("timestamp").alias("event_time"),
+    )
+    out = near_dedup_doc_stream(pii_redact_doc_stream(docs))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_scrub_dedup")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        # wait until the 5 first-of-class docs surfaced AND at least one
+        # all-duplicates batch was processed after them
+        while time.time() < deadline:
+            n = spark.table("rate_scrub_dedup").count()
+            lp = q.lastProgress
+            if n >= 5 and lp and lp["batchId"] >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: r for r in spark.table("rate_scrub_dedup").collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}, (
+        "kept set must be exactly the first doc per class — duplicates from "
+        f"later batches must be suppressed; got {sorted(rows)}"
+    )
+    # the scrub ran in the same unbounded plan
+    pii = rows[1]
+    assert pii["n_emails"] == 1 and pii["n_longnums"] == 1
+    assert "<EMAIL>" in pii["text"] and "jane.doe99" not in pii["text"]
