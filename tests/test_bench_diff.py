@@ -49,6 +49,51 @@ def test_load_bench_unwraps_driver_format(tmp_path):
     assert load_bench(str(raw)) == load_bench(str(wrapped)) == OLD
 
 
+def test_load_bench_follows_full_pointer(tmp_path):
+    """r7: the stdout payload is compact and points at the full file;
+    load_bench merges it when the headline values agree (same run)."""
+    full = dict(OLD, queries=dict(OLD["queries"], q_extended=3.0))
+    (tmp_path / "BENCH_FULL_LATEST.json").write_text(json.dumps(full))
+    compact = {
+        "value": OLD["value"],
+        "queries": {"q1": 1.0},
+        "n_queries_timed": 4,
+        "full": "BENCH_FULL_LATEST.json",
+    }
+    p = tmp_path / "compact.json"
+    p.write_text(json.dumps(compact))
+    assert load_bench(str(p)) == full
+    # stale full file (different run): keep the compact payload
+    (tmp_path / "BENCH_FULL_LATEST.json").write_text(
+        json.dumps(dict(full, value=99.0))
+    )
+    assert load_bench(str(p)) == compact
+
+
+def test_partial_new_payload_does_not_fail_on_absent_queries():
+    """A compact payload whose full file is gone only carries the headline
+    set — absent queries are n/a, not regressions (the full-payload diff is
+    where retirement accounting happens)."""
+    new = {"value": 2.0, "queries": {"q1": 1.0}, "n_queries_timed": 3}
+    assert diff(OLD, new, 1.5) == []
+
+
+def test_accidental_drop_still_fails_on_full_payloads():
+    """queries_retired only waives names bench.py derived from its explicit
+    RETIRED_QUERIES constant; a full new payload missing anything else
+    fails the gate."""
+    new = {
+        "value": 1.1,
+        "queries": {"q1": 1.0, "q2": 0.1},
+        "n_queries_timed": 2,
+        "queries_retired": [],
+    }
+    regs = diff(OLD, new, 1.5)
+    assert any("q3" in r and "missing" in r for r in regs)
+    waived = dict(new, queries_retired=["q3"])
+    assert diff(OLD, waived, 1.5) == []
+
+
 def test_exit_code_contract(tmp_path):
     """The driver relies on the process exit code: 0 clean, 1 on regression."""
     old = tmp_path / "old.json"
