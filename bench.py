@@ -90,10 +90,46 @@ R6_QUERIES = [
     "q_events_value_quantiles",
 ]
 
-# r7: queries added this round (composite inventory checksum).
-R7_QUERIES = [
+# r8: queries added this round (LSH recall contract gate).
+R8_QUERIES = [
+    "ann_lsh_recall",
+]
+
+# Gate infrastructure (NOT pipeline queries): timed and reported as
+# gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
+# q_inventory_checksum re-times 21 queries already timed individually;
+# folding it into a query total double-counts verification as work).
+GATE_QUERIES = [
     "q_inventory_checksum",
 ]
+
+# Explicit baseline re-bases (VERDICT r7 task 3 / next-round #2): the named
+# query's round-over-round comparison point is pinned here instead of the
+# newest committed payload. Used when the committed history's number was
+# measured under a retired methodology (e.g. the r5 warm-cache "best" that
+# kept flagging the same honest-cold queries two rounds running). The map
+# is recorded in the payload (``rebased_baselines``) so the artifact shows
+# the comparison point it was judged against.
+REBASED_BASELINES: dict[str, dict] = {
+    "dedup_bottomk_jaccard": {
+        "baseline": 1.918,
+        "as_of": "r7",
+        "reason": (
+            "r5's 0.679s best reused a persisted sketch across reps (warm); "
+            "honest-cold r7 sweep median is the comparable point (isolated "
+            "re-time that round: 2.235s)"
+        ),
+    },
+    "dedup_survivors": {
+        "baseline": 4.003,
+        "as_of": "r7",
+        "reason": (
+            "r5's 2.257s best reused cached components across reps (warm); "
+            "honest-cold r7 sweep median is the comparable point (isolated "
+            "re-time that round: 4.616s)"
+        ),
+    },
+}
 
 # r5: queries added (or first benched) that round — their own total, their
 # own baseline; "combined_total" (headline + extended) is the one number
@@ -129,7 +165,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     all_names = (
-        BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES + R7_QUERIES
+        BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
+        + R8_QUERIES + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -137,6 +174,7 @@ def main() -> None:
         # (ADVICE r6: missing-from-run used to be indistinguishable from a
         # deliberate retirement)
         raise SystemExit(f"bench names not in REGISTRY: {unknown}")
+    canary_start = _canary(spark, warm=True)
     timings: dict[str, float] = {}
     for name in all_names:
         timings[name], n = _time_query(spark, sf_dir, name)
@@ -151,7 +189,12 @@ def main() -> None:
         "extended_total": round(sum(timings[n] for n in EXTENDED_QUERIES), 3),
         "r5_total": round(sum(timings[n] for n in R5_QUERIES), 3),
         "r6_total": round(sum(timings[n] for n in R6_QUERIES), 3),
-        "r7_total": round(sum(timings[n] for n in R7_QUERIES), 3),
+        "r8_total": round(sum(timings[n] for n in R8_QUERIES), 3),
+        "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
+        "canary_start_sec": canary_start,
+        "rebased_baselines": {
+            n: m["baseline"] for n, m in REBASED_BASELINES.items()
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out["combined_total"] = round(out["value"] + out["extended_total"], 3)
@@ -162,10 +205,14 @@ def main() -> None:
         "r7: ER probes report median-of-3 independent windows + min..max "
         "spread (committed r6 single-window numbers were 30-40% below an "
         "isolated re-run; COVERAGE.md documents the ±30% variance)",
-        "r7: ann_ivf renamed ann_ivf_untrained_baseline (trained quantizer "
-        "is canonical); dedup_minhash_lsh derives its 16 hash families from "
-        "ONE md5 per token (digest split + rotate-xor mixing) instead of 16 "
-        "md5 calls per token",
+        "r8: constant-work canary timed at sweep start and end "
+        "(canary_start_sec / canary_end_sec) — the r7 judge measured 2.2x "
+        "same-code host drift between sessions; read cross-round absolutes "
+        "as ratios against the canary, not as bare numbers",
+        "r8: q_inventory_checksum reported as gate_overhead_sec, excluded "
+        "from all query totals (it re-times 21 queries already timed "
+        "individually); dedup_bottomk_jaccard / dedup_survivors baselines "
+        "re-based to honest-cold r7 medians (rebased_baselines key)",
     ]
     try:
         med, spread, windows = mcmc_iters_per_sec(spark)
@@ -173,6 +220,11 @@ def main() -> None:
         out["er_mcmc_spread"] = spread
         out["er_mcmc_window_rates"] = windows
         out["er_mcmc_probe_iters"] = mcmc_iters_per_sec.last_window_iters
+        # statistic marker alongside the window length: bench_diff only
+        # compares rates measured under the same (window, statistic) pair
+        # (ADVICE r7 — r6's best-of-2 vs r7's median-of-3 shared iters=200
+        # and would otherwise diff as same-methodology)
+        out["er_mcmc_probe_stat"] = "median3"
     except Exception as e:  # never let the ER probe break the contract line
         print(f"# er bench skipped: {e}", file=sys.stderr)
     try:
@@ -187,6 +239,13 @@ def main() -> None:
         out.update(er_1m_partition_scaling(spark))
     except Exception as e:
         print(f"# 1M-chain bench skipped: {e}", file=sys.stderr)
+    out["canary_end_sec"] = _canary(spark)
+    out["canary_drift"] = round(out["canary_end_sec"] / canary_start, 2)
+    print(
+        f"# canary: start {canary_start:.2f}s end {out['canary_end_sec']:.2f}s "
+        f"(drift x{out['canary_drift']:.2f}) — divide probe times by the "
+        f"nearer canary before cross-round comparison", file=sys.stderr,
+    )
     _diff_vs_last_round(out, spark, sf_dir)
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -197,11 +256,43 @@ def main() -> None:
     print(json.dumps(_compact(out, timings)))
 
 
+# sized so the probe runs ~2s on an idle local[32] host: long enough to be
+# far above the scheduler-jitter noise floor, short enough to run twice per
+# sweep without moving the sweep's own duration
+_CANARY_ROWS = 8_000_000_000
+
+
+def _canary(spark, warm: bool = False) -> float:
+    """Constant-work host-load probe: one narrow aggregation over
+    ``spark.range`` — no IO, no Python, one partial-agg exchange. The SAME
+    work every round, so any cross-round/cross-session timing comparison
+    can be read as a ratio against it (the r7 judge measured 2.2x host
+    drift between same-day sessions with identical code; absolutes on a
+    shared local[32] host are weather). ``warm=True`` pays the one-off
+    codegen/JVM warmup before the measured run (sweep-start call only)."""
+    from pyspark.sql import functions as F
+
+    def _run() -> float:
+        t0 = time.time()
+        # mod BEFORE multiply and again before the sum: keeps every
+        # intermediate far inside int64 under ANSI mode at any row count
+        spark.range(_CANARY_ROWS, numPartitions=32).select(
+            F.sum(((F.col("id") % 1000003) * 2654435) % 7919).alias("s")
+        ).collect()
+        return time.time() - t0
+
+    if warm:
+        _run()
+    return round(_run(), 3)
+
+
 def _compact(out: dict, timings: dict[str, float]) -> dict:
     """The stdout payload: headline queries + totals + probe medians, with a
     pointer to the full file. Hard-guarded under COMPACT_LINE_BUDGET — if a
-    future key addition overflows, secondary probe keys are dropped (in
-    order) rather than truncating the line mid-JSON again."""
+    future key addition overflows, secondary probe keys are dropped
+    front-first from ``droppable`` (least-load-bearing first) rather than
+    truncating the line mid-JSON again; if that still isn't enough, the
+    per-query dict goes (totals + the full-file pointer survive)."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -211,14 +302,19 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "extended_total": out["extended_total"],
         "r5_total": out["r5_total"],
         "r6_total": out["r6_total"],
-        "r7_total": out["r7_total"],
+        "r8_total": out["r8_total"],
+        "gate_overhead_sec": out["gate_overhead_sec"],
         "combined_total": out["combined_total"],
         "n_queries_timed": len(timings),
         "full": FULL_PAYLOAD_FILE,
     }
+    for k in ("canary_start_sec", "canary_end_sec", "canary_drift"):
+        if k in out:
+            compact[k] = out[k]
     for k in (
         "er_mcmc_iters_per_sec",
         "er_mcmc_probe_iters",
+        "er_mcmc_probe_stat",
         "er_mcmc_spread",
         "er_rl10k_1part_iters_per_sec",
         "er_rl10k_2part_iters_per_sec",
@@ -233,34 +329,46 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
     ):
         if k in out:
             compact[k] = out[k]
+    # drop priority: first entry goes first (ADVICE r7: .pop() from the end
+    # made the actual order the reverse of the documented one)
     droppable = [
-        "er_rl10k_spark_1part_iters_per_sec",
-        "er_rl10k_spark_2part_iters_per_sec",
-        "er_rl10k_1part_iters_per_sec",
-        "er_rl10k_2part_iters_per_sec",
-        "er_paper_spark_1part_iters_per_sec",
         "er_mcmc_spread",
+        "er_paper_spark_1part_iters_per_sec",
+        "er_rl10k_2part_iters_per_sec",
+        "er_rl10k_1part_iters_per_sec",
+        "er_rl10k_spark_2part_iters_per_sec",
+        "er_rl10k_spark_1part_iters_per_sec",
     ]
     while len(json.dumps(compact)) > COMPACT_LINE_BUDGET and droppable:
-        compact.pop(droppable.pop(), None)
+        compact.pop(droppable.pop(0), None)
+    if len(json.dumps(compact)) > COMPACT_LINE_BUDGET:
+        # last resort (ADVICE r7: never emit an over-budget line — that is
+        # exactly the silent tail-truncation failure this payload exists to
+        # fix): sacrifice the per-query dict, keep totals + the full pointer
+        compact["queries"] = {}
+        compact["queries_dropped"] = "over_line_budget_see_full"
+        print(
+            "# WARNING: compact payload over budget even after probe-key "
+            "drops; per-query dict moved to the full file only",
+            file=sys.stderr,
+        )
     return compact
 
 
 def _time_query(spark, sf_dir: str, name: str, reps: int = 3):
     """Best-of-``reps`` wall time for one registered query + its row count.
     Persisted intermediates are released between reps (caller-owns-cache
-    contract, `dblink_spark.queries.release_caches`) so repeated invocations
-    in this long-lived session don't accumulate cache entries."""
-    from dblink_spark.queries import REGISTRY, release_caches
+    contract via the `materialized` scope) so repeated invocations in this
+    long-lived session don't accumulate cache entries."""
+    from dblink_spark.queries import REGISTRY, materialized
 
     fn = REGISTRY[name].fn
     best, n = None, 0
     for _ in range(reps):
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        release_caches(df)
+        with materialized(fn(spark, sf_dir)) as df:
+            n = df.count()
+            dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3), n
 
@@ -354,12 +462,21 @@ def _diff_vs_last_round(out: dict, spark=None, sf_dir: str | None = None) -> Non
         flagged = []
         prev_queries = prev.get("queries", {})
         for name, t_new in out["queries"].items():
-            t_old = prev_queries.get(name)
+            rebase = REBASED_BASELINES.get(name)
+            if rebase is not None:
+                # explicit re-base (VERDICT r7): compare against the pinned
+                # honest-cold number, not whatever methodology the newest
+                # committed payload happened to use
+                t_old = rebase["baseline"]
+            else:
+                t_old = prev_queries.get(name)
             if t_old and t_new > 1.5 * t_old and t_new > NOISE_FLOOR_SEC:
                 entry = {"query": name, "prev": t_old, "sweep": t_new}
+                if rebase is not None:
+                    entry["rebased_baseline_as_of"] = rebase["as_of"]
                 if spark is not None and sf_dir is not None:
                     entry["isolated"], _ = _time_query(spark, sf_dir, name)
-                if name in warm_baseline and not prev_is_cold:
+                if name in warm_baseline and not prev_is_cold and rebase is None:
                     cold = _cold_ref(name)
                     isolated = entry.get("isolated", t_new)
                     if cold is None or isolated <= 1.5 * cold:
@@ -483,14 +600,16 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
 
 def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3) -> dict:
     """1M-record distributed chain at p=8 vs p=16 (VERDICT r6 task 7: does
-    the 300k ~1.6x p=8→16 gain hold at 1M?). Reports sec/iter (the 1M
-    number COVERAGE.md quotes) plus the max partition population — the
-    per-partition memory ceiling the reference shares (SURVEY §4: "spill is
-    not handled"; a partition's packed state must fit one Arrow batch).
-
-    One window per point (each iteration is multi-second — far above the
-    noise floor that motivates median-of-3 on the smaller probes; three
-    windows would add ~1.5 min/round for no information)."""
+    the 300k ~1.6x p=8→16 gain hold at 1M?). Reports the MEDIAN sec/iter per
+    point plus every iteration's own wall time (``..._iter_secs``) — the r7
+    judge measured 2.2x same-code host drift between sessions, so a single
+    committed number with no spread is unreadable (VERDICT r7 "what's
+    wrong" #2); the per-iteration times cost nothing, each iteration is
+    already driven individually. Also reports the max partition population —
+    the per-partition memory ceiling (SURVEY §4: "spill is not handled"; a
+    partition's packed state must fit one Arrow batch; see
+    ``er/state.py`` partition-budget guard). Read cross-round absolutes as
+    ratios against the canary probe, not as bare numbers."""
     from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
     from dblink_spark.er.state import assign_partitions, init_state, transition
 
@@ -515,12 +634,18 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3)
             ]
             out["er_1m_max_partition_clusters"] = int(max(sizes))
         s = transition(s, "PCG-I")  # warm
-        t0 = time.time()
+        iter_secs = []
         for _ in range(n_iters):
+            t0 = time.time()
             s = transition(s, "PCG-I")
-        spi = (time.time() - t0) / n_iters
+            iter_secs.append(round(time.time() - t0, 2))
+        spi = statistics.median(iter_secs)
         out[f"er_1m_{p}part_sec_per_iter"] = round(spi, 2)
-        print(f"# er_1m: {spi:.2f} s/iter at {p} partitions", file=sys.stderr)
+        out[f"er_1m_{p}part_iter_secs"] = iter_secs
+        print(
+            f"# er_1m: {spi:.2f} s/iter at {p} partitions "
+            f"(median of {iter_secs})", file=sys.stderr,
+        )
     return out
 
 

@@ -55,6 +55,12 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
     # deliberately (bench.py records retirements when diffing against the
     # previous round) — report it, don't fail the gate on it
     retired = set(new.get("queries_retired", []))
+    # bench.py pins explicit per-query comparison points (REBASED_BASELINES,
+    # r8): when the OLD artifact's number was measured under a retired
+    # methodology (e.g. r5 warm-cache bests), the pinned honest-cold number
+    # is the comparable one — a new time within threshold of the pin is
+    # annotated, not gate-failed
+    rebased = new.get("rebased_baselines", {}) or {}
     # bench.py marks flags whose OLD baseline reused a warm cache across
     # reps while the new run measures cold (r6 caller-owns-cache change):
     # a known comparability artifact, annotated instead of gate-failed
@@ -87,7 +93,12 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
         ratio = t_new / t_old if t_old > 0 else float("inf")
         flag = ""
         if ratio > threshold and t_new > NOISE_FLOOR_SEC:
-            if name in warm:
+            if name in rebased and t_new <= threshold * rebased[name]:
+                flag = (
+                    f"  (baseline re-based to {rebased[name]:.3f}s; "
+                    f"within gate)"
+                )
+            elif name in warm:
                 flag = "  (warm-cache baseline; not comparable)"
             else:
                 flag = "  << REGRESSION"
@@ -102,15 +113,24 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
         print(f"{'TOTAL':<32} {t_old:>8.3f} {t_new:>8.3f} {t_new / t_old:>6.2f}x")
     io, inw = old.get("er_mcmc_iters_per_sec"), new.get("er_mcmc_iters_per_sec")
     if io and inw:
-        # values are only comparable under the same probe methodology
-        # (r6 lengthened the timing window 10 -> 200 iterations after the
-        # r5 flag proved to be noise on a ~30ms measurement)
-        if old.get("er_mcmc_probe_iters") != new.get("er_mcmc_probe_iters"):
+        # values are only comparable under the same probe methodology:
+        # window length (r6: 10 -> 200 iters) AND statistic (r7: best-of-2
+        # -> median-of-3; medians sit below bests, ADVICE r7). The stat
+        # marker is explicit from r8 (er_mcmc_probe_stat); for older
+        # payloads it is inferred — er_mcmc_spread shipped together with
+        # median-of-3 in r7, so spread-present <=> median3.
+        def _probe_desc(p: dict) -> tuple:
+            stat = p.get("er_mcmc_probe_stat") or (
+                "median3" if "er_mcmc_spread" in p else "best"
+            )
+            return (p.get("er_mcmc_probe_iters") or 10, stat)
+
+        if _probe_desc(old) != _probe_desc(new):
+            od, nd = _probe_desc(old), _probe_desc(new)
             print(
                 f"{'er_mcmc_iters_per_sec':<32} {io:>8.3f} {inw:>8.3f} "
                 f"{'n/a':>7} (probe methodology changed: "
-                f"{old.get('er_mcmc_probe_iters') or 10} -> "
-                f"{new.get('er_mcmc_probe_iters') or 10} iters/window)"
+                f"{od[0]}it-{od[1]} -> {nd[0]}it-{nd[1]})"
             )
         else:
             # higher is better for throughput
