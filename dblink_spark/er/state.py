@@ -1265,10 +1265,123 @@ def transition_local(state: State, mode: str) -> State:
     return new_state
 
 
+class PartitionBudgetError(RuntimeError):
+    """A partition's packed state would exceed the configured memory budget
+    (or Arrow's hard per-cell ceiling). Raised at ``assign_partitions`` time
+    — fail fast on the driver instead of an executor OOM / Arrow overflow
+    mid-chain. The fix is always the same: more, smaller partitions
+    (``KDTreePartitioner(num_levels=...)`` +1 halves the largest one)."""
+
+
+#: Arrow binary cells use 32-bit offsets: one packed buffer (the largest is
+#: rec_values at 4*R*A bytes) must stay below 2^31 bytes or the kernel's
+#: Arrow marshal overflows. This ceiling is structural, not configurable.
+_ARROW_CELL_LIMIT = (1 << 31) - 1
+
+#: Default per-partition packed-state budget. The whole partition is
+#: materialized in one grouped-Arrow task (the reference shares the
+#: limitation — SURVEY §4: "spill is not handled"; ref:
+#: GibbsUpdates.scala:175-184 likewise collects the full partition), and
+#: the kernel's numpy working set runs a small multiple of the packed
+#: bytes, so 2 GiB packed keeps a task comfortably inside a typical
+#: 8-16 GiB executor. Override per call or via
+#: ``DBLINK_PARTITION_BUDGET_MB``.
+_DEFAULT_PARTITION_BUDGET_MB = 2048
+
+
+def audit_partition_budget(
+    state_df: DataFrame,
+    num_attributes: int,
+    budget_bytes: int | None = None,
+) -> list[dict]:
+    """Per-partition packed-state byte estimate, checked against the budget.
+
+    One cheap aggregation job over the (already checkpointed) cluster rows:
+    for each partition, E clusters and R records pack to
+    ``4*A*E + 4*E`` (ent_values + counts) plus the record blobs
+    (rec_values 4*R*A, rec_dist R*A — measured exactly via octet_length),
+    plus rec_id payload (utf-8 bytes + 4*R lengths) and fids (4*R) — the
+    BLOCK_SCHEMA wire format's exact widths.
+
+    Raises :class:`PartitionBudgetError` when any partition exceeds the
+    budget, or when its largest single Arrow cell would exceed the 2^31
+    hard ceiling regardless of budget. Returns the per-partition stats
+    (sorted by bytes, descending) for diagnostics/tests."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = (
+            int(os.environ.get(
+                "DBLINK_PARTITION_BUDGET_MB", _DEFAULT_PARTITION_BUDGET_MB
+            ))
+            << 20
+        )
+    rows = (
+        state_df.filter(~F.col("is_summary"))
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("E"),
+            F.sum(F.size("rec_ids")).alias("R"),
+            F.sum(
+                F.octet_length("rec_values") + F.octet_length("rec_dist")
+            ).alias("blob_bytes"),
+            F.sum(
+                F.aggregate(
+                    "rec_ids",
+                    F.lit(0).cast("long"),
+                    lambda acc, rid: acc + F.octet_length(rid),
+                )
+            ).alias("id_bytes"),
+        )
+        .collect()
+    )
+    stats = []
+    for r in rows:
+        e, rec, blob, ids = int(r["E"]), int(r["R"] or 0), int(
+            r["blob_bytes"] or 0
+        ), int(r["id_bytes"] or 0)
+        packed = 4 * num_attributes * e + 4 * e + blob + ids + 8 * rec
+        stats.append(
+            {
+                "partition_id": int(r["partition_id"]),
+                "n_clusters": e,
+                "n_records": rec,
+                "packed_bytes": packed,
+                "max_cell_bytes": max(4 * rec * num_attributes, ids),
+            }
+        )
+    stats.sort(key=lambda s: -s["packed_bytes"])
+    if stats:
+        worst = stats[0]
+        guidance = (
+            "increase the partitioner's granularity — e.g. "
+            "KDTreePartitioner(num_levels=+1) halves the largest partition "
+            "— or raise DBLINK_PARTITION_BUDGET_MB if the executors have "
+            "headroom"
+        )
+        if worst["max_cell_bytes"] > _ARROW_CELL_LIMIT:
+            raise PartitionBudgetError(
+                f"partition {worst['partition_id']} packs a "
+                f"{worst['max_cell_bytes']:,}-byte Arrow cell "
+                f"(> 2^31-1 hard ceiling; {worst['n_records']:,} records x "
+                f"{num_attributes} attributes): {guidance}"
+            )
+        if worst["packed_bytes"] > budget_bytes:
+            raise PartitionBudgetError(
+                f"partition {worst['partition_id']} packs "
+                f"{worst['packed_bytes']:,} bytes "
+                f"({worst['n_clusters']:,} clusters, "
+                f"{worst['n_records']:,} records) > budget "
+                f"{budget_bytes:,}: {guidance}"
+            )
+    return stats
+
+
 def assign_partitions(
     state: State,
     partition_fn: Callable[[np.ndarray], np.ndarray],
     num_partitions: int,
+    partition_budget_bytes: int | None = None,
 ) -> State:
     """Re-key every cluster row to a (newly fitted) partition function.
 
@@ -1279,6 +1392,12 @@ def assign_partitions(
     function (ref: State.scala:244-270); this is the DataFrame equivalent:
     a narrow mapInPandas (no shuffle — the first groupBy in transition()
     co-locates), re-checkpointed so the remap computes once.
+
+    After the remap, :func:`audit_partition_budget` fails fast (with
+    actionable guidance) if any partition's packed state would not fit the
+    per-partition memory budget — the one scale ceiling this execution
+    model has (each partition is materialized whole in one grouped-Arrow
+    task; the reference shares it, SURVEY §4 "spill is not handled").
     """
     def assign_pid(batches):
         for pdf in batches:
@@ -1295,6 +1414,9 @@ def assign_partitions(
             yield pdf
 
     new_df = state.df.mapInPandas(assign_pid, STATE_SCHEMA).localCheckpoint(eager=True)
+    audit_partition_budget(
+        new_df, state.cache.num_attributes, partition_budget_bytes
+    )
     old_dfs = [state._df, state.block_df]
     new_state = replace(
         state,
