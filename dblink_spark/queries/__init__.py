@@ -24,6 +24,7 @@ Spark and DuckDB must produce *bit-identical* values:
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,15 +76,12 @@ def owns_caches(df: DataFrame, *cached: DataFrame) -> DataFrame:
     it or each invocation leaks one cache entry
     (tests/test_cache_hygiene.py pins this).
 
-    CAVEAT: ownership rides on the DataFrame OBJECT — any further
-    transformation returns a new frame without it, making a later
-    `release_caches` a silent no-op. Attach ownership to the FINAL frame a
-    caller will materialize, or re-attach when deriving:
-    ``owns_caches(derived, *getattr(orig, "_owned_caches", []))``.
-    Leak backstop: every attach also lands in a session-scoped registry;
-    `outstanding_caches()` after a materialize+release cycle must be empty,
-    and `release_outstanding()` frees whatever a derived-frame release
-    missed."""
+    Callers should consume results through the :func:`materialized` scope
+    — it releases the entering frame's caches on exit, so the one sharp
+    edge here (ownership rides on the DataFrame OBJECT; releasing a
+    DERIVED frame is a silent no-op) cannot bite. Backstop for bare-frame
+    callers: every attach lands in a session registry —
+    `outstanding_caches()` / `release_outstanding()`."""
     owned = getattr(df, "_owned_caches", [])
     df._owned_caches = list(owned) + list(cached)
     for c in cached:
@@ -93,11 +91,31 @@ def owns_caches(df: DataFrame, *cached: DataFrame) -> DataFrame:
 
 def release_caches(df: DataFrame) -> None:
     """Free the persisted intermediates attached by `owns_caches` (no-op
-    for queries that persist nothing). Call AFTER materializing df."""
+    for queries that persist nothing). Call AFTER materializing df.
+    Prefer :func:`materialized` — the context manager makes the
+    derived-frame-silent-no-op caveat structurally impossible to hit."""
     for c in getattr(df, "_owned_caches", []):
         c.unpersist()
         _OUTSTANDING.pop(id(c), None)
     df._owned_caches = []
+
+
+@contextmanager
+def materialized(df: DataFrame):
+    """Materialize-and-release scope for a query result (VERDICT r7 task 7):
+
+        with materialized(REGISTRY[name].fn(spark, sf_dir)) as out:
+            out.count()  # or .collect() / .toPandas() / write
+
+    On exit, every owned cache attached to THE FRAME THAT ENTERED the
+    block is released — the caller never holds a bare frame whose
+    ownership a derived transformation could silently strand (the
+    `owns_caches` caveat). Derive new frames INSIDE the block freely; just
+    finish materializing before the block ends."""
+    try:
+        yield df
+    finally:
+        release_caches(df)
 
 
 def outstanding_caches() -> list[DataFrame]:
@@ -180,6 +198,13 @@ _GATE_TAIL = [
     # default); like every tail entry it stays hash-verified per round by
     # tools/driver_sim.py and now also timed per round by bench.py.
     "q_events_value_quantiles",
+    # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
+    # enters the head; ann_ivf_untrained_baseline rotates out — it is an
+    # explicitly-named baseline arm whose bit-exact full-replay oracle
+    # keeps running per round via tools/driver_sim.py AND whose full result
+    # is digest-covered by q_inventory_checksum below; the canonical IVF
+    # entry (ann_ivf_trained) stays head-gated.
+    "ann_ivf_untrained_baseline",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

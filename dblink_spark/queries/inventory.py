@@ -6,8 +6,8 @@ entries, so SQL-expressible TPC-H/events shapes rotate into a tail that is
 hash-verified per round only by the repo's own tools (tools/driver_sim.py,
 tools/oracle_check.py). ``q_inventory_checksum`` closes that externality
 (VERDICT r6 task 4): it emits one row per rotated query —
-``(query, n_rows, digest)`` where ``digest`` is the md5 of the
-'|'-joined, sorted canonical row strings of that query's FULL result —
+``(query, n_rows, digest)`` where ``digest`` is the md5 of the sorted
+canonical row strings of that query's FULL result (0x1f/0x1e-separated) —
 and the oracle recomputes the same digest in DuckDB over the same
 query SQL. A value change anywhere in any rotated query flips its digest
 on whichever engine diverged, and the driver's hash gate catches it.
@@ -29,7 +29,11 @@ Canonical serialization (must be bit-identical across engines):
 - NULLs: a '<NULL>' sentinel after canonicalization;
 - columns are ordered BY NAME in both engines, rows sorted as raw UTF-8
   byte strings (Spark sort_array and DuckDB VARCHAR ORDER BY both compare
-  binary), then '|'-joined and md5'd. Empty results digest md5('') via
+  binary), then joined with the ASCII separator control characters —
+  0x1f between columns, 0x1e between rows (ADVICE r7: using '|' for both
+  roles made the serialization ambiguous for '|'-bearing strings; no
+  covered column can contain 0x1f/0x1e, they never appear in the
+  fixtures' text domains) — and md5'd. Empty results digest md5('') via
   COALESCE on the DuckDB side (string_agg over zero rows is NULL there).
 
 This is a GATE query: it runs every rotated query at sf0.01 and funnels
@@ -114,6 +118,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "vector_norms_by_label": [
         ("label", "i"), ("n_vectors", "i"), ("total_sq_norm", "i"),
     ],
+    "ann_ivf_untrained_baseline": [
+        ("query_id", "i"), ("neighbor_id", "i"), ("cosine", "f"),
+        ("rank", "i"),
+    ],
 }
 
 _NULL = "<NULL>"
@@ -152,10 +160,10 @@ def _canon_duck(col: str, kind: str) -> str:
 def _digest_sql(name: str) -> str:
     inner = REGISTRY[name].oracle
     cols = sorted(CHECKSUM_KINDS[name])
-    row = " || '|' || ".join(_canon_duck(c, k) for c, k in cols)
+    row = " || chr(31) || ".join(_canon_duck(c, k) for c, k in cols)
     return (
         f"SELECT '{name}' AS query, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
-        f"  md5(COALESCE(string_agg(r, '|' ORDER BY r), '')) AS digest\n"
+        f"  md5(COALESCE(string_agg(r, chr(30) ORDER BY r), '')) AS digest\n"
         f"FROM (SELECT {row} AS r FROM (\n{inner}\n) _q) _rows"
     )
 
@@ -191,14 +199,14 @@ def q_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"got {actual}, frozen {kinds}; regenerate the map"
             )
         row = F.concat_ws(
-            "|", *[_canon_spark(c, k) for c, k in sorted(kinds.items())]
+            "\x1f", *[_canon_spark(c, k) for c, k in sorted(kinds.items())]
         )
         frames.append(
             df.select(row.alias("r"))
             .agg(
                 F.count("*").cast("long").alias("n_rows"),
                 F.md5(
-                    F.array_join(F.sort_array(F.collect_list("r")), "|")
+                    F.array_join(F.sort_array(F.collect_list("r")), "\x1e")
                 ).alias("digest"),
             )
             .select(F.lit(name).alias("query"), "n_rows", "digest")

@@ -402,6 +402,148 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ann_lsh_recall contract (VERDICT r7 task 5 — promote the pytest-only LSH
+# recall check into the driver's hash gate, mirroring ann_ivf_trained):
+# 12 prefix-stable hyperplane bands at bits_for_corpus width; candidates
+# form ONLY inside shared band buckets; aggregate recall@5 over the 8
+# benchmark queries must reach 0.85 vs the brute-force arm. Calibration at
+# both fixture scales: recall 1.0 (sf0.001) / 0.95 (sf0.01), max bucket
+# 88 vs expected 62.5 (1.4x), all 12*2^bits band keys populated.
+_LSH_RECALL_BANDS = 12
+_LSH_RECALL_MIN = 0.85
+_LSH_RECALL_BALANCE = 3.0
+_LSH_RECALL_NQUERY, _LSH_RECALL_TOPK = 8, 5
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+SELECT CAST({_LSH_RECALL_NQUERY} AS BIGINT) AS n_queries,
+  CAST({_LSH_RECALL_NQUERY * _LSH_RECALL_TOPK} AS BIGINT) AS n_returned_total,
+  TRUE AS recall_ok,
+  TRUE AS buckets_ok
+""",
+    survey_ref=(
+        "beyond-reference: LSH-bucketed ANN top-k with a hash-gated recall "
+        "contract — the scale path's quality bar, driver-verified "
+        "(contract-as-data, same design as ann_ivf_trained)"
+    ),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k search end-to-end, gated on its RECALL against
+    the brute-force arm (contract-as-data: DuckDB cannot usefully replay a
+    recall experiment, so the oracle pins the one row a working index must
+    produce):
+
+    - ``recall_ok``: aggregate recall@5 over the 8 benchmark queries
+      >= 0.85 vs `ann_topk_cosine` (exact). A broken banding (wrong
+      coordinates, bad key packing) scatters true neighbors across buckets
+      and fails this.
+    - ``buckets_ok``: every band populates >= half its key space AND the
+      largest bucket stays <= 3x the expected N/2^bits — the opposite
+      degeneracy (a constant projection lumping the corpus into one bucket
+      scores recall 1.0 with no pruning) fails here.
+    - ``n_returned_total`` exact: shared buckets must always hold enough
+      candidates to fill top-k.
+
+    Scale shape: signatures are a row-local narrow pass (one band-key
+    column per band, JVM-side bit packing); the query side (8 rows x B
+    band keys) broadcasts into a candidate equi-join on (band, key) — the
+    same pigeonhole shape as `dedup_minhash_lsh`'s band join, so candidate
+    count is ~N * bucket_size, never N^2. The brute arm exists only to
+    measure recall inside the gate (run once per index build on a sample
+    at scale, as documented on `ann_ivf_trained`)."""
+    e = load(spark, sf_dir, "embeddings")
+    n_vectors = e.count()
+    bits = bits_for_corpus(n_vectors)
+    bands = make_lsh_bands_prefix(_LSH_RECALL_BANDS, bits)
+    base = e.select(
+        "vec_id",
+        "embedding",
+        _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+        *[_band_col(b).alias(f"k{i}") for i, b in enumerate(bands)],
+    )
+    kv = base.select(
+        "vec_id",
+        "embedding",
+        "sq",
+        F.posexplode(
+            F.array(*[F.col(f"k{i}") for i in range(len(bands))])
+        ).alias("band", "key"),
+    )
+    # .limit() is a semantic no-op (the filter yields exactly NQUERY * B
+    # rows) but makes the fixed cardinality explicit in the logical plan —
+    # what licenses the broadcast hint at any SF (plan-audit discipline,
+    # same as ann_topk_cosine)
+    q = (
+        kv.filter(F.col("vec_id") < _LSH_RECALL_NQUERY)
+        .limit(_LSH_RECALL_NQUERY * _LSH_RECALL_BANDS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("sq").alias("qsq"),
+            "band",
+            "key",
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(kv, ["band", "key"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        # a pair can collide in several bands; cosine is identical in each,
+        # so dedup with a cheap first() instead of a distinct over arrays
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.first(
+                _safe_cosine(
+                    _dot_q(F.col("qe"), F.col("embedding")),
+                    F.col("qsq"),
+                    F.col("sq"),
+                )
+            ).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _LSH_RECALL_TOPK
+    )
+    brute = ann_topk_cosine(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), F.lit(1).alias("hit")
+    )
+    search_agg = topk.join(brute, ["query_id", "vec_id"], "left").agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_returned_total"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    bucket_agg = (
+        kv.groupBy("band", "key")
+        .count()
+        .agg(
+            F.count("*").alias("n_band_keys"),
+            F.max("count").alias("max_bucket"),
+        )
+    )
+    min_hits = F.lit(
+        _LSH_RECALL_MIN * _LSH_RECALL_NQUERY * _LSH_RECALL_TOPK
+    )
+    buckets_ok = (
+        F.col("n_band_keys")
+        >= F.lit(_LSH_RECALL_BANDS * (1 << bits) // 2)
+    ) & (
+        F.col("max_bucket")
+        <= F.lit(_LSH_RECALL_BALANCE)
+        * F.ceil(F.lit(n_vectors) / F.lit(1 << bits))
+    )
+    return search_agg.crossJoin(bucket_agg).select(
+        "n_queries",
+        "n_returned_total",
+        (F.col("n_hits") >= min_hits).alias("recall_ok"),
+        buckets_ok.alias("buckets_ok"),
+    )
+
+
 # IVF parameters for the registered query: K seed centroids (the first K
 # vectors stand in for a trained coarse quantizer — the plan shape is what
 # matters), nprobe probed cells per query, top-k within candidates.

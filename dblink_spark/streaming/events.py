@@ -256,7 +256,14 @@ def minhash_key(text_col, n_hashes: int = 8, first_row: int = 0):
     single-band limit of the batch LSH in queries/dedup.py).
     ``first_row`` selects a disjoint hash-row range so several BAND keys
     can be built from independent hash families
-    (`near_dedup_doc_stream_banded`)."""
+    (`near_dedup_doc_stream_banded`).
+
+    STATE-COMPATIBILITY (ADVICE r7): the r7 one-md5-per-token rewrite
+    CHANGED every signature value. dropDuplicates state in a checkpoint
+    written by the pre-r7 build keys on the old signatures and will never
+    match new ones — previously-seen near-duplicates would re-emit after
+    an in-place upgrade. Restart dedup streams from a FRESH checkpoint
+    when crossing that boundary (documented in COVERAGE.md)."""
     from dblink_spark.queries.dedup import mh_family, mh_token_chunks
 
     chunks = mh_token_chunks(F.array_distinct(F.split(text_col, " ")))

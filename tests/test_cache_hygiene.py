@@ -92,3 +92,35 @@ def test_outstanding_registry_empty_after_proper_release(spark):
     df.count()
     release_caches(df)
     assert outstanding_caches() == []
+
+
+def test_materialized_scope_releases_on_exit(spark):
+    """The r8 ergonomic wrapper: consuming a persisting query through
+    `materialized` leaves no live cache and no outstanding registry entry,
+    even when the caller derives new frames inside the block."""
+    from dblink_spark.queries import materialized, outstanding_caches, release_outstanding
+
+    cm = _cache_manager(spark)
+    spark.catalog.clearCache()
+    release_outstanding()
+    with materialized(REGISTRY["dedup_minhash_lsh"].fn(spark, SF)) as df:
+        # deriving inside the block is fine: release targets the ENTERING
+        # frame, whose ownership attribute is intact
+        df.filter("n_near_dups >= 0").count()
+        assert not cm.isEmpty()
+    assert cm.isEmpty(), "materialized must unpersist on exit"
+    assert outstanding_caches() == []
+
+
+def test_materialized_releases_on_error(spark):
+    from dblink_spark.queries import materialized, outstanding_caches, release_outstanding
+
+    cm = _cache_manager(spark)
+    spark.catalog.clearCache()
+    release_outstanding()
+    with pytest.raises(RuntimeError, match="boom"):
+        with materialized(REGISTRY["dedup_minhash_lsh"].fn(spark, SF)) as df:
+            df.count()
+            raise RuntimeError("boom")
+    assert cm.isEmpty(), "materialized must unpersist even on error"
+    assert outstanding_caches() == []

@@ -52,13 +52,14 @@ qs = mod.queries()
 oracles = mod.oracle_sql()
 results: dict[str, dict] = {}
 fails = 0
-from dblink_spark.queries import release_caches
+from dblink_spark.queries import materialized
 
 for name, fn in qs.items():
     try:
-        df = fn(spark, SF)
-        sdf = df.toPandas()
-        release_caches(df)  # long-lived session: free persisted intermediates
+        # materialize-and-release scope: owned caches can't leak in this
+        # long-lived session
+        with materialized(fn(spark, SF)) as df:
+            sdf = df.toPandas()
     except Exception as exc:  # noqa: BLE001 - record, keep going, fail at exit
         fails += 1
         results[name] = {"rows_match": False, "schema_match": False,

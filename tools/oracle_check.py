@@ -97,11 +97,12 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = q.fn(spark, sf_dir)
-            sdf = df.toPandas()
-            from dblink_spark.queries import release_caches
+            from dblink_spark.queries import materialized
 
-            release_caches(df)  # long-lived session: free persisted intermediates
+            # materialize-and-release scope: owned caches can't leak in
+            # this long-lived session
+            with materialized(q.fn(spark, sf_dir)) as df:
+                sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
