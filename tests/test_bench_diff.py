@@ -112,3 +112,50 @@ def test_exit_code_contract(tmp_path):
     )
     assert bad.returncode == 1
     assert b"q1" in bad.stderr
+
+
+def test_rebased_baseline_waives_within_gate():
+    """r8: a query whose committed history was measured under a retired
+    methodology compares against the pinned re-based baseline, not the old
+    payload's number — within threshold of the pin is not a regression."""
+    old = {"value": 1.0, "queries": {"qa": 0.679}}
+    new = {
+        "value": 2.0,
+        "queries": {"qa": 1.9},
+        "rebased_baselines": {"qa": 1.918},
+    }
+    assert diff(old, new, 1.5) == []
+
+
+def test_rebased_baseline_does_not_waive_real_regression():
+    old = {"value": 1.0, "queries": {"qa": 0.679}}
+    new = {
+        "value": 4.0,
+        "queries": {"qa": 4.0},  # > 1.5 * 1.918 — genuinely slower
+        "rebased_baselines": {"qa": 1.918},
+    }
+    regs = diff(old, new, 1.5)
+    assert len(regs) == 1 and regs[0].startswith("qa:")
+
+
+def test_er_probe_statistic_change_is_not_comparable():
+    """r8: best-of-2 (pre-r7, no spread key) vs median-of-3 (spread key or
+    explicit er_mcmc_probe_stat) must not diff as same-methodology even at
+    equal window length — medians sit below bests (ADVICE r7)."""
+    old = {"value": 1.0, "queries": {"q1": 1.0},
+           "er_mcmc_iters_per_sec": 140.0, "er_mcmc_probe_iters": 200}
+    new = {"value": 1.0, "queries": {"q1": 1.0},
+           "er_mcmc_iters_per_sec": 80.0, "er_mcmc_probe_iters": 200,
+           "er_mcmc_probe_stat": "median3", "er_mcmc_spread": "70..90"}
+    assert diff(old, new, 1.5) == []  # not comparable -> no regression
+
+
+def test_er_probe_same_statistic_still_gates():
+    old = {"value": 1.0, "queries": {"q1": 1.0},
+           "er_mcmc_iters_per_sec": 140.0, "er_mcmc_probe_iters": 200,
+           "er_mcmc_spread": "120..150"}
+    new = {"value": 1.0, "queries": {"q1": 1.0},
+           "er_mcmc_iters_per_sec": 80.0, "er_mcmc_probe_iters": 200,
+           "er_mcmc_spread": "70..90"}
+    regs = diff(old, new, 1.5)
+    assert any("er_mcmc" in r for r in regs)

@@ -111,6 +111,20 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
     t_old, t_new = old.get("value"), new.get("value")
     if t_old and t_new:
         print(f"{'TOTAL':<32} {t_old:>8.3f} {t_new:>8.3f} {t_new / t_old:>6.2f}x")
+    # host-load context (r8): when both payloads carry the constant-work
+    # canary, print the load ratio — a TOTAL ratio tracking the canary
+    # ratio is host drift, not a code change. Context only; the per-query
+    # gate above is unaffected.
+    def _canary(p: dict) -> float | None:
+        vals = [p[k] for k in ("canary_start_sec", "canary_end_sec") if k in p]
+        return sum(vals) / len(vals) if vals else None
+
+    co, cn = _canary(old), _canary(new)
+    if co and cn:
+        print(
+            f"{'canary (host load)':<32} {co:>8.3f} {cn:>8.3f} "
+            f"{cn / co:>6.2f}x  (ratios near this are drift, not code)"
+        )
     io, inw = old.get("er_mcmc_iters_per_sec"), new.get("er_mcmc_iters_per_sec")
     if io and inw:
         # values are only comparable under the same probe methodology:

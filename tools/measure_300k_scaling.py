@@ -51,6 +51,12 @@ def main() -> None:
     ]
     cache = build_records_cache(records, attrs, expected_max_cluster_size=10)
     s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=99)
+    # constant-work host-load canary (r8, shared with bench.py): absolute
+    # s/iter drifts >2x with host load across sessions — quote the ratios,
+    # and divide absolutes by the canary before cross-session comparison
+    from bench import _canary
+
+    print(f"# canary (start): {_canary(spark, warm=True):.2f}s")
     base = None
     for p in (1, 2, 4, 8):
         if p == 1:
@@ -72,6 +78,7 @@ def main() -> None:
             f"# {n_records} records, p={p}: {sec:.2f} s/iter "
             f"({base / sec:.2f}x vs 1 partition)"
         )
+    print(f"# canary (end): {_canary(spark):.2f}s")
 
 
 if __name__ == "__main__":
