@@ -90,9 +90,11 @@ R6_QUERIES = [
     "q_events_value_quantiles",
 ]
 
-# r8: queries added this round (LSH recall contract gate).
+# r8: queries added this round (LSH recall contract gate; corpus-internal
+# boilerplate detection).
 R8_QUERIES = [
     "ann_lsh_recall",
+    "text_boilerplate_grams",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

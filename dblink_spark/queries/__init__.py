@@ -198,6 +198,12 @@ _GATE_TAIL = [
     # default); like every tail entry it stays hash-verified per round by
     # tools/driver_sim.py and now also timed per round by bench.py.
     "q_events_value_quantiles",
+    # r8: text_boilerplate_grams (corpus-internal repeated-span detection)
+    # enters the head; sketch_count_min rotates out — it is benched every
+    # round, its sketch math is pinned at the operator level by
+    # tests/test_sketch.py, and its full (row_idx, col_idx, cnt) result is
+    # digest-covered by q_inventory_checksum below.
+    "sketch_count_min",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

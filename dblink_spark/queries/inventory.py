@@ -122,6 +122,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("query_id", "i"), ("neighbor_id", "i"), ("cosine", "f"),
         ("rank", "i"),
     ],
+    "sketch_count_min": [
+        ("row_idx", "i"), ("col_idx", "i"), ("cnt", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from dblink_spark.queries import load, register
+from dblink_spark.queries import load, owns_caches, register
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on"]
 
@@ -444,6 +444,102 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_tainted", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "text_boilerplate_grams",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+),
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT gr.doc_id, COUNT(*) AS n_boiler
+  FROM grams gr JOIN boiler b USING (g) GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+  CASE WHEN COALESCE(t.n_grams, 0) > 0
+       THEN CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / t.n_grams
+       ELSE 0.0 END AS boiler_frac
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: corpus-internal boilerplate detection — word "
+        "8-grams shared across >= 2 distinct documents, per-doc "
+        "boilerplate fraction (the C4/CCNet repeated-span filter family)"
+    ),
+)
+def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate scoring: a word 8-gram occurring in at
+    least 2 DISTINCT documents is 'boilerplate' (headers, footers,
+    templates, licensing blurbs — the spans C4/CCNet-style pipelines strip
+    because cross-document repetition is machine-generated with
+    overwhelming probability); each document reports its total gram count,
+    boilerplate-gram count, and the fraction. Downstream filters drop or
+    re-weight high-fraction docs exactly like `text_gopher_rules` rows.
+
+    Same engine-exactness discipline as `text_decontaminate`: md5 gram
+    keys, exact integer counts, ONE IEEE division for the fraction.
+
+    100-TB shape: gram construction is ROW-LOCAL (higher-order
+    ``transform`` over a ``sequence`` of offsets — no UDF, no shuffle to
+    build grams); the boilerplate set needs one explode + groupBy(gram)
+    with a distinct-doc count (partial aggs map-side), and true
+    boilerplate is a tiny fraction of distinct grams, so the gram->doc
+    back-join broadcasts under AQE; the per-doc rollup is one more
+    groupBy(doc_id). No quadratic path at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
+    )
+    # the exploded gram table feeds THREE consumers (boilerplate set, per-doc
+    # totals, per-doc hits) — persist so the tokenize+gram+explode pass over
+    # the corpus runs once, not three times (caller-owns-cache contract)
+    exploded = d.select("doc_id", F.explode(grams).alias("g")).persist()
+    boiler = (
+        exploded.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    tot = exploded.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        exploded.join(boiler, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    n_boiler = F.coalesce("n_boiler", F.lit(0)).cast("long")
+    out = (
+        d.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_boiler.alias("n_boiler"),
+            F.when(n_grams > 0, n_boiler.cast("double") / n_grams)
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )
+    return owns_caches(out, exploded)  # caller releases after materializing
 
 
 #: context-window chunking: 128-token windows, stride 96 (32-token overlap)

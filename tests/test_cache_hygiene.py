@@ -23,6 +23,8 @@ _PERSISTING = [
     # is released before return (closure is eager), leaving exactly one
     # owned cache on the result
     "pipeline_corpus_prep",
+    # persists the exploded gram table (feeds boiler set + totals + hits)
+    "text_boilerplate_grams",
 ]
 
 

@@ -76,6 +76,9 @@ _QUERIES = [
     "text_gopher_rules",
     "text_repetition",   # 1-token docs: descending sequence(1,0) ANSI crash, fixed
     "text_decontaminate",
+    # sub-8-token docs exercise the n_grams=0 guard; identical docs 11-13
+    # drive a 100%-boilerplate fraction
+    "text_boilerplate_grams",
     # end-to-end composition: NULL-lang coalesce, mostly-failing quality
     # gate, and a passing identical pair driving a nonzero closure
     "pipeline_corpus_prep",
@@ -142,6 +145,27 @@ def test_pii_redact_typed_counts(spark, edge_dir):
     assert rows[12]["chars_delta"] == 0
     scrubbed19 = rows[19]
     assert scrubbed19["redacted_fp"] != rows[12]["redacted_fp"]
+
+
+def test_boilerplate_grams_semantics(spark, edge_dir):
+    """Engine agreement can't bless wrong thresholds — pin the semantics:
+    identical docs 11/12/13 are 100% boilerplate against each other,
+    sub-8-token docs take the zero-gram guard, and a doc with no
+    cross-document 8-gram (doc 17) scores 0.0."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_boilerplate_grams"].fn(spark, edge_dir).collect()
+    }
+    for i in (11, 12, 13):  # identical triplet: every gram shared
+        assert rows[i]["n_grams"] > 0
+        assert rows[i]["n_boiler"] == rows[i]["n_grams"]
+        assert rows[i]["boiler_frac"] == 1.0
+    for i in (0, 1, 7):  # empty / 1-token / 3-token: no 8-grams at all
+        assert rows[i]["n_grams"] == 0 and rows[i]["boiler_frac"] == 0.0
+    # doc 9 shares its w0..wN prefix grams with docs 2-5 by construction —
+    # a true positive, not a control; doc 17's sentence is corpus-unique
+    assert rows[9]["n_boiler"] > 0
+    assert rows[17]["n_grams"] > 0 and rows[17]["n_boiler"] == 0
 
 
 def test_chunking_window_boundaries(spark, edge_dir):
