@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from dblink_spark.functions.vector import quantized_dot as _dot_q
-from dblink_spark.queries import load, register
+from dblink_spark.queries import load, owns_caches, register
 
 
 _DOT_SQL = """
@@ -457,12 +457,16 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vectors = e.count()
     bits = bits_for_corpus(n_vectors)
     bands = make_lsh_bands_prefix(_LSH_RECALL_BANDS, bits)
+    # the signature table feeds three consumers (query side, candidate
+    # side, bucket-balance arm) — persist so the per-row band-key pass over
+    # the corpus runs once (caller-owns-cache contract, as in the dedup
+    # family)
     base = e.select(
         "vec_id",
         "embedding",
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
         *[_band_col(b).alias(f"k{i}") for i, b in enumerate(bands)],
-    )
+    ).persist()
     kv = base.select(
         "vec_id",
         "embedding",
@@ -536,12 +540,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.lit(_LSH_RECALL_BALANCE)
         * F.ceil(F.lit(n_vectors) / F.lit(1 << bits))
     )
-    return search_agg.crossJoin(bucket_agg).select(
+    out = search_agg.crossJoin(bucket_agg).select(
         "n_queries",
         "n_returned_total",
         (F.col("n_hits") >= min_hits).alias("recall_ok"),
         buckets_ok.alias("buckets_ok"),
     )
+    return owns_caches(out, base)  # caller releases after materializing
 
 
 # IVF parameters for the registered query: K seed centroids (the first K

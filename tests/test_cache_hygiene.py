@@ -25,6 +25,8 @@ _PERSISTING = [
     "pipeline_corpus_prep",
     # persists the exploded gram table (feeds boiler set + totals + hits)
     "text_boilerplate_grams",
+    # persists the band-signature table (query + candidate + balance arms)
+    "ann_lsh_recall",
 ]
 
 

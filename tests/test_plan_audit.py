@@ -107,6 +107,42 @@ class TestShuffleBudget:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_boilerplate_grams_plan(self, spark):
+        """The gram pass must run once (persisted exploded table feeds the
+        boiler set, totals and hits), stay JVM-side, and read only the two
+        referenced document columns."""
+        df = q.REGISTRY["text_boilerplate_grams"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        assert a.n_scans <= 2  # doc_id anchor + the persisted gram source
+        scans = scan_infos(formatted_plan(df))
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        ), "gram build must not read lang/source/n_chars"
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
+    def test_ann_lsh_recall_candidates_are_equi_join(self, spark):
+        """Candidates must form ONLY through the (band, key) hash equi-join
+        — never an all-pairs scan of the corpus. Exactly two
+        BroadcastNestedLoopJoin nodes are allowed (each prints twice in the
+        formatted plan): the brute-recall arm's crossJoin whose build side
+        is the LIMIT-bounded 8-row query set, and the 1x1 crossJoin
+        stitching the two single-row agg arms."""
+        df = q.REGISTRY["ann_lsh_recall"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 4  # 2 nodes x 2 prints
+        # the candidate join is keyed on (band, key)
+        assert "band" in plan and "key" in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
     def test_q1_single_shuffle(self, spark):
         a = _audit(spark, "q1_pricing_summary")
         assert a.exchanges <= 1
