@@ -95,6 +95,7 @@ R6_QUERIES = [
 R8_QUERIES = [
     "ann_lsh_recall",
     "text_boilerplate_grams",
+    "q_docs_lang_rebalance",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -198,6 +198,12 @@ _GATE_TAIL = [
     # default); like every tail entry it stays hash-verified per round by
     # tools/driver_sim.py and now also timed per round by bench.py.
     "q_events_value_quantiles",
+    # r8: q_docs_lang_rebalance (deterministic data mixing) enters the
+    # head; q_events_json_props rotates out — benched every round since
+    # r5, its PERMISSIVE-parse semantics pinned value-by-value by
+    # tests/test_jsonl.py and the edge corpus, full result digest-covered
+    # by q_inventory_checksum below.
+    "q_events_json_props",
     # r8: text_boilerplate_grams (corpus-internal repeated-span detection)
     # enters the head; sketch_count_min rotates out — it is benched every
     # round, its sketch math is pinned at the operator level by

@@ -125,6 +125,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "sketch_count_min": [
         ("row_idx", "i"), ("col_idx", "i"), ("cnt", "i"),
     ],
+    "q_events_json_props": [
+        ("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("min_k", "i"),
+        ("max_k", "i"), ("n_missing", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

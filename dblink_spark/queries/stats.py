@@ -366,6 +366,93 @@ def q_docs_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_docs_lang_rebalance",
+    oracle="""
+WITH counts AS (
+  SELECT COALESCE(lang, 'und') AS lang_k, COUNT(*) AS cnt
+  FROM documents GROUP BY 1
+),
+m AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+keyed AS (
+  SELECT d.doc_id, c.lang_k, c.cnt, m.min_cnt,
+    substr(md5('rebalance|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_key,
+    printf('%08x', CAST(floor(
+      CAST(m.min_cnt AS DOUBLE) / c.cnt * 4294967296.0) AS BIGINT)) AS thr
+  FROM documents d
+  JOIN counts c ON c.lang_k = COALESCE(d.lang, 'und')
+  CROSS JOIN m
+)
+SELECT doc_id, lang_k AS lang, sample_key
+FROM keyed WHERE cnt = min_cnt OR sample_key < thr
+""",
+    survey_ref=(
+        "beyond-reference: deterministic per-language corpus rebalancing "
+        "(data mixing) — downsample every language to the smallest "
+        "language's rate via hash thresholds, one narrow pass"
+    ),
+)
+def q_docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: rebalance the corpus so every language contributes at
+    (approximately) the rate of the SMALLEST language — each doc is kept
+    iff its salted md5 key falls under min_count/count(lang), with the
+    smallest language kept whole. The kept-set is deterministic per doc
+    (same subset on any engine, partitioning, or retry; the DuckDB oracle
+    replays it row-for-row), and per-language kept counts are binomial
+    around the target — the standard trade at scale, where an EXACT-k cap
+    would need a per-language global sort/rank over the full corpus.
+
+    The data-derived threshold crosses engines exactly: rate =
+    min_cnt/cnt is ONE IEEE division on identical integers,
+    floor(rate * 2^32) one multiply+floor, and both engines render the
+    same integer as the same 8-hex-digit string compared against the
+    8-hex-digit key (rate=1 is handled by the cnt = min_cnt clause, never
+    by threshold compare). NULL languages coalesce to 'und' so they form
+    a stratum instead of silently dropping at the join.
+
+    100-TB shape: per-language counts are a tiny broadcast aggregate
+    (5-200 languages), the min is a 1-row cross join, and membership is a
+    pure narrow filter — no window, no sort, no shuffle of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    lang_k = F.coalesce(F.col("lang"), F.lit("und"))
+    # .limit() is a semantic no-op that makes the FIXED cardinality of the
+    # aggregate explicit in the logical plan: the language-code domain is
+    # bounded (~200 real codes; 10k covers any tagging scheme) regardless
+    # of corpus size — which is what licenses the broadcast hint at any SF
+    # (plan-audit discipline, same pattern as ann_topk_cosine's query side)
+    counts = (
+        d.groupBy(lang_k.alias("lang_k"))
+        .agg(F.count("*").alias("cnt"))
+        .limit(10_000)
+    )
+    m = counts.agg(F.min("cnt").alias("min_cnt")).limit(1)
+    key = F.substring(
+        F.md5(F.concat(F.lit("rebalance|"), F.col("doc_id").cast("string"))),
+        1, 8,
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(
+                    F.col("min_cnt").cast("double")
+                    / F.col("cnt")
+                    * F.lit(4294967296.0)
+                ).cast("bigint")
+            )
+        ),
+        8, "0",
+    )
+    return (
+        d.select("doc_id", lang_k.alias("lang_k"), key.alias("sample_key"))
+        .join(F.broadcast(counts), "lang_k")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("cnt") == F.col("min_cnt")) | (F.col("sample_key") < thr)
+        )
+        .select("doc_id", F.col("lang_k").alias("lang"), "sample_key")
+    )
+
+
+@register(
     "q_events_json_props",
     oracle="""
 WITH parsed AS (

@@ -62,6 +62,8 @@ _DOCS = [
 _QUERIES = [
     "text_chunk_windows",
     "q_docs_sample_split",
+    # NULL lang -> 'und' stratum; singleton languages kept whole
+    "q_docs_lang_rebalance",
     "text_token_count",
     "text_token_count_bpe",  # unicode + digit-lead + empty docs pin the regex
     "dedup_exact",
@@ -145,6 +147,26 @@ def test_pii_redact_typed_counts(spark, edge_dir):
     assert rows[12]["chars_delta"] == 0
     scrubbed19 = rows[19]
     assert scrubbed19["redacted_fp"] != rows[12]["redacted_fp"]
+
+
+def test_lang_rebalance_semantics(spark, edge_dir):
+    """Pin the mixing semantics beyond engine agreement: the smallest
+    strata (singleton 'fr' and NULL->'und') are kept whole, no stratum is
+    amplified, and membership is decided by the salted doc key alone."""
+    rows = REGISTRY["q_docs_lang_rebalance"].fn(spark, edge_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by_lang.get("fr") == {6}, "singleton stratum must be kept whole"
+    assert by_lang.get("und") == {11}, "NULL lang must form the und stratum"
+    from collections import Counter
+
+    totals = Counter(
+        (lang if lang is not None else "und")
+        for _, _, lang, _ in [(d[0], d[1], d[2], d[3]) for d in _DOCS]
+    )
+    for lang, kept in by_lang.items():
+        assert len(kept) <= totals[lang], "rebalance must never amplify"
 
 
 def test_boilerplate_grams_semantics(spark, edge_dir):
