@@ -96,6 +96,7 @@ R8_QUERIES = [
     "ann_lsh_recall",
     "text_boilerplate_grams",
     "q_docs_lang_rebalance",
+    "text_vocab_topk",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

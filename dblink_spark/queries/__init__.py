@@ -198,6 +198,12 @@ _GATE_TAIL = [
     # default); like every tail entry it stays hash-verified per round by
     # tools/driver_sim.py and now also timed per round by bench.py.
     "q_events_value_quantiles",
+    # r8: text_vocab_topk (per-language vocabulary induction) enters the
+    # head; multimodal_resize_stats rotates out — benched every round since
+    # r5, the resize kernel itself is pinned byte-level by
+    # tests/test_multimodal.py, and the multimodal family keeps four other
+    # head-gated entries; full result digest-covered below.
+    "multimodal_resize_stats",
     # r8: q_docs_lang_rebalance (deterministic data mixing) enters the
     # head; q_events_json_props rotates out — benched every round since
     # r5, its PERMISSIVE-parse semantics pinned value-by-value by

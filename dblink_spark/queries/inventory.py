@@ -129,6 +129,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("min_k", "i"),
         ("max_k", "i"), ("n_missing", "i"),
     ],
+    "multimodal_resize_stats": [
+        ("media_type", "s"), ("n_items", "i"), ("total_pixel_sum", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -7,7 +7,7 @@ with an exactly-mirroring DuckDB oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from dblink_spark.queries import load, owns_caches, register
 
@@ -540,6 +540,73 @@ def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return owns_caches(out, exploded)  # caller releases after materializing
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+WITH toks AS (
+  SELECT COALESCE(lang, 'und') AS lang, UNNEST(list_distinct(
+    list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+  FROM documents
+),
+df AS (
+  SELECT lang, token, COUNT(*) AS doc_freq FROM toks GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, doc_freq,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY doc_freq DESC, token ASC
+    ) AS rnk
+  FROM df
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, token, CAST(doc_freq AS BIGINT) AS doc_freq
+FROM ranked WHERE rnk <= 20
+""",
+    survey_ref=(
+        "beyond-reference: per-language vocabulary induction — top-20 "
+        "tokens by document frequency (stopword/vocab discovery), "
+        "WindowGroupLimit rank-limited window"
+    ),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the 20 most document-frequent tokens per
+    language — the corpus-profiling pass that seeds stopword lists,
+    language-specific quality heuristics, and tokenizer health checks.
+    Deterministic tie-break (doc_freq DESC, token ASC) so both engines
+    rank identically; NULL languages form the 'und' stratum; empty tokens
+    from repeated spaces are excluded on both sides.
+
+    100-TB shape: per-document token DEDUP is row-local
+    (``array_distinct`` inside the row — no count_distinct shuffle state),
+    so document frequency is a plain count after one explode+groupBy with
+    map-side partial aggregation; the rank<=20 window rides Spark's
+    WindowGroupLimit push-down (per-group top-k without a full sort of the
+    vocabulary, same plan shape pinned for `q_docs_top_quality_per_lang`)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    exploded = d.select(
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+        F.explode(toks).alias("token"),
+    )
+    df_counts = exploded.groupBy("lang", "token").agg(
+        F.count("*").alias("doc_freq")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("doc_freq"), F.col("token").asc()
+    )
+    return (
+        df_counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "lang",
+            F.col("rnk").cast("int").alias("rnk"),
+            "token",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+        )
+    )
 
 
 #: context-window chunking: 128-token windows, stride 96 (32-token overlap)

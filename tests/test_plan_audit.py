@@ -350,6 +350,20 @@ class TestR6QueryPlans:
         a = audit_plan(df)
         assert a.python_ops == 0
 
+    def test_vocab_topk_rank_limit_pushed_below_window(self, spark):
+        """Same WindowGroupLimit discipline for vocabulary induction: the
+        rank<=20 predicate must prune per (lang) group before AND after the
+        exchange, and the scan reads only (lang, text)."""
+        df = q.REGISTRY["text_vocab_topk"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert plan.count("WindowGroupLimit") >= 2  # map-side + final
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"lang", "text"} for s in scans
+        )
+        a = audit_plan(df)
+        assert a.python_ops == 0
+
     def test_sketch_builds_are_row_local(self, spark):
         """The bottom-k/MinHash signature builds must stay row-local: at
         most ONE exchange (the small-input widening repartition), never the

@@ -66,6 +66,8 @@ _QUERIES = [
     "q_docs_lang_rebalance",
     "text_token_count",
     "text_token_count_bpe",  # unicode + digit-lead + empty docs pin the regex
+    # empty-token exclusion (doc 7), unicode tokens, und stratum, rank ties
+    "text_vocab_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
