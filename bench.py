@@ -97,6 +97,7 @@ R8_QUERIES = [
     "text_boilerplate_grams",
     "q_docs_lang_rebalance",
     "text_vocab_topk",
+    "vector_random_projection",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -198,6 +198,12 @@ _GATE_TAIL = [
     # default); like every tail entry it stays hash-verified per round by
     # tools/driver_sim.py and now also timed per round by bench.py.
     "q_events_value_quantiles",
+    # r8: vector_random_projection (JL-style dimensionality reduction)
+    # enters the head; text_chunk_windows rotates out — benched every
+    # round since r5, its window-boundary semantics pinned by the edge
+    # corpus and its zero-shuffle plan by tests/test_plan_audit.py; full
+    # result digest-covered below.
+    "text_chunk_windows",
     # r8: text_vocab_topk (per-language vocabulary induction) enters the
     # head; multimodal_resize_stats rotates out — benched every round since
     # r5, the resize kernel itself is pinned byte-level by

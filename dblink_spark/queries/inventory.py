@@ -132,6 +132,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "multimodal_resize_stats": [
         ("media_type", "s"), ("n_items", "i"), ("total_pixel_sum", "i"),
     ],
+    "text_chunk_windows": [
+        ("doc_id", "i"), ("chunk_idx", "i"), ("chunk_text", "s"),
+        ("n_tokens", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

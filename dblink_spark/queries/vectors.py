@@ -402,6 +402,84 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_rp_signs(n_dims: int = 8, dim: int = 64, seed: int = 23) -> list:
+    """Deterministic Rademacher (±1) sign matrix for sparse random
+    projection, one seeded stream per OUTPUT dim (same per-row-stream
+    discipline as `make_lsh_bands_prefix`, so widening n_dims never
+    changes existing dims). Signs are embedded as literals in BOTH the
+    Spark plan and the DuckDB oracle — the projection is model weights,
+    shipped broadcast-style, never data-derived."""
+    import numpy as np
+
+    out = []
+    for j in range(n_dims):
+        rng = np.random.default_rng([seed, j])
+        out.append([1 if rng.random() < 0.5 else -1 for _ in range(dim)])
+    return out
+
+
+_RP_DIMS = 8
+_RP_SIGNS = make_rp_signs(_RP_DIMS)
+
+
+def _rp_dim_sql(signs: list) -> str:
+    lits = "[" + ", ".join(str(s) for s in signs) + "]"
+    return (
+        f"CAST(list_sum(list_transform(list_zip(embedding, {lits}), "
+        f"p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * p[2] * 1000000.0) "
+        f"AS BIGINT))) AS BIGINT)"
+    )
+
+
+@register(
+    "vector_random_projection",
+    oracle="SELECT vec_id, label,\n"
+    + ",\n".join(
+        f"  {_rp_dim_sql(s)} AS d{j}" for j, s in enumerate(_RP_SIGNS)
+    )
+    + "\nFROM embeddings",
+    survey_ref=(
+        "beyond-reference: sparse random projection (Rademacher signs, "
+        "64 -> 8 dims) — the dimensionality-reduction pass before "
+        "coarse indexing/clustering; pure narrow row-local map"
+    ),
+)
+def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style sparse random projection: every
+    embedding maps to 8 coordinates, each the signed sum of its 64
+    components under a fixed seeded ±1 pattern — the cheap
+    dimensionality reduction pipelines run before coarse quantization,
+    visualization, or drift monitoring, with pairwise distances preserved
+    in expectation.
+
+    Engine exactness (same trick as the quantized dot product): each
+    elementwise product is quantized with floor(x * 1e6) — single
+    correctly-rounded IEEE ops — and the resulting BIGINTs are summed
+    EXACTLY, so coordinates are deterministic integers on any engine and
+    any summation order.
+
+    100-TB shape: a pure narrow map — the sign matrix is literal
+    plan-side weights (broadcast semantics, zero data-derived state), no
+    shuffle, no UDF; `zip_with`/`aggregate` keep the fold JVM-side."""
+    e = load(spark, sf_dir, "embeddings")
+    cols = []
+    for j, signs in enumerate(_RP_SIGNS):
+        lits = F.array(*[F.lit(float(s)) for s in signs])
+        quantized = F.zip_with(
+            F.col("embedding"),
+            lits,
+            lambda x, s: F.floor(x.cast("double") * s * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        )
+        cols.append(
+            F.aggregate(
+                quantized, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias(f"d{j}")
+        )
+    return e.select("vec_id", "label", *cols)
+
+
 # ann_lsh_recall contract (VERDICT r7 task 5 — promote the pytest-only LSH
 # recall check into the driver's hash gate, mirroring ann_ivf_trained):
 # 12 prefix-stable hyperplane bands at bits_for_corpus width; candidates

@@ -364,6 +364,21 @@ class TestR6QueryPlans:
         a = audit_plan(df)
         assert a.python_ops == 0
 
+    def test_random_projection_is_pure_narrow_map(self, spark):
+        """The JL projection must be a single narrow pass: zero exchanges,
+        zero Python operators, one scan reading only the three referenced
+        columns — the sign matrix is plan-side literals, not data."""
+        a = _audit(spark, "vector_random_projection")
+        assert a.exchanges == 0
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        df = q.REGISTRY["vector_random_projection"].fn(spark, SF_DIR)
+        scans = scan_infos(formatted_plan(df))
+        assert all(
+            set(s.read_columns) <= {"vec_id", "label", "embedding"}
+            for s in scans
+        )
+
     def test_sketch_builds_are_row_local(self, spark):
         """The bottom-k/MinHash signature builds must stay row-local: at
         most ONE exchange (the small-input widening repartition), never the

@@ -296,6 +296,9 @@ _VECTOR_QUERIES = [
     "dedup_embedding_cosine_scaled",
     "ann_lsh_bucketed",
     "ann_ivf_untrained_baseline",
+    # zero vector projects to all-zero coords; antipodal pair to negated
+    # coords (floor asymmetry handled identically on both engines)
+    "vector_random_projection",
 ]
 
 
