@@ -1285,7 +1285,8 @@ _ARROW_CELL_LIMIT = (1 << 31) - 1
 #: the kernel's numpy working set runs a small multiple of the packed
 #: bytes, so 2 GiB packed keeps a task comfortably inside a typical
 #: 8-16 GiB executor. Override per call or via
-#: ``DBLINK_PARTITION_BUDGET_MB``.
+#: ``DBLINK_PARTITION_BUDGET_MB``; 0 disables the soft budget (Arrow
+#: hard-ceiling check only — see ``audit_partition_budget``).
 _DEFAULT_PARTITION_BUDGET_MB = 2048
 
 
@@ -1306,7 +1307,14 @@ def audit_partition_budget(
     Raises :class:`PartitionBudgetError` when any partition exceeds the
     budget, or when its largest single Arrow cell would exceed the 2^31
     hard ceiling regardless of budget. Returns the per-partition stats
-    (sorted by bytes, descending) for diagnostics/tests."""
+    (sorted by bytes, descending) for diagnostics/tests.
+
+    ``budget_bytes=0`` (or ``DBLINK_PARTITION_BUDGET_MB=0``) is the
+    explicit opt-out sentinel (ADVICE r8): deployments that deliberately
+    run partitions above the default 2 GiB — executors with real headroom
+    — disable the soft budget without losing the STRUCTURAL 2^31 Arrow
+    cell check, which is never skippable (exceeding it corrupts the
+    kernel marshal, not just memory)."""
     import os
 
     if budget_bytes is None:
@@ -1366,7 +1374,7 @@ def audit_partition_budget(
                 f"(> 2^31-1 hard ceiling; {worst['n_records']:,} records x "
                 f"{num_attributes} attributes): {guidance}"
             )
-        if worst["packed_bytes"] > budget_bytes:
+        if budget_bytes > 0 and worst["packed_bytes"] > budget_bytes:
             raise PartitionBudgetError(
                 f"partition {worst['partition_id']} packs "
                 f"{worst['packed_bytes']:,} bytes "

@@ -580,11 +580,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owns_caches(out, fp)  # caller releases after materializing
 
 
-@register(
-    "dedup_components",
-    oracle="""
-WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+# The bottom-k near-dup pairs + transitive-closure oracle fragment, ONE copy
+# shared by every oracle that replays the pairs->components pipeline
+# (dedup_components, dedup_survivors, pipeline_corpus_prep) — the same
+# single-spec discipline as text.py's _CHUNK_TOK_CTE (VERDICT r8 "wrong" #1:
+# a threshold/blocking change edited in one of three verbatim copies would
+# silently gate a different spec than the one produced). ``{src}`` is the
+# corpus relation (documents, or the pipeline's quality-filtered `pass`).
+# Callers must open with WITH RECURSIVE (the `cc` member recurses).
+_BOTTOMK_PAIRS_CTE = """tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM {src}
 ),
 hashed AS (
   SELECT doc_id, lang, md5(token) AS h,
@@ -608,8 +613,15 @@ cc AS (
   SELECT u AS node, u AS label FROM edges
   UNION
   SELECT e.v AS node, cc.label FROM cc JOIN edges e ON e.u = cc.node
-)
-SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node
+),
+grp AS (SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node)"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents")}
+SELECT doc_id, component FROM grp
 """,
     survey_ref="beyond-reference: pair->cluster transitive closure (large-star/small-star); the clusters twin of G6/G7 (ref: analysis/package.scala:52-63)",
 )
@@ -633,34 +645,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_survivors",
-    oracle="""
-WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
-),
-hashed AS (
-  SELECT doc_id, lang, md5(token) AS h,
-    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
-  FROM tok
-),
-sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
-sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
-cnt AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
-  FROM sk a JOIN sk b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pr AS (
-  SELECT p.doc1, p.doc2
-  FROM cnt p JOIN sizes s1 ON s1.doc_id = p.doc1 JOIN sizes s2 ON s2.doc_id = p.doc2
-  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
-),
-edges AS (SELECT doc1 AS u, doc2 AS v FROM pr UNION SELECT doc2, doc1 FROM pr),
-cc AS (
-  SELECT u AS node, u AS label FROM edges
-  UNION
-  SELECT e.v AS node, cc.label FROM cc JOIN edges e ON e.u = cc.node
-),
-grp AS (SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node)
+    oracle=f"""
+WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents")}
 SELECT g.component,
   CAST(COUNT(*) AS BIGINT) AS n_members,
   (ARRAY_AGG(g.doc_id ORDER BY COALESCE(d.n_chars, 0) DESC, g.doc_id ASC))[1]

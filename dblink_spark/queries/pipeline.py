@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from dblink_spark.queries import load, owns_caches, register
+from dblink_spark.queries.dedup import _BOTTOMK_PAIRS_CTE
 from dblink_spark.queries.text import _STOPWORDS
 
 # Stopword list rendered for the oracle (same set text_gopher_rules uses).
@@ -56,36 +57,7 @@ pass AS (
     AND stop_hits >= 2
     AND symbol_ratio < 0.1
 ),
-tok AS (
-  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
-  FROM pass
-),
-hashed AS (
-  SELECT doc_id, lang, md5(token) AS h,
-    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
-  FROM tok
-),
-sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
-sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
-cnt AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
-  FROM sk a JOIN sk b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pr AS (
-  SELECT p.doc1, p.doc2
-  FROM cnt p
-  JOIN sizes s1 ON s1.doc_id = p.doc1
-  JOIN sizes s2 ON s2.doc_id = p.doc2
-  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
-),
-edges AS (SELECT doc1 AS u, doc2 AS v FROM pr UNION SELECT doc2, doc1 FROM pr),
-cc AS (
-  SELECT u AS node, u AS label FROM edges
-  UNION
-  SELECT e.v AS node, cc.label FROM cc JOIN edges e ON e.u = cc.node
-),
-grp AS (SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node),
+{_BOTTOMK_PAIRS_CTE.format(src="pass")},
 surv AS (
   SELECT g.component,
     (ARRAY_AGG(g.doc_id ORDER BY p.len DESC, g.doc_id ASC))[1] AS survivor

@@ -376,8 +376,9 @@ m AS (SELECT MIN(cnt) AS min_cnt FROM counts),
 keyed AS (
   SELECT d.doc_id, c.lang_k, c.cnt, m.min_cnt,
     substr(md5('rebalance|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_key,
-    printf('%08x', CAST(floor(
-      CAST(m.min_cnt AS DOUBLE) / c.cnt * 4294967296.0) AS BIGINT)) AS thr
+    printf('%08x', LEAST(CAST(floor(
+      CAST(m.min_cnt AS DOUBLE) / c.cnt * 4294967296.0) AS BIGINT),
+      4294967295)) AS thr
   FROM documents d
   JOIN counts c ON c.lang_k = COALESCE(d.lang, 'und')
   CROSS JOIN m
@@ -403,11 +404,16 @@ def q_docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The data-derived threshold crosses engines exactly: rate =
     min_cnt/cnt is ONE IEEE division on identical integers,
-    floor(rate * 2^32) one multiply+floor, and both engines render the
-    same integer as the same 8-hex-digit string compared against the
-    8-hex-digit key (rate=1 is handled by the cnt = min_cnt clause, never
-    by threshold compare). NULL languages coalesce to 'und' so they form
-    a stratum instead of silently dropping at the join.
+    floor(rate * 2^32) one multiply+floor CLAMPED to 2^32-1 (ADVICE r8:
+    near-equal strata with cnt > ~2^33 can round the IEEE product up to
+    exactly 2^32, whose 9-hex-digit rendering Spark's lpad(8) would
+    silently truncate to '10000000' while DuckDB printf kept 9 chars —
+    the clamp keeps both engines at 8 hex digits always), and both
+    engines render the same integer as the same 8-hex-digit string
+    compared against the 8-hex-digit key (rate=1 is handled by the
+    cnt = min_cnt clause, never by threshold compare). NULL languages
+    coalesce to 'und' so they form a stratum instead of silently
+    dropping at the join.
 
     100-TB shape: per-language counts are a tiny broadcast aggregate
     (5-200 languages), the min is a 1-row cross join, and membership is a
@@ -432,19 +438,35 @@ def q_docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = F.lpad(
         F.lower(
             F.hex(
-                F.floor(
-                    F.col("min_cnt").cast("double")
-                    / F.col("cnt")
-                    * F.lit(4294967296.0)
-                ).cast("bigint")
+                F.least(
+                    F.floor(
+                        F.col("min_cnt").cast("double")
+                        / F.col("cnt")
+                        * F.lit(4294967296.0)
+                    ).cast("bigint"),
+                    F.lit(4294967295),
+                )
             )
         ),
         8, "0",
     )
+    # LEFT join + raise_error instead of the former inner join (ADVICE r8):
+    # if the lang domain ever exceeded the aggregate's 10k cap, an inner
+    # join silently VANISHED the truncated strata's documents; now any doc
+    # whose stratum is missing from `counts` fails the job loudly the
+    # moment its filter evaluates — fail-fast, zero extra Spark jobs.
+    cnt_checked = F.when(
+        F.col("cnt").isNull(),
+        F.raise_error(
+            "q_docs_lang_rebalance: language domain exceeds the 10k "
+            "aggregate cap — raise the cap or pre-bucket the lang column"
+        ).cast("long"),
+    ).otherwise(F.col("cnt"))
     return (
         d.select("doc_id", lang_k.alias("lang_k"), key.alias("sample_key"))
-        .join(F.broadcast(counts), "lang_k")
+        .join(F.broadcast(counts), "lang_k", "left")
         .crossJoin(F.broadcast(m))
+        .withColumn("cnt", cnt_checked)
         .filter(
             (F.col("cnt") == F.col("min_cnt")) | (F.col("sample_key") < thr)
         )

@@ -159,3 +159,58 @@ def test_er_probe_same_statistic_still_gates():
            "er_mcmc_spread": "70..90"}
     regs = diff(old, new, 1.5)
     assert any("er_mcmc" in r for r in regs)
+
+
+def test_canary_normalized_total_printed_and_not_gated(capsys):
+    """r9: when both payloads carry value_canary_norm, the load-corrected
+    total prints alongside the raw one; it informs, never gates."""
+    old = {"value": 6.5, "queries": {"q1": 1.0}, "value_canary_norm": 6.5}
+    new = {"value": 7.9, "queries": {"q1": 1.0}, "value_canary_norm": 6.3}
+    assert diff(old, new, 1.5) == []
+    out = capsys.readouterr().out
+    assert "canary-normalized" in out and "6.300" in out
+
+
+def test_quality_drop_gates_under_same_chain():
+    """r9: deterministic rl10k quality metrics gate on a >0.02 drop, but
+    only under the same methodology marker; improvements never gate."""
+    old = {"value": 1.0, "queries": {"q1": 1.0}, "er_rl10k_f1": 0.764,
+           "er_rl10k_ari": 0.764, "er_rl10k_quality_chain": "1000it"}
+    worse = dict(old, er_rl10k_f1=0.70)
+    better = dict(old, er_rl10k_f1=0.80)
+    other_chain = dict(worse, er_rl10k_quality_chain="500it")
+    assert any("er_rl10k_f1" in r for r in diff(old, worse, 1.5))
+    assert diff(old, better, 1.5) == []
+    assert diff(old, other_chain, 1.5) == []
+
+
+def test_rebase_pin_expires_after_post_rebase_payload(monkeypatch):
+    """ADVICE r8: bench.py's active-pin set drops a pin once the newest
+    committed payload postdates the pin's as_of round — the static number
+    must not hide a gradual regression forever."""
+    import bench
+
+    def fake_history(round_no):
+        return [(round_no, {"queries": {"dedup_bottomk_jaccard": 2.0}},
+                 f"BENCH_LOCAL_r{round_no:02d}.json")]
+
+    monkeypatch.setattr(bench, "_payload_history", lambda: fake_history(7))
+    assert "dedup_bottomk_jaccard" in bench._active_rebased_baselines()
+    monkeypatch.setattr(bench, "_payload_history", lambda: fake_history(8))
+    assert bench._active_rebased_baselines() == {}
+
+
+def test_diff_regression_label_names_baseline_file(monkeypatch, capsys):
+    """VERDICT r8 "wrong" #3: the regression line names the comparison
+    payload's FILENAME, not an ambiguous round label."""
+    import bench
+
+    monkeypatch.setattr(
+        bench, "_payload_history",
+        lambda: [(8, {"queries": {"q1": 0.3}}, "BENCH_LOCAL_r08.json")],
+    )
+    out = {"queries": {"q1": 0.9}}
+    bench._diff_vs_last_round(out)
+    err = capsys.readouterr().err
+    assert "REGRESSION vs BENCH_LOCAL_r08.json" in err
+    assert out["diff_baseline_file"] == "BENCH_LOCAL_r08.json"

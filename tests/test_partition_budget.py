@@ -78,7 +78,18 @@ def test_within_budget_passes_and_env_override(spark, small_state, monkeypatch):
     pf.fit(state.df.filter("NOT is_summary").select("ent_values"))
     s2 = assign_partitions(state, pf, pf.num_partitions)  # default budget
     assert s2.num_partitions == 2
-    # env knob reaches the default path
+    # env knob reaches the default path (1 MB >= this tiny state? no — the
+    # packed state here is a few KB, so force a sub-KB budget via the env
+    # by using the smallest nonzero value and asserting it still audits)
+    monkeypatch.setenv("DBLINK_PARTITION_BUDGET_MB", "1")
+    stats = audit_partition_budget(s2.df, cache.num_attributes)
+    assert stats  # 120 records pack well under 1 MB — passes
+    # 0 is the explicit opt-out sentinel (ADVICE r8): soft budget skipped,
+    # Arrow hard-ceiling check retained — so even an absurd per-call
+    # budget_bytes=0 must NOT raise
     monkeypatch.setenv("DBLINK_PARTITION_BUDGET_MB", "0")
-    with pytest.raises(PartitionBudgetError, match="DBLINK_PARTITION_BUDGET_MB"):
-        audit_partition_budget(s2.df, cache.num_attributes)
+    assert audit_partition_budget(s2.df, cache.num_attributes)
+    assert audit_partition_budget(s2.df, cache.num_attributes, budget_bytes=0)
+    # ...while a tiny nonzero budget still fails fast with guidance
+    with pytest.raises(PartitionBudgetError, match="num_levels"):
+        audit_partition_budget(s2.df, cache.num_attributes, budget_bytes=64)

@@ -111,6 +111,16 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
     t_old, t_new = old.get("value"), new.get("value")
     if t_old and t_new:
         print(f"{'TOTAL':<32} {t_old:>8.3f} {t_new:>8.3f} {t_new / t_old:>6.2f}x")
+    # canary-normalized (load-corrected) totals are the cross-round
+    # comparison when both payloads carry them (r9): raw totals above stay
+    # for continuity, but a raw ratio tracking the canary ratio is host
+    # drift, not code — the normalized ratio divides that out.
+    no, nn = old.get("value_canary_norm"), new.get("value_canary_norm")
+    if no and nn:
+        print(
+            f"{'TOTAL (canary-normalized)':<32} {no:>8.3f} {nn:>8.3f} "
+            f"{nn / no:>6.2f}x  (load-corrected; compare THIS across rounds)"
+        )
     # host-load context (r8): when both payloads carry the constant-work
     # canary, print the load ratio — a TOTAL ratio tracking the canary
     # ratio is host drift, not a code change. Context only; the per-query
@@ -125,6 +135,20 @@ def diff(old: dict, new: dict, threshold: float) -> list[str]:
             f"{'canary (host load)':<32} {co:>8.3f} {cn:>8.3f} "
             f"{cn / co:>6.2f}x  (ratios near this are drift, not code)"
         )
+    # linkage-QUALITY drift (r9): the rl10k chain is seeded/deterministic,
+    # so under the same methodology marker any delta is a semantic kernel
+    # change; a drop beyond 0.02 absolute gates (improvements never do)
+    if old.get("er_rl10k_quality_chain") == new.get(
+        "er_rl10k_quality_chain"
+    ) and new.get("er_rl10k_quality_chain"):
+        for k in ("er_rl10k_f1", "er_rl10k_ari"):
+            qo, qn = old.get(k), new.get(k)
+            if qo is None or qn is None:
+                continue
+            note = "" if qn >= qo - 1e-9 else "  (quality drop)"
+            print(f"{k:<32} {qo:>8.4f} {qn:>8.4f} {'':>7}{note}")
+            if qn < qo - 0.02:
+                regressions.append(f"{k}: {qo:.4f} -> {qn:.4f} (quality drop)")
     io, inw = old.get("er_mcmc_iters_per_sec"), new.get("er_mcmc_iters_per_sec")
     if io and inw:
         # values are only comparable under the same probe methodology:
