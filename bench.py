@@ -100,6 +100,12 @@ R8_QUERIES = [
     "vector_random_projection",
 ]
 
+# r9: queries added this round (incremental cross-snapshot dedup, bigram-LM
+# quality scoring, exact-k per-source caps).
+R9_QUERIES = [
+    "dedup_incremental_minhash",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -191,7 +197,7 @@ def main() -> None:
 
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
-        + R8_QUERIES + GATE_QUERIES
+        + R8_QUERIES + R9_QUERIES + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -215,6 +221,7 @@ def main() -> None:
         "r5_total": round(sum(timings[n] for n in R5_QUERIES), 3),
         "r6_total": round(sum(timings[n] for n in R6_QUERIES), 3),
         "r8_total": round(sum(timings[n] for n in R8_QUERIES), 3),
+        "r9_total": round(sum(timings[n] for n in R9_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {
@@ -350,6 +357,7 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "r5_total": out["r5_total"],
         "r6_total": out["r6_total"],
         "r8_total": out["r8_total"],
+        "r9_total": out["r9_total"],
         "gate_overhead_sec": out["gate_overhead_sec"],
         "combined_total": out["combined_total"],
         "n_queries_timed": len(timings),

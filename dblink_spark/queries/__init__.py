@@ -222,6 +222,12 @@ _GATE_TAIL = [
     # tests/test_sketch.py, and its full (row_idx, col_idx, cnt) result is
     # digest-covered by q_inventory_checksum below.
     "sketch_count_min",
+    # r9: dedup_incremental_minhash (new-batch-vs-persisted-index dedup)
+    # enters the head; q_docs_sample_split rotates out — benched every
+    # round since r5, its md5-keyed determinism pinned by the edge corpus
+    # and its narrow plan by tests/test_plan_audit.py
+    # (test_sample_split_is_narrow); full result digest-covered below.
+    "q_docs_sample_split",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

@@ -53,7 +53,8 @@ from dblink_spark.queries import REGISTRY, register
 
 # (column -> kind) per covered query, frozen from the oracle result schema
 # (DuckDB DESCRIBE at generation time). Kinds: s=string, i=integer,
-# f=double, t=timestamp. The Spark side asserts its runtime schema against
+# f=double, t=timestamp, b=boolean (both engines render 'true'/'false'
+# under a VARCHAR cast). The Spark side asserts its runtime schema against
 # this map, so silent drift fails loudly instead of hashing garbage.
 CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "q4_order_priority": [("orderpriority", "s"), ("order_count", "i")],
@@ -136,6 +137,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("chunk_idx", "i"), ("chunk_text", "s"),
         ("n_tokens", "i"),
     ],
+    "q_docs_sample_split": [
+        ("doc_id", "i"), ("source", "s"), ("sample_key", "s"),
+        ("split", "s"),
+    ],
 }
 
 _NULL = "<NULL>"
@@ -147,6 +152,7 @@ _SPARK_KIND = {
     "int": "i", "bigint": "i", "smallint": "i", "tinyint": "i",
     "double": "f", "float": "f",
     "timestamp": "t", "timestamp_ntz": "t",
+    "boolean": "b",
 }
 
 

@@ -27,6 +27,9 @@ _PERSISTING = [
     "text_boilerplate_grams",
     # persists the band-signature table (query + candidate + balance arms)
     "ann_lsh_recall",
+    # persists BOTH signature tables (old index + new batch), each feeding
+    # its band explode and verify side
+    "dedup_incremental_minhash",
 ]
 
 

@@ -390,3 +390,27 @@ class TestR6QueryPlans:
         a = audit_plan(bottomk_sketches(d))
         assert a.exchanges <= 1
         assert a.python_ops == 0
+
+
+class TestR9QueryPlans:
+    def test_incremental_dedup_reads_index_not_text(self, spark):
+        """VERDICT r8 task 1 pins: (a) candidates form ONLY via the
+        band_key hash equi-join (no product joins anywhere); (b) the OLD
+        corpus side is READ from the persisted signature index, not
+        recomputed — both its consumers (band explode + verify) must hit
+        the InMemoryRelation, so the plan's parquet scans are bounded by
+        the new-batch side + output anchor."""
+        df = q.REGISTRY["dedup_incremental_minhash"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "band_key" in plan
+        assert "InMemoryTableScan" in plan, "old index must be read, not rebuilt"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        # new-sig cache + old-sig cache collapse their builds: at most the
+        # two signature-build scans plus the new-batch output anchor
+        assert a.n_scans <= 3
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
