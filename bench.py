@@ -104,6 +104,7 @@ R8_QUERIES = [
 # quality scoring, exact-k per-source caps).
 R9_QUERIES = [
     "dedup_incremental_minhash",
+    "text_lm_bigram_nll",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

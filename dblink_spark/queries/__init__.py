@@ -228,6 +228,12 @@ _GATE_TAIL = [
     # and its narrow plan by tests/test_plan_audit.py
     # (test_sample_split_is_narrow); full result digest-covered below.
     "q_docs_sample_split",
+    # r9: text_lm_bigram_nll (bigram-LM quality scoring) enters the head;
+    # text_decontaminate rotates out — benched every round since r5, its
+    # row-local gram build pinned by tests/test_plan_audit.py
+    # (test_decontaminate_gram_generation_is_jvm_side) and its overlap
+    # semantics by the edge corpus; full result digest-covered below.
+    "text_decontaminate",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

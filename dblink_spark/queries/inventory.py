@@ -141,6 +141,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("source", "s"), ("sample_key", "s"),
         ("split", "s"),
     ],
+    "text_decontaminate": [
+        ("doc_id", "i"), ("n_tainted", "i"), ("contaminated", "b"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -965,3 +965,181 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("redacted_fp"),
         (F.length(scrubbed) - F.length("text")).cast("long").alias("chars_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (CCNet-family): per-doc negative log-likelihood
+# under a bigram model trained on a corpus split. The engine-exactness
+# problem (log is transcendental; JVM Math.log and libm differ in the last
+# ulp — the documented exp() gotcha) is solved by quantizing log-probs to
+# 1/16-bit resolution with PURE integer/rational arithmetic:
+#
+#   qlp(c, t) = floor(16 * log2(c / t))   computed EXACTLY as
+#     s  = smallest integer with (c << s) >= t   (bit-length + one compare)
+#     r  = (c << s) / t                          (one IEEE division, [1, 2))
+#     j  = #{ i in 1..15 : r >= 2^(i/16) }       (literal double thresholds)
+#     qlp = -16*s + j
+#
+# Every step is bit-identical across engines: bit lengths via bin(),
+# shifts, one correctly-rounded division on identical integers, and
+# comparisons against identical literals — no transcendental is ever
+# EVALUATED at query time in either engine (the 2^(i/16) constants are
+# Python-computed once and embedded as exact round-trip literals; verified
+# equal to floor(16*log2(c/t)) across the integer grid in
+# tests/test_query_edge_corpora.py).
+_LM_TOPV = 50_000  # model size cap -> broadcastable at any corpus size
+_LM_OOV_QLP = -320  # backoff for unseen bigrams: 16 * log2(2^-20)
+_LM_TRAIN_PRED = "doc_id % 4 <> 0"  # 75% training split, engine-stable
+_LM_THRESHOLDS = [2 ** (i / 16) for i in range(1, 16)]
+
+_LM_J_SQL = " + ".join(
+    f"(CASE WHEN r >= {th!r} THEN 1 ELSE 0 END)" for th in _LM_THRESHOLDS
+)
+
+
+@register(
+    "text_lm_bigram_nll",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bigram
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (
+  SELECT w1, bigram, COUNT(*) AS c FROM bg
+  WHERE {_LM_TRAIN_PRED} GROUP BY 1, 2
+),
+cw AS (SELECT w1, SUM(c) AS tw FROM cb GROUP BY w1),
+mtop AS (
+  SELECT cb.bigram, cb.c, cw.tw FROM cb JOIN cw USING (w1)
+  ORDER BY cb.c DESC, cb.bigram LIMIT {_LM_TOPV}
+),
+m1 AS (
+  SELECT bigram, c, tw, length(bin(tw)) - length(bin(c)) AS s0 FROM mtop
+),
+m2 AS (
+  SELECT *, CASE WHEN (c << s0) >= tw THEN s0 ELSE s0 + 1 END AS s FROM m1
+),
+m3 AS (
+  SELECT *, CAST((c << s) AS DOUBLE) / CAST(tw AS DOUBLE) AS r FROM m2
+),
+model AS (SELECT bigram, -16 * s + ({_LM_J_SQL}) AS qlp FROM m3),
+per_doc AS (
+  SELECT bg.doc_id,
+    COUNT(*) AS n_bigrams,
+    SUM(CASE WHEN m.qlp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+    SUM(COALESCE(m.qlp, {_LM_OOV_QLP})) AS sum_qlp16
+  FROM bg LEFT JOIN model m USING (bigram)
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+  CAST(COALESCE(p.sum_qlp16, 0) AS BIGINT) AS sum_qlp16,
+  CASE WHEN p.n_bigrams > 0
+       THEN CAST(-p.sum_qlp16 AS DOUBLE) / CAST(16 * p.n_bigrams AS DOUBLE)
+  END AS nll_bits
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+""",
+    survey_ref=(
+        "beyond-reference: n-gram LM quality scoring (CCNet-family) — "
+        "per-doc bigram negative log-likelihood under a train-split model, "
+        "integer-quantized log-probs so no transcendental is evaluated at "
+        "query time in either engine"
+    ),
+)
+def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the most common signal after heuristics
+    (CCNet's wikipedia-LM perplexity filter): train a bigram LM on the
+    ``doc_id % 4 != 0`` split, score EVERY doc's mean negative
+    log-likelihood in 1/16-bit units — ``nll_bits`` is bits-per-bigram
+    (perplexity = 2^nll_bits), low = fluent/in-distribution, high =
+    OOV-heavy or repetitive garbage; NULL for docs with < 2 tokens.
+    Unseen bigrams take a fixed 2^-20 backoff. See the module comment
+    above `_LM_TOPV` for the exact-quantization construction.
+
+    100-TB shape:
+    - the MODEL is the only cross-doc state: one explode+groupBy over the
+      train split (map-side partial aggregation; shuffle volume is bounded
+      by distinct bigrams per task, not corpus rows), prefix totals
+      re-aggregated from the already-tiny bigram-count table (no second
+      corpus pass), top-V via TakeOrdered (per-partition top-V, then
+      merge) — bounded at {_LM_TOPV} rows, i.e. broadcast weights;
+    - scoring is ONE corpus pass: row-local bigram explode (zip_with over
+      adjacent slices, zero Python), broadcast hash join against the
+      model, groupBy(doc_id) with partial aggregation;
+    - production trains once and writes the model table to parquet; the
+      in-query derivation exists so the oracle can replay end-to-end.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")
+        ),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bigram"
+    )
+    cb = (
+        bg.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w1", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    # prefix totals from the aggregated table, NOT a second corpus pass
+    cw = cb.groupBy("w1").agg(F.sum("c").alias("tw"))
+    mtop = (
+        cb.join(cw, "w1")
+        .orderBy(F.desc("c"), F.asc("bigram"))
+        .limit(_LM_TOPV)
+    )
+    m = (
+        mtop.withColumn(
+            "s0", (F.length(F.bin("tw")) - F.length(F.bin("c"))).cast("int")
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.expr("shiftleft(c, s0)") >= F.col("tw"), F.col("s0")
+            ).otherwise(F.col("s0") + 1),
+        )
+        .withColumn(
+            "r", F.expr("shiftleft(c, s)").cast("double") / F.col("tw").cast("double")
+        )
+    )
+    j = None
+    for th in _LM_THRESHOLDS:
+        term = F.when(F.col("r") >= F.lit(th), 1).otherwise(0)
+        j = term if j is None else j + term
+    model = m.select(
+        "bigram", (-16 * F.col("s") + j).cast("long").alias("qlp")
+    )
+    per_doc = (
+        bg.join(F.broadcast(model), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("qlp").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum(F.coalesce("qlp", F.lit(_LM_OOV_QLP))).alias("sum_qlp16"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("sum_qlp16", F.lit(0)).cast("long").alias("sum_qlp16"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                (-F.col("sum_qlp16")).cast("double")
+                / (16 * F.col("n_bigrams")).cast("double"),
+            ).alias("nll_bits"),
+        )
+    )

@@ -414,3 +414,20 @@ class TestR9QueryPlans:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_lm_model_join_is_broadcast(self, spark):
+        """VERDICT r8 task 3 pins: the bigram model joins the doc-bigram
+        stream as a BROADCAST hash join (the model is bounded at top-V
+        rows — shuffling the corpus bigrams against it would be the 100-TB
+        bottleneck), everything stays JVM-side, and the scans read only
+        the columns the query touches (doc_id, text)."""
+        df = q.REGISTRY["text_lm_bigram_nll"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        ), "LM scoring must not read lang/source/n_chars"

@@ -90,6 +90,12 @@ _QUERIES = [
     # heavy score ties (most edge docs score 0.0/0.2) pin the deterministic
     # tie-break chain (score DESC, n_tokens DESC, doc_id ASC) across engines
     "q_docs_top_quality_per_lang",
+    # 0-bigram docs (empty/single-token -> NULL nll), holdout docs with
+    # fully-OOV bigrams (exact 20.0-bit backoff), train/holdout split edges
+    "text_lm_bigram_nll",
+    # new-batch docs 0/10/20 vs the rest as prior index; doc 10 is an exact
+    # dup of prior doc 1 -> non-novel with rep_doc 1; 0 and 20 novel
+    "dedup_incremental_minhash",
 ]
 
 
@@ -438,3 +444,54 @@ def test_hybrid_search_joint_semantics(spark, edge_joint_dir):
     assert list(q1["doc_id"]) == [0, 2, 4]
     top_q0 = out[(out["query_id"] == 0) & (out["rank"] == 1)]
     assert list(top_q0["doc_id"]) == [6]
+
+
+def test_lm_bigram_nll_semantics(spark, edge_dir):
+    """Engine agreement can't bless a wrong formula on both sides — pin the
+    absolute semantics: (a) 0-bigram docs (empty / single-token) emit NULL
+    nll_bits; (b) a holdout doc whose bigrams are ALL unseen scores exactly
+    the 20.0-bit backoff (sum = -320*n -> nll = 20.0 identically); (c) the
+    identical triplet 11/12/13 (11 and 13 in the train split) makes the
+    holdout member 12 fully in-vocabulary and far more likely than backoff."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_lm_bigram_nll"].fn(spark, edge_dir).collect()
+    }
+    assert rows[0]["n_bigrams"] == 0 and rows[0]["nll_bits"] is None
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["nll_bits"] is None
+    # doc 16 (holdout, unique PII-ish tokens): every bigram OOV
+    assert rows[16]["n_oov"] == rows[16]["n_bigrams"] > 0
+    assert rows[16]["nll_bits"] == pytest.approx(20.0)
+    # doc 12 (holdout copy of train docs 11/13): fully in-vocab, likely
+    assert rows[12]["n_oov"] == 0
+    assert rows[12]["nll_bits"] < 10.0
+
+
+def test_lm_qlp_matches_true_log2_on_grid():
+    """The integer-shift quantization must equal floor(16*log2(c/t)) on a
+    dense rational grid INCLUDING exact powers of two and near-boundary
+    ratios — pure DuckDB + math, no Spark (the Spark expression tree is the
+    same formula term-for-term; cross-engine equality is the parametrized
+    edge test above plus the driver gate)."""
+    import math
+
+    from dblink_spark.queries.text import _LM_THRESHOLDS
+
+    j_sql = " + ".join(
+        f"(CASE WHEN r >= {th!r} THEN 1 ELSE 0 END)" for th in _LM_THRESHOLDS
+    )
+    pairs = [(c, t) for t in range(1, 80) for c in range(1, t + 1)]
+    pairs += [(1, 2**40), (3, 2**40 + 1), (2**31 - 1, 2**31), (511, 512)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(c BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", pairs)
+    got = con.execute(
+        f"""
+        WITH a AS (SELECT c, t, length(bin(t)) - length(bin(c)) AS s0 FROM g),
+        b AS (SELECT *, CASE WHEN (c << s0) >= t THEN s0 ELSE s0 + 1 END AS s FROM a),
+        d AS (SELECT *, CAST((c << s) AS DOUBLE) / CAST(t AS DOUBLE) AS r FROM b)
+        SELECT c, t, -16 * s + ({j_sql}) FROM d
+        """
+    ).fetchall()
+    for c, t, qlp in got:
+        assert qlp == math.floor(16 * math.log2(c / t)), (c, t, qlp)
