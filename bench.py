@@ -105,6 +105,7 @@ R8_QUERIES = [
 R9_QUERIES = [
     "dedup_incremental_minhash",
     "text_lm_bigram_nll",
+    "q_docs_source_cap",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -234,6 +234,11 @@ _GATE_TAIL = [
     # (test_decontaminate_gram_generation_is_jvm_side) and its overlap
     # semantics by the edge corpus; full result digest-covered below.
     "text_decontaminate",
+    # r9: q_docs_source_cap (exact-k per-source mixing cap) enters the
+    # head; hybrid_search rotates out — benched every round since r5, its
+    # prefilter->join->top-k semantics pinned by the joint edge corpus
+    # (test_hybrid_search_joint_*); full result digest-covered below.
+    "hybrid_search",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

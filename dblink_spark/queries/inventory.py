@@ -144,6 +144,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "text_decontaminate": [
         ("doc_id", "i"), ("n_tainted", "i"), ("contaminated", "b"),
     ],
+    "hybrid_search": [
+        ("query_id", "i"), ("doc_id", "i"), ("lang", "s"),
+        ("cosine", "f"), ("rank", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -288,3 +288,107 @@ def q_docs_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rnk <= 25")
         .select("lang", "rnk", "doc_id", "quality_score", "n_tokens")
     )
+
+
+_SOURCE_CAP_K = 10
+
+
+@register(
+    "q_docs_source_cap",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars_m,
+    len(list_filter(string_split(text, ' '),
+        x -> x IN ({_STOP_SQL}))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+    (CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+              THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN CAST(n_chars_m AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+              THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM feats
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY quality_score DESC, n_tokens DESC, doc_id ASC
+    ) AS rnk
+  FROM scored
+)
+SELECT source, CAST(rnk AS INT) AS rnk, doc_id, quality_score,
+  CAST(n_tokens AS INT) AS n_tokens
+FROM ranked WHERE rnk <= {_SOURCE_CAP_K}
+""",
+    survey_ref=(
+        "beyond-reference: exact-k per-source cap (data-mixing curation "
+        "twin of q_docs_lang_rebalance) — hard cap of k best docs per "
+        "source domain, WindowGroupLimit map-side prune"
+    ),
+)
+def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER standard mixing knob (VERDICT r8 gap #4): where
+    `q_docs_lang_rebalance` downsamples strata at a RATE (deterministic
+    hash threshold, binomial counts), this caps every source domain at
+    EXACTLY k = {k} documents chosen by quality score — the curation shape
+    for over-represented domains (one spammy site must not dominate the
+    mix no matter how many pages it contributes). Deterministic tie-break
+    (score DESC, n_tokens DESC, doc_id ASC) so both engines keep the same
+    k.
+
+    100-TB shape: `source` has million-scale cardinality, which is exactly
+    when the rank-limited window must NOT be a full per-partition sort —
+    Spark's WindowGroupLimit pushes rank <= k below the window, keeping k
+    rows per source per map task before the shuffle (plan-pinned, same
+    path as `q_docs_top_quality_per_lang`); exchanged bytes are bounded by
+    k x |sources| per task, not the corpus. The rate-based rebalance stays
+    the right tool when approximate proportions suffice (pure narrow
+    filter, no shuffle at all) — this query is what EXACT-k costs.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    feats = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_stop.alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens") >= 10, 0.5).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 0.2).otherwise(0.0)
+    )
+    scored = feats.select(
+        "doc_id", "source", "n_tokens", score.alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(),
+        F.col("n_tokens").desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SOURCE_CAP_K)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "quality_score",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+q_docs_source_cap.__doc__ = q_docs_source_cap.__doc__.format(k=_SOURCE_CAP_K)

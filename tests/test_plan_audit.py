@@ -431,3 +431,13 @@ class TestR9QueryPlans:
         assert all(
             set(s.read_columns) <= {"doc_id", "text"} for s in scans
         ), "LM scoring must not read lang/source/n_chars"
+
+    def test_source_cap_rank_limit_pushed_below_window(self, spark):
+        """The exact-k per-source cap must ride WindowGroupLimit (rank<=k
+        pruned map-side before the shuffle) — at million-source cardinality
+        a full per-partition sort of the corpus would be the bottleneck."""
+        df = q.REGISTRY["q_docs_source_cap"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "WindowGroupLimit" in plan
+        a = audit_plan(df)
+        assert a.python_ops == 0

@@ -96,6 +96,9 @@ _QUERIES = [
     # new-batch docs 0/10/20 vs the rest as prior index; doc 10 is an exact
     # dup of prior doc 1 -> non-novel with rep_doc 1; 0 and 20 novel
     "dedup_incremental_minhash",
+    # per-source rank ties (sources hold 1-4 docs, scores mostly 0.0/0.2)
+    # pin the deterministic tie-break; every source is under the k=10 cap
+    "q_docs_source_cap",
 ]
 
 
