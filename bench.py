@@ -282,6 +282,7 @@ def main() -> None:
     canary_mean = (canary_start + out["canary_end_sec"]) / 2
     out["canary_mean_sec"] = round(canary_mean, 3)
     out["canary_ref_sec"] = CANARY_REF_SEC
+    out["canary_ref_source"] = CANARY_REF_SOURCE
     # load-corrected headline: what this sweep's total reads as at the
     # reference (idle-host) canary speed; bench_diff compares THIS when
     # both payloads carry it (raw value stays the primary metric key)
@@ -316,6 +317,15 @@ _CANARY_ROWS = 8_000_000_000
 #: gate and bench_diff should compare load-free numbers). The raw value is
 #: always retained alongside.
 CANARY_REF_SEC = 1.485
+
+#: Where CANARY_REF_SEC came from (ADVICE r9: the constant is host-specific
+#: — value_canary_norm's ABSOLUTE numbers are only meaningful on that host;
+#: cross-round ratios are fine anywhere since REF cancels). Recorded in the
+#: payload so a payload measured elsewhere is self-describing.
+CANARY_REF_SOURCE = (
+    "BENCH_LOCAL_r08.json clean isolated run on the round-8 judge container "
+    "(local[32]); absolutes are host-specific, cross-round ratios portable"
+)
 
 
 def _canary(spark, warm: bool = False) -> float:
@@ -383,8 +393,15 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_rl10k_spark_1part_iters_per_sec",
         "er_rl10k_spark_2part_iters_per_sec",
         "er_rl10k_spark_4part_iters_per_sec",
+        # spreads ride along with the medians (VERDICT r9 task 6: the
+        # committed compact artifact must make partition-scaling noise
+        # adjudicable on its own — a bare median with 2x host drift isn't)
+        "er_rl10k_spark_1part_spread",
+        "er_rl10k_spark_4part_spread",
         "er_paper_spark_1part_iters_per_sec",
         "er_paper_spark_4part_iters_per_sec",
+        "er_paper_spark_1part_spread",
+        "er_paper_spark_4part_spread",
         "er_1m_8part_sec_per_iter",
         "er_1m_16part_sec_per_iter",
         "er_1m_max_partition_clusters",
@@ -395,11 +412,17 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
     # made the actual order the reverse of the documented one)
     droppable = [
         "er_mcmc_spread",
+        "er_paper_spark_1part_spread",
+        "er_rl10k_spark_1part_spread",
         "er_paper_spark_1part_iters_per_sec",
         "er_rl10k_2part_iters_per_sec",
         "er_rl10k_1part_iters_per_sec",
         "er_rl10k_spark_2part_iters_per_sec",
         "er_rl10k_spark_1part_iters_per_sec",
+        # the 4-part spreads drop LAST among probe extras: they adjudicate
+        # the headline scaling endpoints
+        "er_rl10k_spark_4part_spread",
+        "er_paper_spark_4part_spread",
     ]
     while len(json.dumps(compact)) > COMPACT_LINE_BUDGET and droppable:
         compact.pop(droppable.pop(0), None)
@@ -882,6 +905,17 @@ def rl10k_linkage_quality(spark) -> dict:
     d["checkpointPath"] = tmp + "/ckpt"
     res = Project.from_config(spark, cfg).run()
     pw = res["evaluate"]["pairwise"]
+    # methodology marker DERIVED from the loaded config (ADVICE r9: a
+    # hardcoded literal would falsely claim chain comparability if the
+    # external conf's iterations/cutoff/seed ever differ from the literal)
+    steps = {s["name"]: s.get("parameters", {}) for s in d["steps"]}
+    n_iters = steps["sample"]["sampleSize"] * max(
+        int(steps["sample"].get("thinningInterval", 1)), 1
+    ) + int(steps["sample"].get("burninInterval", 0))
+    marker = (
+        f"{n_iters}it-smpc{steps['evaluate']['lowerIterationCutoff']}"
+        f"-seed{d['randomSeed']}"
+    )
     out = {
         "er_rl10k_f1": round(pw["f1"], 4),
         "er_rl10k_precision": round(pw["precision"], 4),
@@ -889,7 +923,7 @@ def rl10k_linkage_quality(spark) -> dict:
         "er_rl10k_ari": round(
             res["evaluate"]["cluster"]["adjusted_rand_index"], 4
         ),
-        "er_rl10k_quality_chain": "1000it-smpc100-seed319158",
+        "er_rl10k_quality_chain": marker,
     }
     print(
         f"# er_rl10k quality: F1 {out['er_rl10k_f1']:.3f} "

@@ -1324,6 +1324,13 @@ def audit_partition_budget(
             ))
             << 20
         )
+    if budget_bytes < 0:
+        # only the EXPLICIT 0 sentinel disables the soft budget (ADVICE r9:
+        # a typo'd DBLINK_PARTITION_BUDGET_MB=-2048 must not silently opt out)
+        raise ValueError(
+            f"partition budget must be >= 0 (0 disables the soft budget); "
+            f"got {budget_bytes} bytes"
+        )
     rows = (
         state_df.filter(~F.col("is_summary"))
         .groupBy("partition_id")

@@ -706,8 +706,14 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental (cross-snapshot) dedup: the "new batch" is the doc_id % 10
 # stratum — a deterministic ~10% slice standing in for today's crawl; the
 # other 90% is the EXISTING corpus whose signature index is already built
-# and persisted. Both engines replay the same split.
-_INCR_NEW_SQL = "doc_id % 10 = 0"
+# and persisted. Both engines replay the same split. The alias is a real
+# format parameter (ADVICE r9: the old `n.{predicate}` splice only parsed
+# because the predicate happened to START with the column name — any edit
+# adding a leading paren or function would silently break the qualified
+# form).
+def _incr_new_sql(alias: str = "") -> str:
+    col = f"{alias}.doc_id" if alias else "doc_id"
+    return f"{col} % 10 = 0"
 
 
 @register(
@@ -728,7 +734,7 @@ bands AS ({_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
   FROM bands n JOIN bands o ON n.band_key = o.band_key
-  WHERE n.{_INCR_NEW_SQL} AND NOT (o.{_INCR_NEW_SQL})
+  WHERE {_incr_new_sql("n")} AND NOT ({_incr_new_sql("o")})
 ),
 verified AS (
   SELECT c.new_id, c.old_id
@@ -746,7 +752,7 @@ SELECT d.doc_id,
   CAST(COALESCE(g.n_dups_prior, 0) AS BIGINT) AS n_dups_prior,
   COALESCE(g.rep_prior, d.doc_id) AS rep_doc,
   (g.new_id IS NULL) AS is_novel
-FROM (SELECT doc_id FROM documents WHERE {_INCR_NEW_SQL}) d
+FROM (SELECT doc_id FROM documents WHERE {_incr_new_sql()}) d
 LEFT JOIN grouped g ON g.new_id = d.doc_id
 """,
     survey_ref=(

@@ -93,3 +93,14 @@ def test_within_budget_passes_and_env_override(spark, small_state, monkeypatch):
     # ...while a tiny nonzero budget still fails fast with guidance
     with pytest.raises(PartitionBudgetError, match="num_levels"):
         audit_partition_budget(s2.df, cache.num_attributes, budget_bytes=64)
+
+
+def test_negative_budget_rejected(spark, small_state, monkeypatch):
+    """ADVICE r9: a NEGATIVE budget (typo'd env var) must not silently
+    disable the soft budget — only the explicit 0 sentinel does."""
+    state, cache = small_state
+    with pytest.raises(ValueError, match=">= 0"):
+        audit_partition_budget(state.df, cache.num_attributes, budget_bytes=-1)
+    monkeypatch.setenv("DBLINK_PARTITION_BUDGET_MB", "-2048")
+    with pytest.raises(ValueError, match=">= 0"):
+        audit_partition_budget(state.df, cache.num_attributes)
