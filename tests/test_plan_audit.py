@@ -91,10 +91,15 @@ class TestShuffleBudget:
     def test_minhash_lsh_no_recompute_storm(self, spark):
         """The signature table feeds 5 consumers; with persist + single
         band join the plan must stay small (regression: 21 scans / 26
-        exchanges before the rewrite)."""
+        exchanges before the rewrite). r10: the hot-bucket cap's tagged
+        band relation is persisted too — its three consumers (both
+        self-join sides + the hot arm) read the cache, so the occupancy
+        window costs ONE bands shuffle, and the self-join reuses the
+        cache's band_key partitioning (measured: 6 exchanges, down from 8
+        pre-cap)."""
         a = _audit(spark, "dedup_minhash_lsh")
         assert a.n_scans <= 3
-        assert a.exchanges <= 8
+        assert a.exchanges <= 7
         assert a.python_ops == 0  # tokenize/hash/verify all JVM-side
 
     def test_simhash_pair_join_keyed_on_band(self, spark):
