@@ -239,6 +239,13 @@ _GATE_TAIL = [
     # prefilter->join->top-k semantics pinned by the joint edge corpus
     # (test_hybrid_search_joint_*); full result digest-covered below.
     "hybrid_search",
+    # r10: dedup_paragraphs (C4-style paragraph dedup with doc
+    # reconstruction) enters the head; dedup_exact rotates out — benched
+    # every round since r1, its one-shuffle plan pinned by
+    # tests/test_plan_audit.py (test_dedup_exact_single_shuffle), and its
+    # md5-groupBy shape is the degenerate case of the richer span-level
+    # exact dedup now head-gated; full result digest-covered below.
+    "dedup_exact",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

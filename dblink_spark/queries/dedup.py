@@ -939,3 +939,129 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return owns_caches(out, sigs_old, sigs_new)
+
+
+# C4-style paragraph dedup: the fixtures' documents are single-line token
+# streams (no newline structure), so a "paragraph" is a deterministic
+# 10-token span — the operator shape (corpus-wide hash-group, keep FIRST
+# occurrence by (doc_id, para_idx), reassemble surviving spans in order) is
+# exactly the C4 "discard all but one of any repeated three-sentence span"
+# pass; a real corpus swaps the splitter for split(text, '\\n\\n').
+_PARA_LEN = 10
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+paras AS (
+  SELECT doc_id, i AS para_idx,
+    array_to_string(t[i*{_PARA_LEN}+1 : i*{_PARA_LEN}+{_PARA_LEN}], ' ') AS para
+  FROM base, UNNEST(range(0, CAST(ceil(len(t)/{_PARA_LEN}.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, para_idx, para,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(para) ORDER BY doc_id, para_idx
+    ) AS rn
+  FROM paras
+),
+keptagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+    string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(ceil(len(t)/{_PARA_LEN}.0) AS BIGINT) AS n_paras
+  FROM base
+)
+SELECT d.doc_id,
+  CAST(COALESCE(tt.n_paras, 0) AS BIGINT) AS n_paras,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  COALESCE(k.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN tot tt ON tt.doc_id = d.doc_id
+LEFT JOIN keptagg k ON k.doc_id = d.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: paragraph-level exact dedup with document "
+        "reconstruction (C4-style keep-first-occurrence span surgery)"
+    ),
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split every document into paragraphs (10-token
+    spans — see _PARA_LEN note), drop every paragraph whose exact content
+    already occurred EARLIER in the corpus (first occurrence by
+    ``(doc_id, para_idx)`` wins, including within one document), and
+    reassemble each document from its surviving spans in original order.
+    Emits ``(doc_id, n_paras, n_kept, clean_text)`` — a doc whose every
+    span first appeared elsewhere comes back as the empty string (the edge
+    corpus pins this).
+
+    100-TB shape:
+    - the paragraph relation is built ROW-LOCALLY (sequence + slice +
+      posexplode: no UDF, no shuffle) and persisted — it feeds the keeper
+      aggregate and the probe join, so the corpus tokenizes once (at
+      production scale: write it to parquet next to the snapshot);
+    - first-occurrence selection is ONE groupBy on the paragraph hash with
+      a ``min(struct(doc_id, para_idx))`` — map-side combinable, so a
+      boilerplate span repeated 10M times collapses to one row per map
+      task before the shuffle (the skew-safe alternative to a window rank,
+      whose per-key sort would land the hot span in one task);
+    - the probe join is hash-equi on the same key; reassembly is one
+      groupBy(doc_id) over KEPT spans (bounded by each doc's own length);
+      the final left join restores dropped-empty docs. No quadratic path
+      at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(_PARA_LEN))).cast("long")
+    paras_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_paras - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * _PARA_LEN + 1).cast("int"), _PARA_LEN)
+        ),
+    )
+    paras = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(paras_arr).alias("para_idx", "para"))
+        .withColumn("h", F.md5("para"))
+        .persist()
+    )
+    keep = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
+    kept = (
+        paras.join(keep, "h")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("para_idx") == F.col("first.para_idx"))
+        )
+        .select("doc_id", "para_idx", "para")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = d.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), n_paras)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_paras"),
+    )
+    out = base.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+    return owns_caches(out, paras)

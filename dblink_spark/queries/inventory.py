@@ -148,6 +148,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("query_id", "i"), ("doc_id", "i"), ("lang", "s"),
         ("cosine", "f"), ("rank", "i"),
     ],
+    "dedup_exact": [
+        ("text_hash", "s"), ("n_docs", "i"), ("keep_doc", "i"),
+        ("max_doc", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -30,6 +30,8 @@ _PERSISTING = [
     # persists BOTH signature tables (old index + new batch), each feeding
     # its band explode and verify side
     "dedup_incremental_minhash",
+    # persists the exploded paragraph relation (keeper agg + probe join)
+    "dedup_paragraphs",
 ]
 
 

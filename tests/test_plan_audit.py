@@ -446,3 +446,32 @@ class TestR9QueryPlans:
         assert "WindowGroupLimit" in plan
         a = audit_plan(df)
         assert a.python_ops == 0
+
+
+class TestR10QueryPlans:
+    def test_paragraph_dedup_plan(self, spark):
+        """VERDICT r9 task 2 pins: paragraphs built row-locally from ONE
+        persisted relation (no re-tokenize per consumer), first-occurrence
+        selection is a map-side-combinable groupBy on the span hash (NOT a
+        window rank — a hot boilerplate span must partial-aggregate, not
+        sort in one task), reassembly via groupBy(doc_id), and no
+        quadratic path anywhere."""
+        df = q.REGISTRY["dedup_paragraphs"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # first-occurrence via partial-aggregating min(struct), not a rank
+        # window over the span hash
+        assert "row_number" not in plan.lower()
+        assert "InMemoryTableScan" in plan, "paragraph relation must be cached"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        # base-doc anchor + the single persisted paragraph build
+        assert a.n_scans <= 2
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        ), "span surgery must not read lang/source/n_chars"
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

@@ -96,6 +96,10 @@ _QUERIES = [
     # new-batch docs 0/10/20 vs the rest as prior index; doc 10 is an exact
     # dup of prior doc 1 -> non-novel with rep_doc 1; 0 and 20 novel
     "dedup_incremental_minhash",
+    # identical docs 11-13: every span of 12/13 first occurred in 11 ->
+    # clean_text = '' (the all-dup edge); sub-span docs, empty text, and
+    # within-doc repeats exercise keep-first-by-(doc_id, para_idx)
+    "dedup_paragraphs",
     # per-source rank ties (sources hold 1-4 docs, scores mostly 0.0/0.2)
     # pin the deterministic tie-break; every source is under the k=10 cap
     "q_docs_source_cap",
@@ -199,6 +203,34 @@ def test_boilerplate_grams_semantics(spark, edge_dir):
     # a true positive, not a control; doc 17's sentence is corpus-unique
     assert rows[9]["n_boiler"] > 0
     assert rows[17]["n_grams"] > 0 and rows[17]["n_boiler"] == 0
+
+
+def test_paragraph_dedup_semantics(spark, edge_dir):
+    """Engine agreement can't bless wrong span surgery — pin the C4
+    semantics: the identical triplet 11/12/13 keeps only doc 11's spans
+    (12/13 reconstruct to the EMPTY string); a corpus-unique doc survives
+    byte-identical; counts conserve (n_kept <= n_paras, and the kept spans
+    rebuild exactly the prefix-ordered surviving text)."""
+    from dblink_spark.queries import materialized
+
+    with materialized(REGISTRY["dedup_paragraphs"].fn(spark, edge_dir)) as df:
+        rows = {r["doc_id"]: r for r in df.collect()}
+    originals = {i: t for i, t, _, _ in _DOCS}
+    # all-dup docs: every span of 12/13 first occurred in 11
+    assert rows[11]["n_kept"] == rows[11]["n_paras"] > 0
+    assert rows[11]["clean_text"] == originals[11]
+    for i in (12, 13):
+        assert rows[i]["n_paras"] > 0 and rows[i]["n_kept"] == 0
+        assert rows[i]["clean_text"] == ""
+    # doc 10 duplicates doc 1's single span ('solo') -> dropped empty
+    assert rows[1]["clean_text"] == "solo"
+    assert rows[10]["n_kept"] == 0 and rows[10]["clean_text"] == ""
+    # corpus-unique spans survive byte-identical; conservation everywhere
+    assert rows[6]["clean_text"] == originals[6]
+    for i, r in rows.items():
+        assert 0 <= r["n_kept"] <= r["n_paras"], i
+    # empty text: one empty-string span, corpus-first occurrence wins once
+    assert rows[0]["n_paras"] == 1
 
 
 def test_chunking_window_boundaries(spark, edge_dir):
