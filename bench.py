@@ -108,6 +108,15 @@ R9_QUERIES = [
     "q_docs_source_cap",
 ]
 
+# r10: queries added this round (paragraph-level exact dedup, repeated-
+# substring removal, token-budget mixing, perceptual-hash image dedup).
+R10_QUERIES = [
+    "dedup_paragraphs",
+    "text_strip_boilerplate",
+    "q_docs_token_budget_mix",
+    "multimodal_phash_dedup",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -199,7 +208,7 @@ def main() -> None:
 
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
-        + R8_QUERIES + R9_QUERIES + GATE_QUERIES
+        + R8_QUERIES + R9_QUERIES + R10_QUERIES + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -224,6 +233,7 @@ def main() -> None:
         "r6_total": round(sum(timings[n] for n in R6_QUERIES), 3),
         "r8_total": round(sum(timings[n] for n in R8_QUERIES), 3),
         "r9_total": round(sum(timings[n] for n in R9_QUERIES), 3),
+        "r10_total": round(sum(timings[n] for n in R10_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {
@@ -370,6 +380,7 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "r6_total": out["r6_total"],
         "r8_total": out["r8_total"],
         "r9_total": out["r9_total"],
+        "r10_total": out["r10_total"],
         "gate_overhead_sec": out["gate_overhead_sec"],
         "combined_total": out["combined_total"],
         "n_queries_timed": len(timings),
@@ -390,6 +401,11 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_rl10k_ari",
         "er_rl10k_1part_iters_per_sec",
         "er_rl10k_2part_iters_per_sec",
+        # the two fused-path spreads named by VERDICT r9 "wrong" #2: their
+        # point estimates overlap across rounds (1.65x apparent deltas are
+        # noise) and the committed artifact must show that on its own
+        "er_rl10k_1part_spread",
+        "er_rl10k_2part_spread",
         "er_rl10k_spark_1part_iters_per_sec",
         "er_rl10k_spark_2part_iters_per_sec",
         "er_rl10k_spark_4part_iters_per_sec",
@@ -415,7 +431,11 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_paper_spark_1part_spread",
         "er_rl10k_spark_1part_spread",
         "er_paper_spark_1part_iters_per_sec",
+        # a point estimate and its spread drop TOGETHER (a bare median
+        # with no spread is exactly the misreading this payload fixes)
+        "er_rl10k_2part_spread",
         "er_rl10k_2part_iters_per_sec",
+        "er_rl10k_1part_spread",
         "er_rl10k_1part_iters_per_sec",
         "er_rl10k_spark_2part_iters_per_sec",
         "er_rl10k_spark_1part_iters_per_sec",

@@ -246,6 +246,24 @@ _GATE_TAIL = [
     # md5-groupBy shape is the degenerate case of the richer span-level
     # exact dedup now head-gated; full result digest-covered below.
     "dedup_exact",
+    # r10: text_strip_boilerplate (repeated-substring removal emitting
+    # cleaned text) enters the head; text_token_count rotates out — its
+    # whitespace-tokenizer aggregate is the trivial case of the BPE-regex
+    # twin still head-gated (text_token_count_bpe), it is edge-corpus
+    # covered, and its full result is digest-covered below.
+    "text_token_count",
+    # r10: q_docs_token_budget_mix (token-budget mixture sampling) enters
+    # the head; text_fingerprint rotates out — its prefix-md5 groupBy is a
+    # strict sub-shape of the span-hash machinery now head-gated twice
+    # (dedup_paragraphs, text_strip_boilerplate), it is edge-corpus
+    # covered, and its full result is digest-covered below.
+    "text_fingerprint",
+    # r10: multimodal_phash_dedup (perceptual-hash image dedup) enters the
+    # head; multimodal_bytes_stats rotates out — the pure-Catalyst metadata
+    # rollup is the trivial member of a family that keeps four richer
+    # head-gated entries (decode/frame/feature/phash); full result
+    # digest-covered below.
+    "multimodal_bytes_stats",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

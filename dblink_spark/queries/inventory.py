@@ -152,6 +152,17 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("text_hash", "s"), ("n_docs", "i"), ("keep_doc", "i"),
         ("max_doc", "i"),
     ],
+    "text_token_count": [
+        ("lang", "s"), ("source", "s"), ("n_docs", "i"),
+        ("total_tokens", "i"), ("total_chars", "i"), ("avg_tokens", "f"),
+    ],
+    "text_fingerprint": [
+        ("prefix_fp", "s"), ("n_docs", "i"), ("keep_doc", "i"),
+    ],
+    "multimodal_bytes_stats": [
+        ("media_type", "s"), ("n_items", "i"), ("total_bytes", "i"),
+        ("max_bytes", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -231,6 +231,200 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_type", "pos")
 
 
+# --- perceptual-hash image dedup (VERDICT r9 task 5) -----------------------
+# aHash over the 8x8 stub-resized grid: bit_k = (pixel_k > mean). The mean
+# compare is done as the EXACT integer inequality pixel*64 > total (no
+# division), and the 64-bit fingerprint is carried as two 32-bit halves
+# (lo = bits 0..31, hi = bits 32..63) so neither engine ever shifts into a
+# BIGINT sign bit. Hamming distance <= _PHASH_MAX_HAMMING over 4 disjoint
+# 16-bit bands is pigeonhole-COMPLETE (3 flipped bits touch at most 3
+# bands, so one band is always intact): the band equi-join is purely an
+# optimization and the oracle's all-pairs formulation yields the identical
+# pair set — engine-exact by construction (integers end to end).
+_PHASH_PX = 64  # 8x8 grid
+_PHASH_MAX_HAMMING = 3
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, strlen(text) AS L, hex(encode(text)) AS hx FROM documents
+  WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, L, hx, k, (k * L) // {_PHASH_PX} AS i
+  FROM m, UNNEST(range(0, {_PHASH_PX})) AS u(k)
+),
+vals AS (
+  SELECT doc_id, k,
+    CASE WHEN L = 0 THEN 0 ELSE {_HEX_BYTE_SQL} END AS b
+  FROM px
+),
+tot AS (SELECT doc_id, SUM(b) AS total FROM vals GROUP BY doc_id),
+bits AS (
+  SELECT v.doc_id, v.k,
+    CASE WHEN v.b * {_PHASH_PX} > t.total THEN 1 ELSE 0 END AS bit
+  FROM vals v JOIN tot t USING (doc_id)
+),
+fp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN k < 32
+         THEN bit * (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT)
+      AS phash_lo,
+    CAST(SUM(CASE WHEN k >= 32
+         THEN bit * (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT)
+      AS phash_hi
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+      + bit_count(xor(a.phash_hi, b.phash_hi)) <= {_PHASH_MAX_HAMMING}
+),
+adj AS (
+  SELECT doc1 AS doc_id, doc2 AS partner FROM pairs
+  UNION ALL SELECT doc2, doc1 FROM pairs
+),
+grouped AS (
+  SELECT doc_id, COUNT(*) AS n_near_dups, MIN(partner) AS min_partner
+  FROM adj GROUP BY doc_id
+)
+SELECT f.doc_id, f.phash_lo, f.phash_hi,
+  CAST(COALESCE(g.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+  LEAST(f.doc_id, COALESCE(g.min_partner, f.doc_id)) AS rep_doc
+FROM fp f LEFT JOIN grouped g ON g.doc_id = f.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: perceptual-hash (aHash) image dedup — "
+        "Hamming-banded candidate join over mapInPandas-decoded pixels"
+    ),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection for the IMAGE slice: every image
+    payload is resized to an 8x8 grid by the Arrow-batched resize kernel
+    (stub codec — on a PIL-equipped cluster the real grayscale resample
+    slots in with the identical contract), aHash'd (bit = pixel above the
+    image mean, exact integer compare), and near-dups are pairs within
+    Hamming distance {h} of the 64-bit fingerprint. Emits one row per
+    image ``(doc_id, phash_lo, phash_hi, n_near_dups, rep_doc)`` — the
+    fingerprints themselves are gated, so the kernel's byte math is
+    hash-verified, not just the pair decisions.
+
+    100-TB shape:
+    - the media-type filter prunes BEFORE the Python kernel (only the
+      image slice is ever decoded — metadata predicates are plain struct
+      filters Catalyst evaluates JVM-side);
+    - candidates form ONLY via the (band_idx, band_bits) equi-join over 4
+      disjoint 16-bit bands — pigeonhole-complete for Hamming <= {h}, so
+      banding changes nothing semantically while bounding the join to
+      docs sharing a quarter-fingerprint (the all-pairs-within-type join
+      would be N² at corpus scale);
+    - the fingerprint table is persisted: it feeds both band sides, the
+      Hamming verify (carried columns, no re-decode), and the output
+      anchor;
+    - output is linear in the image count (left join from fp)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_media(d).filter(
+        F.col("media_meta.media_type") == "image"
+    )
+    # pin the stub codec like multimodal_resize_stats: the GATE must not
+    # change results when PIL happens to be installed
+    from dblink_spark.operators.multimodal import _fake_resize_codec
+
+    resized = resize_image(media, 8, 8, codec=_fake_resize_codec())
+    # unpack the 64 pixel bytes JVM-side (hex/conv over binary substrings —
+    # same trick as multimodal_resize_stats; no second Python stage)
+    px_arr = F.transform(
+        F.sequence(F.lit(1), F.lit(_PHASH_PX)),
+        lambda i: F.conv(F.hex(F.substring("pixels", i, 1)), 16, 10).cast(
+            "long"
+        ),
+    )
+    sig = resized.select("doc_id", px_arr.alias("px")).withColumn(
+        "total",
+        F.aggregate("px", F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    bit = lambda k: F.when(  # noqa: E731
+        F.element_at("px", k + 1) * _PHASH_PX > F.col("total"), 1
+    ).otherwise(0)
+    lo = sum(bit(k) * F.lit(1 << k) for k in range(32))
+    hi = sum(bit(k) * F.lit(1 << (k - 32)) for k in range(32, _PHASH_PX))
+    fp = sig.select(
+        "doc_id",
+        lo.cast("long").alias("phash_lo"),
+        hi.cast("long").alias("phash_hi"),
+    ).persist()
+    mask = F.lit(0xFFFF)
+    bands = fp.select(
+        "doc_id",
+        "phash_lo",
+        "phash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(idx).alias("band_idx"), expr.alias("band_bits")
+                    )
+                    for idx, expr in enumerate(
+                        [
+                            F.col("phash_lo").bitwiseAND(mask),
+                            F.shiftright("phash_lo", 16),
+                            F.col("phash_hi").bitwiseAND(mask),
+                            F.shiftright("phash_hi", 16),
+                        ]
+                    )
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "phash_lo", "phash_hi", "band.band_idx", "band.band_bits"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo"))
+    ) + F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= _PHASH_MAX_HAMMING)
+        # a pair agreeing on multiple bands is emitted once per band
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    adj = pairs.select(
+        F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner")
+    ).unionAll(
+        pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("partner"))
+    )
+    grouped = adj.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_near_dups"),
+        F.min("partner").alias("min_partner"),
+    )
+    out = fp.join(grouped, "doc_id", "left").select(
+        "doc_id",
+        "phash_lo",
+        "phash_hi",
+        F.coalesce("n_near_dups", F.lit(0)).cast("long").alias("n_near_dups"),
+        F.least(
+            F.col("doc_id"), F.coalesce("min_partner", F.col("doc_id"))
+        ).alias("rep_doc"),
+    )
+    from dblink_spark.queries import owns_caches
+
+    return owns_caches(out, fp)
+
+
+multimodal_phash_dedup.__doc__ = multimodal_phash_dedup.__doc__.format(
+    h=_PHASH_MAX_HAMMING
+)
+
+
 _RS_W, _RS_H = 4, 4  # 16 output pixels per item
 
 

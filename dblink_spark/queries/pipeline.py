@@ -209,11 +209,14 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owns_caches(out, passing_meta)
 
 
-@register(
-    "q_docs_top_quality_per_lang",
-    oracle=f"""
-WITH feats AS (
-  SELECT doc_id, lang,
+# ONE spec for the quality-scored relation (doc_id, {key}, n_tokens,
+# quality_score) — the scoring block all three mixing knobs (top-k per
+# lang, per-source cap, token-budget mix) share; parameterized on the
+# grouping column so a heuristic change cannot drift between them (the
+# _BOTTOMK_PAIRS_CTE single-spec discipline).
+def _scored_cte_sql(key: str) -> str:
+    return f"""feats AS (
+  SELECT doc_id, {key},
     len(string_split(text, ' ')) AS n_tokens,
     length(text) AS n_chars_m,
     len(list_filter(string_split(text, ' '),
@@ -221,14 +224,45 @@ WITH feats AS (
   FROM documents
 ),
 scored AS (
-  SELECT doc_id, lang, n_tokens,
+  SELECT doc_id, {key}, n_tokens,
     (CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
       + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
               THEN 0.3 ELSE 0.0 END)
       + (CASE WHEN CAST(n_chars_m AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
               THEN 0.2 ELSE 0.0 END) AS quality_score
   FROM feats
-),
+)"""
+
+
+def _quality_scored(d: DataFrame, key: str) -> DataFrame:
+    """Spark twin of :func:`_scored_cte_sql` — row-local scoring, no
+    shuffle, reads only (doc_id, {key}, text)."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    feats = d.select(
+        "doc_id",
+        key,
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_stop.alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens") >= 10, 0.5).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 0.2).otherwise(0.0)
+    )
+    return feats.select(
+        "doc_id", key, "n_tokens", score.alias("quality_score")
+    )
+
+
+@register(
+    "q_docs_top_quality_per_lang",
+    oracle=f"""
+WITH {_scored_cte_sql("lang")},
 ranked AS (
   SELECT doc_id, lang, n_tokens, quality_score,
     ROW_NUMBER() OVER (
@@ -260,26 +294,7 @@ def q_docs_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    feats = d.select(
-        "doc_id",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        F.length("text").alias("n_chars_m"),
-        n_stop.alias("n_stop"),
-    )
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
-    score = (
-        F.when(F.col("n_tokens") >= 10, 0.5).otherwise(0.0)
-        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
-        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 0.2).otherwise(0.0)
-    )
-    scored = feats.select(
-        "doc_id", "lang", "n_tokens", score.alias("quality_score")
-    )
+    scored = _quality_scored(d, "lang")
     w = Window.partitionBy("lang").orderBy(
         F.col("quality_score").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
     )
@@ -296,23 +311,7 @@ _SOURCE_CAP_K = 10
 @register(
     "q_docs_source_cap",
     oracle=f"""
-WITH feats AS (
-  SELECT doc_id, source,
-    len(string_split(text, ' ')) AS n_tokens,
-    length(text) AS n_chars_m,
-    len(list_filter(string_split(text, ' '),
-        x -> x IN ({_STOP_SQL}))) AS n_stop
-  FROM documents
-),
-scored AS (
-  SELECT doc_id, source, n_tokens,
-    (CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
-      + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
-              THEN 0.3 ELSE 0.0 END)
-      + (CASE WHEN CAST(n_chars_m AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
-              THEN 0.2 ELSE 0.0 END) AS quality_score
-  FROM feats
-),
+WITH {_scored_cte_sql("source")},
 ranked AS (
   SELECT doc_id, source, n_tokens, quality_score,
     ROW_NUMBER() OVER (
@@ -353,26 +352,7 @@ def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    feats = d.select(
-        "doc_id",
-        "source",
-        n_tokens.alias("n_tokens"),
-        F.length("text").alias("n_chars_m"),
-        n_stop.alias("n_stop"),
-    )
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
-    score = (
-        F.when(F.col("n_tokens") >= 10, 0.5).otherwise(0.0)
-        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
-        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 0.2).otherwise(0.0)
-    )
-    scored = feats.select(
-        "doc_id", "source", "n_tokens", score.alias("quality_score")
-    )
+    scored = _quality_scored(d, "source")
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").desc(),
         F.col("n_tokens").desc(),
@@ -392,3 +372,104 @@ def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_docs_source_cap.__doc__ = q_docs_source_cap.__doc__.format(k=_SOURCE_CAP_K)
+
+
+#: per-language token budget: sized to BITE at gate scale (sf0.01 languages
+#: hold ~3-6k tokens each, so some docs are excluded) while still selecting
+#: a nonempty prefix everywhere — and kept UNDER Spark's
+#: spark.sql.optimizer.windowGroupLimitThreshold (1000), above which the
+#: rank<=B map-side prune is not inserted
+_MIX_TOKEN_BUDGET = 800
+
+
+@register(
+    "q_docs_token_budget_mix",
+    oracle=f"""
+WITH {_scored_cte_sql("lang")},
+ranked AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY quality_score DESC, n_tokens DESC, doc_id ASC
+    ) AS rnk
+  FROM scored
+),
+capped AS (SELECT * FROM ranked WHERE rnk <= {_MIX_TOKEN_BUDGET}),
+cum AS (
+  SELECT lang, rnk, doc_id, quality_score, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY rnk
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum_tokens
+  FROM capped
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality_score,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < {_MIX_TOKEN_BUDGET}
+""",
+    survey_ref=(
+        "beyond-reference: token-budget mixture sampling — per-language "
+        "greedy best-quality selection until a token budget (the THIRD "
+        "mixing knob: rate-based rebalance / exact-k cap / token budget)"
+    ),
+)
+def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third standard mixing knob (VERDICT r9 task 4): each language
+    greedily takes its best documents (quality DESC, n_tokens DESC,
+    doc_id ASC — the shared deterministic order) until a TOKEN budget of
+    {b} is exhausted: a doc is selected iff the tokens of its selected
+    predecessors haven't filled the budget (the last pick may overshoot —
+    the standard greedy-prefix contract, so the budget check is
+    ``cum - n_tokens < B`` on the inclusive running sum). Where
+    `q_docs_lang_rebalance` fixes PROPORTIONS and `q_docs_source_cap`
+    fixes DOCUMENT counts, this fixes the unit training actually consumes:
+    tokens.
+
+    100-TB shape — two stacked windows over ONE exchange:
+    - stage 1 ranks and immediately caps at rank <= B, a SEMANTIC NO-OP
+      (every doc has >= 1 token, so at most B docs can ever fit the
+      budget) whose sole purpose is enabling Spark's WindowGroupLimit:
+      the corpus is pruned to B rows per language ON EACH MAP TASK before
+      the shuffle — no full-corpus sort ever forms (plan-pinned);
+    - stage 2 computes the running token sum over the pruned relation
+      with the SAME partitioning (no second exchange — the plan pin
+      asserts one) and applies the budget predicate;
+    - output is bounded by B docs per language regardless of corpus size."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = _quality_scored(d, "lang")
+    order = [
+        F.col("quality_score").desc(),
+        F.col("n_tokens").desc(),
+        F.col("doc_id").asc(),
+    ]
+    w_rank = Window.partitionBy("lang").orderBy(*order)
+    capped = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _MIX_TOKEN_BUDGET)
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = capped.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w_cum).cast("long")
+    )
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _MIX_TOKEN_BUDGET
+    ).select(
+        "lang",
+        F.col("rnk").cast("int").alias("rnk"),
+        "doc_id",
+        "quality_score",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+    )
+
+
+q_docs_token_budget_mix.__doc__ = q_docs_token_budget_mix.__doc__.format(
+    b=_MIX_TOKEN_BUDGET
+)

@@ -446,6 +446,30 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE spec for the word-8-gram occurrence relation (doc_id, i, g): the
+# boilerplate DETECTOR (text_boilerplate_grams) consumes (doc_id, g); the
+# span SURGEON (text_strip_boilerplate) also needs the 1-based start i to
+# excise the covered token positions. Both build from this helper so a
+# gram-width or hashing change cannot drift between the two (the
+# _CHUNK_TOK_CTE single-spec discipline).
+def _gram_occurrences(d: DataFrame) -> DataFrame:
+    """Row-local word-8-gram build: ``(doc_id, i, g)`` with i the 1-based
+    start token position and g the md5 of the space-joined gram. No UDF,
+    no shuffle — higher-order transform over a sequence of offsets, then
+    one posexplode."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
+    )
+    return d.select("doc_id", F.posexplode(grams).alias("pos0", "g")).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("i"), "g"
+    )
+
+
 @register(
     "text_boilerplate_grams",
     oracle="""
@@ -500,18 +524,10 @@ def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     back-join broadcasts under AQE; the per-doc rollup is one more
     groupBy(doc_id). No quadratic path at any corpus size."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
-    )
     # the exploded gram table feeds THREE consumers (boilerplate set, per-doc
     # totals, per-doc hits) — persist so the tokenize+gram+explode pass over
     # the corpus runs once, not three times (caller-owns-cache contract)
-    exploded = d.select("doc_id", F.explode(grams).alias("g")).persist()
+    exploded = _gram_occurrences(d).select("doc_id", "g").persist()
     boiler = (
         exploded.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -540,6 +556,117 @@ def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return owns_caches(out, exploded)  # caller releases after materializing
+
+
+@register(
+    "text_strip_boilerplate",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+),
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN boiler b USING (g)
+),
+cover AS (
+  SELECT DISTINCT doc_id, i + dd AS p FROM hits, UNNEST(range(0, 8)) AS v(dd)
+),
+pos AS (
+  SELECT doc_id, p, t[p] AS token
+  FROM tok, UNNEST(range(1, len(t) + 1)) AS w(p)
+),
+cleanagg AS (
+  SELECT pos.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_kept,
+    string_agg(pos.token, ' ' ORDER BY pos.p) AS clean_text
+  FROM pos LEFT JOIN cover c ON c.doc_id = pos.doc_id AND c.p = pos.p
+  WHERE c.p IS NULL GROUP BY pos.doc_id
+),
+rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cover GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok)
+SELECT d.doc_id,
+  CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+  COALESCE(k.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN tot tt ON tt.doc_id = d.doc_id
+LEFT JOIN cleanagg k ON k.doc_id = d.doc_id
+LEFT JOIN rem r ON r.doc_id = d.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: repeated-substring REMOVAL emitting cleaned "
+        "text (Lee et al. exact-substring-dedup surface over the "
+        "text_boilerplate_grams detector)"
+    ),
+)
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span surgery on the boilerplate detector's output: every token
+    covered by ANY word-8-gram that occurs in >= 2 distinct documents is
+    excised, and the document is re-emitted as its surviving tokens in
+    original order — the Lee-et-al-style exact substring dedup surface
+    (here: strip ALL occurrences of cross-document spans; the keep-first
+    variant is `dedup_paragraphs`). Emits
+    ``(doc_id, n_tokens, n_kept, n_removed, clean_text)`` with the
+    conservation invariant ``n_kept + n_removed == n_tokens`` carried IN
+    the result columns (covered positions are a distinct subset of
+    ``1..n_tokens``, so the equality is structural — the edge suite
+    asserts it).
+
+    100-TB shape:
+    - the ``(doc_id, i, g)`` occurrence relation is built row-locally
+      (shared _gram_occurrences spec) and persisted — it feeds the
+      boilerplate-set aggregate and the hit probe, so the corpus
+      tokenizes once;
+    - the boilerplate set is a map-side-combinable groupBy(g) with a
+      distinct-doc count; true boilerplate is a tiny fraction of distinct
+      grams, so the hit join broadcasts under AQE;
+    - coverage positions explode 8 rows per HIT (linear in flagged spans,
+      not in corpus), and the per-doc removal mask is one groupBy(doc_id)
+      whose collect_set is bounded by the document's own length;
+    - the final excision is ROW-LOCAL: a higher-order filter drops tokens
+      whose 1-based position sits in the sorted mask (O(L·|mask|) inside
+      the row — no token-level shuffle, which would dominate at corpus
+      scale)."""
+    d = load(spark, sf_dir, "documents")
+    exploded = _gram_occurrences(d).persist()
+    boiler = (
+        exploded.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    # same (doc_id, i) cannot repeat (one gram per start), so no distinct
+    hits = exploded.join(boiler, "g").select("doc_id", "i")
+    cover = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p")
+    ).distinct()
+    removed = cover.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("p")).alias("rm")
+    )
+    joined = d.select("doc_id", "text").join(removed, "doc_id", "left")
+    toks = F.split("text", " ")
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda x, j: ~F.array_contains(rm, (j + 1).cast("int")))
+    has_text = F.col("text").isNotNull()
+    n_tokens = F.when(has_text, F.size(toks)).otherwise(F.lit(0)).cast("long")
+    out = joined.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.size(rm)).cast("long").alias("n_kept"),
+        F.size(rm).cast("long").alias("n_removed"),
+        F.when(has_text, F.array_join(kept, " ")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )
+    return owns_caches(out, exploded)
 
 
 @register(

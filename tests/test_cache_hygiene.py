@@ -32,6 +32,10 @@ _PERSISTING = [
     "dedup_incremental_minhash",
     # persists the exploded paragraph relation (keeper agg + probe join)
     "dedup_paragraphs",
+    # persists the (doc_id, i, g) gram-occurrence relation (boiler + hits)
+    "text_strip_boilerplate",
+    # persists the fingerprint table (band sides + verify + output anchor)
+    "multimodal_phash_dedup",
 ]
 
 

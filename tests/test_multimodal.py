@@ -367,3 +367,82 @@ class TestBmpDecode:
         # non-BMP row: unchanged fake (payload byte stats)
         assert out[2]["n_samples"] == len(text)
         assert out[2]["byte_sum"] == sum(text)
+
+
+class TestPhashDedup:
+    """Perceptual-hash image dedup (VERDICT r9 task 5): aHash over the
+    stub-resized 8x8 grid, pigeonhole-banded candidate join, exact Hamming
+    verify — fingerprints are integers, so the gate is engine-exact; these
+    tests pin the SEMANTICS and the plan on a corpus where the truth is
+    known by construction."""
+
+    def _corpus(self, spark, tmp_path):
+        # doc_id % 3 == 0 -> image. 0 and 30 identical payloads (hamming
+        # 0); 3 differs from 0 by one character (low hamming, same
+        # length); 6 is unrelated noise (far).
+        base = " ".join(f"tok{j}" for j in range(40))
+        near = base.replace("tok7", "tok~", 1)
+        far = " ".join(f"zz{j * 31 % 97}" for j in range(55))
+        rows = [
+            (0, base, "en", "s", len(base)),
+            (30, base, "en", "s", len(base)),
+            (3, near, "en", "s", len(near)),
+            (6, far, "en", "s", len(far)),
+            (1, base, "en", "s", len(base)),   # audio: must be absent
+            (2, base, "en", "s", len(base)),   # video: must be absent
+        ]
+        d = tmp_path / "phash_corpus"
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_identical_and_near_images_pair_up(self, spark, tmp_path):
+        from dblink_spark.queries import REGISTRY, materialized
+
+        sf_dir = self._corpus(spark, tmp_path)
+        with materialized(
+            REGISTRY["multimodal_phash_dedup"].fn(spark, sf_dir)
+        ) as df:
+            rows = {r["doc_id"]: r for r in df.collect()}
+        # ONLY the image slice appears
+        assert set(rows) == {0, 3, 6, 30}
+        # identical payloads: identical fingerprints, mutual near-dups,
+        # rep = min doc_id
+        assert rows[0]["phash_lo"] == rows[30]["phash_lo"]
+        assert rows[0]["phash_hi"] == rows[30]["phash_hi"]
+        assert rows[30]["rep_doc"] == 0 and rows[30]["n_near_dups"] >= 1
+        # one-char perturbation: hamming small -> caught as near-dup of 0
+        assert rows[3]["rep_doc"] == 0
+        # unrelated noise: no partners, self-representative
+        assert rows[6]["n_near_dups"] == 0 and rows[6]["rep_doc"] == 6
+
+    def test_hamming_gate_is_exact(self, spark, tmp_path):
+        """The banded path must agree with brute-force Hamming over the
+        emitted fingerprints (pigeonhole completeness for <= 3)."""
+        from dblink_spark.queries import REGISTRY, materialized
+        from dblink_spark.queries.multimodal import _PHASH_MAX_HAMMING
+
+        sf_dir = self._corpus(spark, tmp_path)
+        with materialized(
+            REGISTRY["multimodal_phash_dedup"].fn(spark, sf_dir)
+        ) as df:
+            rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+        fps = {r["doc_id"]: (r["phash_lo"], r["phash_hi"]) for r in rows}
+        ids = sorted(fps)
+        import itertools
+
+        brute = {}
+        for i, j in itertools.combinations(ids, 2):
+            h = bin(fps[i][0] ^ fps[j][0]).count("1") + bin(
+                fps[i][1] ^ fps[j][1]
+            ).count("1")
+            if h <= _PHASH_MAX_HAMMING:
+                brute.setdefault(i, []).append(j)
+                brute.setdefault(j, []).append(i)
+        for r in rows:
+            partners = brute.get(r["doc_id"], [])
+            assert r["n_near_dups"] == len(partners), r
+            want_rep = min([r["doc_id"]] + partners)
+            assert r["rep_doc"] == want_rep, r

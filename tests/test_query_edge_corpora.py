@@ -83,6 +83,10 @@ _QUERIES = [
     # sub-8-token docs exercise the n_grams=0 guard; identical docs 11-13
     # drive a 100%-boilerplate fraction
     "text_boilerplate_grams",
+    # span surgery: identical docs 11-13 are fully excised on ALL copies,
+    # sub-8-token docs pass through untouched, doc 9's shared w0.. prefix
+    # is cut mid-document
+    "text_strip_boilerplate",
     # end-to-end composition: NULL-lang coalesce, mostly-failing quality
     # gate, and a passing identical pair driving a nonzero closure
     "pipeline_corpus_prep",
@@ -103,6 +107,10 @@ _QUERIES = [
     # per-source rank ties (sources hold 1-4 docs, scores mostly 0.0/0.2)
     # pin the deterministic tie-break; every source is under the k=10 cap
     "q_docs_source_cap",
+    # NULL-lang budget stratum, heavy score ties, and the overshoot edge
+    # (last pick may cross the budget) — every edge lang fits the budget,
+    # so greedy takes all; the sf corpora exercise the exclusion arm
+    "q_docs_token_budget_mix",
 ]
 
 
@@ -203,6 +211,36 @@ def test_boilerplate_grams_semantics(spark, edge_dir):
     # a true positive, not a control; doc 17's sentence is corpus-unique
     assert rows[9]["n_boiler"] > 0
     assert rows[17]["n_grams"] > 0 and rows[17]["n_boiler"] == 0
+
+
+def test_strip_boilerplate_semantics(spark, edge_dir):
+    """Span-surgery pins beyond engine agreement: conservation
+    (n_kept + n_removed == n_tokens on EVERY row), full excision of the
+    identical triplet on all copies (strip-all, unlike dedup_paragraphs'
+    keep-first), pass-through of sub-8-token docs, and byte-identical
+    clean_text for untouched docs."""
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["text_strip_boilerplate"].fn(spark, edge_dir)
+    ) as df:
+        rows = {r["doc_id"]: r for r in df.collect()}
+    originals = {i: t for i, t, _, _ in _DOCS}
+    for i, r in rows.items():
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"], i
+    # identical triplet: every 8-gram is cross-document -> ALL copies
+    # stripped empty (including the first — strip-all semantics)
+    for i in (11, 12, 13):
+        assert rows[i]["n_removed"] == rows[i]["n_tokens"] > 0
+        assert rows[i]["clean_text"] == ""
+    # sub-8-token docs cannot carry an 8-gram: untouched, byte-identical
+    for i in (0, 1, 6, 7, 8):
+        assert rows[i]["n_removed"] == 0
+        assert rows[i]["clean_text"] == originals[i]
+    # doc 9 shares its w0.. prefix grams with docs 2-5 but its ' tail'
+    # suffix is unique: partial excision, strictly between 0 and all
+    assert 0 < rows[9]["n_removed"] < rows[9]["n_tokens"]
+    assert rows[9]["clean_text"].endswith("tail")
 
 
 def test_paragraph_dedup_semantics(spark, edge_dir):

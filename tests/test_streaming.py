@@ -342,3 +342,112 @@ class TestNearDedupDocStream:
         a = audit_plan(df)
         assert a.exchanges == 0, "signature computation must be row-local"
         assert a.python_ops == 0, "higher-order functions, not UDFs"
+
+
+class TestIncrementalDedupStreamBatchParity:
+    """VERDICT r9 task 8: the batch incremental dedup
+    (`dedup_incremental_minhash`, new-batch-vs-persisted-index) and the
+    streaming near-dedup twin must agree on novel/dup verdicts for the
+    new-batch shape. The corpus is crafted so the regimes coincide
+    exactly: duplicates are token-SET-identical (band collision iff true
+    dup, Jaccard 1 passes the batch verify), the new batch is internally
+    collision-free (the stream, which also suppresses new-vs-new, has
+    nothing extra to suppress), and band geometry matches (4 bands x 4
+    rows = the batch LSH's 16 hash families via the shared mh_mix)."""
+
+    _OLD_IDS = [i for i in range(1, 30) if i % 10 != 0]
+    # new batch = the doc_id % 10 == 0 stratum (the batch query's split):
+    # 0 dups old doc 1 (token-reordered), 10 dups old doc 23 (exact copy),
+    # 40 dups old doc 7; 20 and 30 are novel
+    _DUP_OF = {0: 1, 10: 23, 40: 7}
+    _NEW_IDS = [0, 10, 20, 30, 40]
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark, tmp_path_factory):
+        import random
+
+        from datetime import datetime, timedelta
+
+        rng = random.Random(42)
+        texts = {}
+        for oid in self._OLD_IDS:
+            toks = rng.sample([f"w{oid}_{j}" for j in range(40)], 20)
+            texts[oid] = " ".join(toks)
+        for nid in self._NEW_IDS:
+            if nid in self._DUP_OF:
+                src = texts[self._DUP_OF[nid]].split(" ")
+                if nid == 0:  # reordered: same token SET, different text
+                    texts[nid] = " ".join(reversed(src))
+                else:
+                    texts[nid] = " ".join(src)
+            else:
+                toks = rng.sample([f"n{nid}_{j}" for j in range(40)], 20)
+                texts[nid] = " ".join(toks)
+
+        d = tmp_path_factory.mktemp("incr_parity")
+        doc_rows = [
+            (i, t, "en", "s", len(t)) for i, t in sorted(texts.items())
+        ]
+        spark.createDataFrame(
+            doc_rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+        base = datetime(2024, 1, 1)
+        # OLD rows first in the single-partition file (stream order =
+        # corpus order; the all-old-survive assertion below verifies the
+        # ordering assumption loudly if a source ever reorders)
+        stream_rows = [
+            (i, texts[i], base + timedelta(seconds=i)) for i in self._OLD_IDS
+        ] + [
+            (i, texts[i], base + timedelta(seconds=600 + i))
+            for i in self._NEW_IDS
+        ]
+        spark.createDataFrame(
+            stream_rows, "doc_id long, text string, event_time timestamp"
+        ).coalesce(1).write.parquet(str(d / "docs_stream"))
+        return str(d)
+
+    def test_stream_and_batch_agree_on_novelty(self, spark, corpus):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType, TimestampType,
+        )
+
+        from dblink_spark.queries import REGISTRY, materialized
+        from dblink_spark.streaming.events import (
+            near_dedup_doc_stream_banded, run_to_memory_sink,
+        )
+
+        with materialized(
+            REGISTRY["dedup_incremental_minhash"].fn(spark, corpus)
+        ) as df:
+            batch = {r["doc_id"]: r for r in df.collect()}
+        assert set(batch) == set(self._NEW_IDS)
+        batch_dups = {i for i, r in batch.items() if not r["is_novel"]}
+        # the constructed truth: exactly the planted duplicates
+        assert batch_dups == set(self._DUP_OF)
+        for nid, oid in self._DUP_OF.items():
+            assert batch[nid]["rep_doc"] == oid
+
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("event_time", TimestampType()),
+        ])
+        stream = spark.readStream.schema(schema).parquet(f"{corpus}/docs_stream")
+        run_to_memory_sink(
+            near_dedup_doc_stream_banded(
+                stream, n_bands=4, rows_per_band=4
+            ),
+            "incr_parity_sink",
+        )
+        survivors = {
+            r["doc_id"] for r in spark.table("incr_parity_sink").collect()
+        }
+        # every OLD doc survives (also proves the old-before-new stream
+        # order the parity regime depends on)
+        assert set(self._OLD_IDS) <= survivors
+        stream_dups = {i for i in self._NEW_IDS if i not in survivors}
+        assert stream_dups == batch_dups, (
+            "stream and batch must issue identical novel/dup verdicts"
+        )
