@@ -113,6 +113,7 @@ R9_QUERIES = [
 R10_QUERIES = [
     "dedup_paragraphs",
     "text_strip_boilerplate",
+    "text_dedup_repeated_ngrams",
     "q_docs_token_budget_mix",
     "multimodal_phash_dedup",
 ]

@@ -264,6 +264,12 @@ _GATE_TAIL = [
     # head-gated entries (decode/frame/feature/phash); full result
     # digest-covered below.
     "multimodal_bytes_stats",
+    # r10: text_dedup_repeated_ngrams (within-doc repeated-span surgery)
+    # enters the head; text_lang_id rotates out — its stopword-hit
+    # confusion table is edge-corpus covered and structurally a plain
+    # groupBy twin of head-gated aggregates; full result digest-covered
+    # below.
+    "text_lang_id",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

@@ -163,6 +163,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("media_type", "s"), ("n_items", "i"), ("total_bytes", "i"),
         ("max_bytes", "i"),
     ],
+    "text_lang_id": [
+        ("lang", "s"), ("pred_lang", "s"), ("n_docs", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -558,24 +558,21 @@ def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owns_caches(out, exploded)  # caller releases after materializing
 
 
-@register(
-    "text_strip_boilerplate",
-    oracle="""
-WITH tok AS (
+# Shared excision skeleton (oracle side): given a ``hits`` CTE of flagged
+# 8-gram start positions (doc_id, i), excise the covered tokens and emit
+# the conserved-count output — ONE copy consumed by both span surgeons
+# (cross-doc text_strip_boilerplate, within-doc text_dedup_repeated_ngrams)
+# so the coverage/reassembly rules cannot drift between them.
+_GRAMS_CTE = """tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS g
   FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
-),
-boiler AS (
-  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
-),
-hits AS (
-  SELECT gr.doc_id, gr.i FROM grams gr JOIN boiler b USING (g)
-),
-cover AS (
+)"""
+
+_EXCISE_TAIL_SQL = """cover AS (
   SELECT DISTINCT doc_id, i + dd AS p FROM hits, UNNEST(range(0, 8)) AS v(dd)
 ),
 pos AS (
@@ -599,7 +596,51 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot tt ON tt.doc_id = d.doc_id
 LEFT JOIN cleanagg k ON k.doc_id = d.doc_id
-LEFT JOIN rem r ON r.doc_id = d.doc_id
+LEFT JOIN rem r ON r.doc_id = d.doc_id"""
+
+
+def _excise_by_hits(d: DataFrame, hits: DataFrame) -> DataFrame:
+    """Spark twin of ``_EXCISE_TAIL_SQL``: given flagged 8-gram starts
+    ``(doc_id, i)``, build the per-doc covered-position mask (8 rows per
+    hit — linear in flagged spans, never in corpus tokens), then excise
+    ROW-LOCALLY with a higher-order filter against the sorted mask (no
+    token-level shuffle). Emits
+    ``(doc_id, n_tokens, n_kept, n_removed, clean_text)`` with the
+    structural conservation ``n_kept + n_removed == n_tokens``."""
+    cover = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p")
+    ).distinct()
+    removed = cover.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("p")).alias("rm")
+    )
+    joined = d.select("doc_id", "text").join(removed, "doc_id", "left")
+    toks = F.split("text", " ")
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda x, j: ~F.array_contains(rm, (j + 1).cast("int")))
+    has_text = F.col("text").isNotNull()
+    n_tokens = F.when(has_text, F.size(toks)).otherwise(F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.size(rm)).cast("long").alias("n_kept"),
+        F.size(rm).cast("long").alias("n_removed"),
+        F.when(has_text, F.array_join(kept, " ")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )
+
+
+@register(
+    "text_strip_boilerplate",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN boiler b USING (g)
+),
+{_EXCISE_TAIL_SQL}
 """,
     survey_ref=(
         "beyond-reference: repeated-substring REMOVAL emitting cleaned "
@@ -645,28 +686,55 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same (doc_id, i) cannot repeat (one gram per start), so no distinct
     hits = exploded.join(boiler, "g").select("doc_id", "i")
-    cover = hits.select(
-        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p")
-    ).distinct()
-    removed = cover.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("p")).alias("rm")
+    return owns_caches(_excise_by_hits(d, hits), exploded)
+
+
+@register(
+    "text_dedup_repeated_ngrams",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+firsts AS (
+  SELECT doc_id, g, MIN(i) AS first_i FROM grams GROUP BY doc_id, g
+),
+hits AS (
+  SELECT gr.doc_id, gr.i
+  FROM grams gr JOIN firsts f ON f.doc_id = gr.doc_id AND f.g = gr.g
+  WHERE gr.i > f.first_i
+),
+{_EXCISE_TAIL_SQL}
+""",
+    survey_ref=(
+        "beyond-reference: WITHIN-document repeated-n-gram removal — the "
+        "self-repetition surgery twin of text_strip_boilerplate (Lee et "
+        "al. within-doc pass; detection-only twin is text_repetition)"
+    ),
+)
+def text_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-repetition surgery: every NON-FIRST occurrence of a word
+    8-gram *within the same document* has its span excised, and the doc
+    re-emits as the surviving tokens (the within-doc half of the
+    exact-substring-dedup family; `text_repetition` only scores the
+    repetition, this removes it). Keep-first is by start position; for
+    SELF-OVERLAPPING runs (e.g. one token repeated 10 times) the excised
+    later spans overlap the kept first span, so removal wins on shared
+    tokens — a deliberate conservative bias (degenerate runs collapse
+    hard), pinned by the edge suite. Emits the shared conserved-count
+    schema ``(doc_id, n_tokens, n_kept, n_removed, clean_text)``.
+
+    100-TB shape: same skeleton as `text_strip_boilerplate` (shared
+    `_excise_by_hits` / ``_EXCISE_TAIL_SQL`` spec) except the flag rule is
+    per-(doc, gram) — the groupBy key includes doc_id, so the aggregate is
+    even better-conditioned (no cross-doc hot grams possible), and
+    everything downstream is linear in flagged spans."""
+    d = load(spark, sf_dir, "documents")
+    exploded = _gram_occurrences(d).persist()
+    firsts = exploded.groupBy("doc_id", "g").agg(F.min("i").alias("first_i"))
+    hits = (
+        exploded.join(firsts, ["doc_id", "g"])
+        .filter(F.col("i") > F.col("first_i"))
+        .select("doc_id", "i")
     )
-    joined = d.select("doc_id", "text").join(removed, "doc_id", "left")
-    toks = F.split("text", " ")
-    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
-    kept = F.filter(toks, lambda x, j: ~F.array_contains(rm, (j + 1).cast("int")))
-    has_text = F.col("text").isNotNull()
-    n_tokens = F.when(has_text, F.size(toks)).otherwise(F.lit(0)).cast("long")
-    out = joined.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        (n_tokens - F.size(rm)).cast("long").alias("n_kept"),
-        F.size(rm).cast("long").alias("n_removed"),
-        F.when(has_text, F.array_join(kept, " ")).otherwise(F.lit("")).alias(
-            "clean_text"
-        ),
-    )
-    return owns_caches(out, exploded)
+    return owns_caches(_excise_by_hits(d, hits), exploded)
 
 
 @register(

@@ -36,6 +36,8 @@ _PERSISTING = [
     "text_strip_boilerplate",
     # persists the fingerprint table (band sides + verify + output anchor)
     "multimodal_phash_dedup",
+    # persists the gram-occurrence relation (firsts agg + hit probe)
+    "text_dedup_repeated_ngrams",
 ]
 
 

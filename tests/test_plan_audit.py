@@ -499,6 +499,27 @@ class TestR10QueryPlans:
 
         release_caches(df)
 
+    def test_repeated_ngram_surgery_plan(self, spark):
+        """Same skeleton pins as the cross-doc surgeon: one persisted gram
+        relation, row-local excision (no token-level shuffle), JVM-side,
+        (doc_id, text) scans only. The flag aggregate keys on
+        (doc_id, g) — hot cross-doc grams structurally impossible."""
+        df = q.REGISTRY["text_dedup_repeated_ngrams"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan, "gram relation must be cached"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        assert a.n_scans <= 2
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        )
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
     def test_token_budget_mix_windows_share_one_exchange(self, spark):
         """VERDICT r9 task 4 pins: the rank cap rides WindowGroupLimit
         (rank <= B pruned to B rows per language ON EACH MAP TASK — no

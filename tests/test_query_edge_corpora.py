@@ -57,6 +57,15 @@ _DOCS = [
     (19, "ping 10.0.0.1, then 255.255.255.255 works but v1.2.3.4 and"
          " 999.1.2.3 stay", "en", "src8"),
     (20, "fax +12 345-678-9012 abroad or 123456789012 raw", "en", "src8"),
+    # Within-doc repetition (r10, text_dedup_repeated_ngrams): doc 21
+    # repeats a NON-overlapping 8-gram (rep1..rep8 ... rep1..rep8) — the
+    # second span excises cleanly; doc 22 is one token repeated 10 times —
+    # the SELF-OVERLAPPING edge where excised later spans overlap the kept
+    # first span and the doc collapses to a single token. Tokens are
+    # corpus-unique so no cross-doc query is perturbed.
+    (21, " ".join(f"rep{j}" for j in range(1, 9)) + " fillx1 fillx2 fillx3 fillx4 "
+         + " ".join(f"rep{j}" for j in range(1, 9)), "en", "src9"),
+    (22, " ".join(["zrpt"] * 10), "en", "src9"),
 ]
 
 _QUERIES = [
@@ -87,6 +96,9 @@ _QUERIES = [
     # sub-8-token docs pass through untouched, doc 9's shared w0.. prefix
     # is cut mid-document
     "text_strip_boilerplate",
+    # within-doc twin: doc 21's non-overlapping repeat, doc 22's
+    # self-overlapping run, everything else untouched
+    "text_dedup_repeated_ngrams",
     # end-to-end composition: NULL-lang coalesce, mostly-failing quality
     # gate, and a passing identical pair driving a nonzero closure
     "pipeline_corpus_prep",
@@ -241,6 +253,38 @@ def test_strip_boilerplate_semantics(spark, edge_dir):
     # suffix is unique: partial excision, strictly between 0 and all
     assert 0 < rows[9]["n_removed"] < rows[9]["n_tokens"]
     assert rows[9]["clean_text"].endswith("tail")
+
+
+def test_repeated_ngram_surgery_semantics(spark, edge_dir):
+    """Within-doc surgery pins: doc 21's SECOND rep1..rep8 span is excised
+    exactly (8 tokens gone, the filler and first span survive in order);
+    doc 22's self-overlapping run collapses to one token (removal wins on
+    shared positions — the documented conservative bias); docs without
+    internal repeats pass through byte-identical; conservation holds on
+    every row."""
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["text_dedup_repeated_ngrams"].fn(spark, edge_dir)
+    ) as df:
+        rows = {r["doc_id"]: r for r in df.collect()}
+    originals = {i: t for i, t, _, _ in _DOCS}
+    for i, r in rows.items():
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"], i
+    # doc 21: 8 + 4 + 8 = 20 tokens; the second rep-span (positions
+    # 13..20) is the only non-first gram occurrence
+    assert rows[21]["n_tokens"] == 20 and rows[21]["n_removed"] == 8
+    assert rows[21]["clean_text"] == (
+        " ".join(f"rep{j}" for j in range(1, 9)) + " fillx1 fillx2 fillx3 fillx4"
+    )
+    # doc 22: grams start at 1..3, first kept, spans 2..9 and 3..10
+    # excised -> only position 1 survives
+    assert rows[22]["n_tokens"] == 10 and rows[22]["clean_text"] == "zrpt"
+    assert rows[22]["n_removed"] == 9
+    # cross-doc duplicates (11/12/13) have no WITHIN-doc repeats: untouched
+    for i in (9, 11, 12, 13):
+        assert rows[i]["n_removed"] == 0
+        assert rows[i]["clean_text"] == originals[i]
 
 
 def test_paragraph_dedup_semantics(spark, edge_dir):
