@@ -270,6 +270,19 @@ _GATE_TAIL = [
     # groupBy twin of head-gated aggregates; full result digest-covered
     # below.
     "text_lang_id",
+    # r10: q_docs_snapshot_diff (crawl-delta extraction) enters the head;
+    # most_common_priority rotates out — the G1 freq+argmax access pattern
+    # stays covered by its real analog (mostProbableClusters unit +
+    # RLdata-parity tests, er/chain.py) and the head keeps the richer
+    # windowed-argmax shapes (q_docs_top_quality_per_lang, source_cap);
+    # full result digest-covered below.
+    "most_common_priority",
+    # r10: q_docs_training_order (deterministic global shuffle) enters the
+    # head; iteration_filter rotates out — the P3 cutoff-filter gate is a
+    # single pushed predicate whose pushdown is plan-pinned and whose
+    # chain-scan analog is unit-tested (sources/chain.py); full result
+    # digest-covered below.
+    "iteration_filter",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

@@ -166,6 +166,12 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "text_lang_id": [
         ("lang", "s"), ("pred_lang", "s"), ("n_docs", "i"),
     ],
+    "most_common_priority": [
+        ("custkey", "i"), ("priority", "s"), ("n", "i"),
+    ],
+    "iteration_filter": [
+        ("event_type", "s"), ("n_events", "i"), ("n_users", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

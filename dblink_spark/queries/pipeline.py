@@ -473,3 +473,179 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_docs_token_budget_mix.__doc__ = q_docs_token_budget_mix.__doc__.format(
     b=_MIX_TOKEN_BUDGET
 )
+
+
+# --- r10: incremental-pipeline front door (snapshot diff) -------------------
+#
+# Snapshot derivation spec, shared verbatim by the Spark query and the
+# DuckDB oracle: two overlapping 90% hash-selections of the corpus stand in
+# for consecutive crawl snapshots, and a 10% hash-selection of the new side
+# carries a deterministic ASCII revision marker (simulated in-place edit).
+# All three memberships are md5-prefix thresholds on doc_id (the
+# q_docs_sample_split discipline) so the fixture snapshots are identical in
+# any engine, under any partitioning.
+_SNAP_RATE_HEX = "e6666666"  # 90% keep rate per snapshot
+_SNAP_REV_HEX = "1999999a"  # 10% of surviving new-side docs are revised
+
+
+def _snap_key_sql(salt: str) -> str:
+    return f"substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+def _snap_key(salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))), 1, 8
+    )
+
+
+@register(
+    "q_docs_snapshot_diff",
+    oracle=f"""
+WITH old_snap AS (
+  SELECT doc_id, COALESCE(md5(text), '<NULL>') AS fp
+  FROM documents
+  WHERE {_snap_key_sql("snapold")} < '{_SNAP_RATE_HEX}'
+),
+new_snap AS (
+  SELECT doc_id,
+    COALESCE(md5(CASE WHEN {_snap_key_sql("snaprev")} < '{_SNAP_REV_HEX}'
+                      THEN text || ' [rev2]' ELSE text END),
+             '<NULL>') AS fp
+  FROM documents
+  WHERE {_snap_key_sql("snapnew")} < '{_SNAP_RATE_HEX}'
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS status,
+  o.fp AS old_fp, n.fp AS new_fp
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+""",
+    survey_ref=(
+        "beyond-reference: snapshot diff (crawl delta) — the incremental "
+        "pipeline's front door: added/removed/changed docs between two "
+        "corpus snapshots, emitting ONLY the delta; feeds "
+        "dedup_incremental_minhash's new-batch side"
+    ),
+)
+def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delta extraction: given two corpus snapshots, emit one row per
+    doc that was ``added`` (new only), ``removed`` (old only), or
+    ``changed`` (both sides, content fingerprint differs) — and NOTHING
+    for unchanged docs, so the output is Δ-sized, not corpus-sized. This
+    is the front door of every incremental pipeline: the delta (added +
+    changed) is exactly what `dedup_incremental_minhash` / incremental
+    scoring consume, and `removed` drives index retirement. Fingerprints
+    are null-safe (``md5(text)`` coalesced to a sentinel), so a doc whose
+    text is NULL in both snapshots is never spuriously 'changed'.
+
+    The two snapshots are hash-derived from the one fixture corpus (spec
+    shared with the oracle: `_snap_key_sql`/`_snap_key`); in production
+    they are two parquet roots and the derivation filters disappear —
+    the OPERATOR under test is the delta join.
+
+    100-TB shape: fingerprints are computed in the SCAN stage (map-side
+    md5), so the full-outer sort-merge join moves (bigint, 32-byte fp)
+    pairs — the text column never shuffles; the join key (doc_id) is
+    unique on both sides, so no skew is possible; the unchanged-row
+    filter sits directly on the join so the Δ-sized result is what hits
+    downstream; scans read only (doc_id, text)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(_snap_key("snapold") < _SNAP_RATE_HEX).select(
+        "doc_id", F.coalesce(F.md5("text"), F.lit("<NULL>")).alias("fp")
+    )
+    revised = _snap_key("snaprev") < _SNAP_REV_HEX
+    new_text = F.when(
+        revised, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = d.filter(_snap_key("snapnew") < _SNAP_RATE_HEX).select(
+        "doc_id", F.coalesce(F.md5(new_text), F.lit("<NULL>")).alias("fp")
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    return j.filter(
+        F.col("o.doc_id").isNull()
+        | F.col("n.doc_id").isNull()
+        | (F.col("o.fp") != F.col("n.fp"))
+    ).select(
+        F.coalesce("o.doc_id", "n.doc_id").alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        F.col("o.fp").alias("old_fp"),
+        F.col("n.fp").alias("new_fp"),
+    )
+
+
+# --- r10: deterministic global shuffle (training order) ---------------------
+
+#: shard count for the training-order shuffle. At gate scale 8 keeps every
+#: shard non-trivially populated; in production this is sized to the target
+#: output-file count (e.g. corpus_bytes / 1 GB), which is what bounds the
+#: per-shard sort.
+_ORDER_SHARDS = 8
+
+
+@register(
+    "q_docs_training_order",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('order|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {_ORDER_SHARDS} AS shard_id,
+    substr(md5('order|' || CAST(doc_id AS VARCHAR)), 9, 16) AS ord_key
+  FROM documents
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY shard_id ORDER BY ord_key, doc_id
+  ) AS INT) AS pos,
+  doc_id, ord_key
+FROM keyed
+""",
+    survey_ref=(
+        "beyond-reference: deterministic global shuffle — reproducible "
+        "training order (shard assignment + within-shard position) as a "
+        "pure function of doc identity"
+    ),
+)
+def q_docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every doc gets a shard and a
+    position within that shard, both pure functions of ``doc_id`` — the
+    SAME order regardless of partitioning, cluster size, retries, or
+    engine (the oracle replays it bit-for-bit). One md5 supplies both
+    coordinates (hex 1-8 → shard, hex 9-24 → within-shard sort key), so
+    the order is uncorrelated with ingest order, doc_id locality, or any
+    content column — the 'global shuffle' guarantee training-data builds
+    need before sharded sequential reads. ``rand()``-based shuffles give
+    none of that (non-reproducible across retries; seed-per-partition
+    pitfalls).
+
+    100-TB shape: exactly ONE exchange (hash on shard_id) followed by an
+    in-partition sort — i.e. a sorted shuffle write, the minimum any
+    global shuffle must pay; `_ORDER_SHARDS` is sized to the output-file
+    count in production (corpus_bytes / file_size), which bounds each
+    per-shard sort to one file's worth of (bigint, 16-byte key) pairs —
+    the text itself never moves until the final write joins it back by
+    doc_id within the already-sharded files; scans read only doc_id."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("order|"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _ORDER_SHARDS)
+        .cast("int")
+        .alias("shard_id"),
+        F.substring(h, 9, 16).alias("ord_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("ord_key", "doc_id")
+    return keyed.select(
+        "shard_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "doc_id",
+        "ord_key",
+    )

@@ -559,3 +559,45 @@ class TestR10QueryPlans:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_snapshot_diff_fingerprints_computed_before_shuffle(self, spark):
+        """Crawl-delta pins: the content fingerprint (md5) is projected in
+        the SCAN stage on BOTH snapshot sides, so each full-outer-join
+        exchange moves (doc_id, 32-byte fp) pairs — the text column must
+        never shuffle; the unchanged-row filter sits directly on the join
+        so only the Δ survives; unique join key → two exchanges total, no
+        product join, everything JVM-side, (doc_id, text) scans only."""
+        df = q.REGISTRY["q_docs_snapshot_diff"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        a = audit_plan(df)
+        assert a.exchanges == 2, "one exchange per snapshot side, no more"
+        assert a.python_ops == 0
+        assert a.n_scans == 2
+        scans = scan_infos(plan)
+        assert all(set(s.read_columns) <= {"doc_id", "text"} for s in scans)
+        # the fp projection must appear BELOW each exchange: no Exchange
+        # block in the formatted plan may carry the text column as input
+        import re
+
+        for block in re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+            assert "text#" not in block, (
+                "text column crossed an exchange — fingerprint must be "
+                "computed map-side:\n" + block
+            )
+
+    def test_training_order_is_one_sorted_shuffle(self, spark):
+        """Deterministic-global-shuffle pins: EXACTLY one exchange (hash on
+        shard_id) followed by an in-partition sort — the minimum any global
+        shuffle must pay; the scan reads only doc_id (the order is a pure
+        function of identity, no content column is touched); JVM-side."""
+        df = q.REGISTRY["q_docs_training_order"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.exchanges == 1
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        scans = scan_infos(plan)
+        assert scans[0].read_columns == ["doc_id"]
+        assert "hashpartitioning(shard_id" in plan

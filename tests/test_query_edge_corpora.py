@@ -123,6 +123,13 @@ _QUERIES = [
     # (last pick may cross the budget) — every edge lang fits the budget,
     # so greedy takes all; the sf corpora exercise the exclusion arm
     "q_docs_token_budget_mix",
+    # 23-doc id range yields all three delta statuses (2 added, 2 removed,
+    # 2 changed — hash membership at the shared 90%/10% spec); the empty
+    # doc 0 pins the ''-vs-NULL fingerprint distinction
+    "q_docs_snapshot_diff",
+    # shard/position determinism on adversarial ids; the NULL-lang and
+    # duplicate-text docs prove the order depends on doc_id alone
+    "q_docs_training_order",
 ]
 
 
@@ -612,3 +619,73 @@ def test_lm_qlp_matches_true_log2_on_grid():
     ).fetchall()
     for c, t, qlp in got:
         assert qlp == math.floor(16 * math.log2(c / t)), (c, t, qlp)
+
+
+def test_snapshot_diff_semantics(spark, tmp_path):
+    """Value-level pins the parity gate can't isolate: a NULL-text doc
+    present in BOTH snapshots is never 'changed' (null-safe fingerprint),
+    an empty-text doc differs from a NULL-text doc (''-vs-sentinel), and
+    every emitted status agrees with a direct membership/revision replay
+    of the shared hash spec."""
+    import hashlib
+
+    d = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(i, None if i % 7 == 3 else f"body {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["q_docs_snapshot_diff"].fn(spark, d).collect()
+    }
+
+    def key(salt, i):
+        return hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8]
+
+    for i in range(40):
+        in_old = key("snapold", i) < "e6666666"
+        in_new = key("snapnew", i) < "e6666666"
+        revised = key("snaprev", i) < "1999999a"
+        text = None if i % 7 == 3 else f"body {i}"
+        if not in_old and not in_new:
+            assert i not in out
+        elif in_old and not in_new:
+            assert out[i]["status"] == "removed"
+        elif in_new and not in_old:
+            assert out[i]["status"] == "added"
+        else:
+            # both sides: changed IFF the revision marker fired on a
+            # non-NULL text; NULL text revises to NULL (concat null-out)
+            # so NULL-in-both is NEVER emitted
+            if text is not None and revised:
+                assert out[i]["status"] == "changed"
+                assert out[i]["old_fp"] != out[i]["new_fp"]
+            else:
+                assert i not in out, f"unchanged doc {i} leaked into the Δ"
+
+
+def test_training_order_partition_invariance(spark, tmp_path):
+    """The 'global shuffle' contract: the (shard_id, pos) assignment is a
+    pure function of doc_id — identical under any input partitioning or
+    row order — and within each shard pos is exactly 1..n."""
+    d = str(tmp_path / "ord")
+    spark.range(0, 300).selectExpr(
+        "id AS doc_id", "'t' AS text"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    fn = REGISTRY["q_docs_training_order"].fn
+    base = sorted(map(tuple, fn(spark, d).collect()))
+
+    # same corpus, adversarial partitioning: 13 hash partitions on a
+    # content column — the result must be bit-identical
+    d2 = str(tmp_path / "ord2")
+    spark.read.parquet(d + "/documents.parquet").repartition(
+        13, "text"
+    ).write.parquet(d2 + "/documents.parquet")
+    assert sorted(map(tuple, fn(spark, d2).collect())) == base
+
+    by_shard = {}
+    for shard, pos, doc, _ in base:
+        by_shard.setdefault(shard, []).append(pos)
+    assert sum(len(v) for v in by_shard.values()) == 300
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
