@@ -109,13 +109,21 @@ R9_QUERIES = [
 ]
 
 # r10: queries added this round (paragraph-level exact dedup, repeated-
-# substring removal, token-budget mixing, perceptual-hash image dedup).
+# substring removal, token-budget mixing, perceptual-hash image dedup,
+# crawl-delta extraction, deterministic training order, SemDeDup-style
+# semantic dedup, nearest-centroid classifier filtering, corpus-level
+# quality-quantile gating).
 R10_QUERIES = [
     "dedup_paragraphs",
     "text_strip_boilerplate",
     "text_dedup_repeated_ngrams",
     "q_docs_token_budget_mix",
     "multimodal_phash_dedup",
+    "q_docs_snapshot_diff",
+    "q_docs_training_order",
+    "dedup_semantic",
+    "vector_centroid_classifier",
+    "q_docs_quality_quantile_gate",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

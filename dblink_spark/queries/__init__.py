@@ -283,6 +283,23 @@ _GATE_TAIL = [
     # chain-scan analog is unit-tested (sources/chain.py); full result
     # digest-covered below.
     "iteration_filter",
+    # r10: dedup_semantic (SemDeDup-style cluster-then-dedup) enters the
+    # head; pairwise_links rotates out — its canonical-pair expansion is
+    # the substrate pairwise_metrics (head) consumes, and the RLdata
+    # parity suite pins it end-to-end; full result digest-covered below.
+    "pairwise_links",
+    # r10: vector_centroid_classifier (model-based curation filter) enters
+    # the head; multimodal_frame_index rotates out — the frame-sampling
+    # kernel stays head-covered via multimodal_decode_stats /
+    # feature_extract (same mapInPandas boundary) and unit-pinned in
+    # tests/test_multimodal.py; full result digest-covered below.
+    "multimodal_frame_index",
+    # r10: q_docs_quality_quantile_gate (global histogram-CDF threshold)
+    # enters the head; q_events_user_distinct_approx rotates out — the
+    # approx-distinct contract-as-data shape stays head-gated via
+    # q_events_value_quantiles_approx (same bounded-sketch family) and its
+    # exact twin distinct_counts; full result digest-covered below.
+    "q_events_user_distinct_approx",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

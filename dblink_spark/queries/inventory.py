@@ -172,6 +172,15 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "iteration_filter": [
         ("event_type", "s"), ("n_events", "i"), ("n_users", "i"),
     ],
+    "pairwise_links": [
+        ("rec1", "i"), ("rec2", "i"), ("nationkey", "i"),
+    ],
+    "multimodal_frame_index": [
+        ("doc_id", "i"), ("n_frames", "i"), ("total_frame_bytes", "i"),
+    ],
+    "q_events_user_distinct_approx": [
+        ("event_type", "s"), ("n_exact", "i"), ("approx_ok", "b"),
+    ],
 }
 
 _NULL = "<NULL>"

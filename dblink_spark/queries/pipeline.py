@@ -649,3 +649,150 @@ def q_docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ord_key",
     )
+
+
+# --- r10: corpus-level quality-quantile gate --------------------------------
+#
+# "Keep the best 30% of the corpus" — a GLOBAL quantile threshold, the
+# complement of the per-group knobs (top-k per lang, per-source cap,
+# token-budget mix). Selection key and quality conditions mirror
+# `_scored_cte_sql` exactly (same three heuristics), expressed as integer
+# POINTS (5/3/2) so the histogram key is an exact integer in both engines;
+# the secondary length coordinate makes the threshold fine-grained without
+# a global sort: rank_key = pts * 1000 + min(n_tokens, 999).
+_GATE_KEEP_NUM, _GATE_KEEP_DEN = 3, 10  # keep fraction as exact integers
+
+_GATE_SCORED_SQL = f"""feats AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars_m,
+    len(list_filter(string_split(text, ' '),
+        x -> x IN ({_STOP_SQL}))) AS n_stop
+  FROM documents
+),
+gscored AS (
+  SELECT doc_id, lang, n_tokens,
+    (CASE WHEN n_tokens >= 10 THEN 5 ELSE 0 END)
+      + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+              THEN 3 ELSE 0 END)
+      + (CASE WHEN CAST(n_chars_m AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+              THEN 2 ELSE 0 END) AS pts
+  FROM feats
+),
+keyed AS (
+  SELECT doc_id, lang, n_tokens, pts,
+    pts * 1000 + LEAST(n_tokens, 999) AS rank_key
+  FROM gscored
+)"""
+
+
+@register(
+    "q_docs_quality_quantile_gate",
+    oracle=f"""
+WITH {_GATE_SCORED_SQL},
+hist AS (SELECT rank_key, COUNT(*) AS cnt FROM keyed GROUP BY rank_key),
+cum AS (
+  SELECT rank_key,
+    SUM(cnt) OVER (ORDER BY rank_key DESC ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER () AS tot
+  FROM hist
+),
+thr AS (
+  SELECT MIN(rank_key) AS threshold_key FROM cum
+  WHERE cum <= ({_GATE_KEEP_NUM} * tot) // {_GATE_KEEP_DEN}
+)
+SELECT k.doc_id, k.lang, CAST(k.n_tokens AS INT) AS n_tokens,
+  CAST(k.pts AS INT) AS pts, CAST(k.rank_key AS INT) AS rank_key,
+  CAST(t.threshold_key AS INT) AS threshold_key
+FROM keyed k, thr t WHERE k.rank_key >= t.threshold_key
+""",
+    survey_ref=(
+        "beyond-reference: corpus-level quality-quantile gate — keep the "
+        "globally best fraction by an exact histogram-CDF threshold, no "
+        "global sort"
+    ),
+)
+def q_docs_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile gate: keep the best ~{num}/{den} of the corpus by
+    quality, where the selection key is (quality points, doc length) —
+    exact and integer-valued, so both engines derive the identical
+    threshold. The threshold is the smallest ``rank_key`` whose
+    top-down cumulative count fits the budget ``(3 * n) div 10``; every
+    doc at-or-above it survives (bucket-granular — never splits a tie
+    bucket, so the kept set is a pure function of the data, not of row
+    order). If even the top bucket exceeds the budget the gate keeps
+    nothing (degenerate all-identical corpus; the edge suite pins it).
+
+    100-TB shape: NO global sort — the CDF comes from a histogram
+    groupBy over the bounded integer key domain (<= ~11k buckets:
+    points x capped length), which partial-aggregates map-side to
+    near-nothing; the single-partition cumulative window runs over that
+    bounded histogram, never over rows; the 1-row threshold broadcasts
+    back (explicit `.limit(1)` documents the fixed cardinality) and the
+    keep pass is a narrow filter. Two corpus scans total (score-for-
+    histogram, score-for-filter) — the irreducible cost of any global
+    threshold; at scale the scored relation is typically already
+    materialized by the scoring stage."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_stop.alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
+    pts = (
+        F.when(F.col("n_tokens") >= 10, 5).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 3).otherwise(0)
+        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 2).otherwise(0)
+    )
+    keyed = feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        pts.alias("pts"),
+        (pts * 1000 + F.least(F.col("n_tokens"), F.lit(999))).alias("rank_key"),
+    )
+    from pyspark.sql import Window
+
+    hist = keyed.groupBy("rank_key").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.orderBy(F.col("rank_key").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    thr = (
+        hist.select(
+            "rank_key",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("tot"),
+        )
+        .filter(
+            F.col("cum")
+            <= F.expr(f"({_GATE_KEEP_NUM} * tot) div {_GATE_KEEP_DEN}")
+        )
+        .agg(F.min("rank_key").alias("threshold_key"))
+        .limit(1)
+    )
+    return (
+        keyed.crossJoin(F.broadcast(thr))
+        .filter(F.col("rank_key") >= F.col("threshold_key"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("pts").cast("int").alias("pts"),
+            F.col("rank_key").cast("int").alias("rank_key"),
+            F.col("threshold_key").cast("int").alias("threshold_key"),
+        )
+    )
+
+
+q_docs_quality_quantile_gate.__doc__ = q_docs_quality_quantile_gate.__doc__.format(
+    num=_GATE_KEEP_NUM, den=_GATE_KEEP_DEN
+)

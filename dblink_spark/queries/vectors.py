@@ -1080,3 +1080,258 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "doc_id", "lang", "cosine", "rank")
     )
+
+
+# --- r10: SemDeDup-style semantic dedup (cluster, then dedup within) -------
+#
+# Abbas et al. 2023 ("SemDeDup"): coarse-cluster the embedding space, then
+# search for near-duplicates ONLY within each cluster — the cluster is the
+# blocking key, the same pigeonhole role the LSH band plays in
+# `dedup_embedding_cosine_scaled`, but derived from the data's own
+# geometry, so semantically-redundant regions (not just hash-colliding
+# ones) land in the same block. Keep-earliest within a cluster.
+_SEMDEDUP_K = 16
+#: same near-dup operating point as `dedup_embedding_cosine_scaled` — the
+#: two blockers are alternative candidate generators over ONE pair
+#: predicate; a threshold drift between them would make their verdicts
+#: incomparable.
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS csq
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+),
+base AS (
+  SELECT vec_id, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  FROM embeddings
+),
+assign AS (
+  SELECT b.vec_id, b.embedding, b.sq, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      {_IVF_COS.format(d=_DOT_SQL.format(a="b.embedding", b="c.ce"), sa="b.sq", sb="c.csq")} DESC,
+      c.cid) AS rn
+  FROM base b CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, embedding, sq, cid FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS earlier,
+    {_IVF_COS.format(d=_DOT_SQL.format(a="a.embedding", b="b.embedding"), sa="a.sq", sb="b.sq")} AS cos
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+drops AS (
+  SELECT vec_id, MIN(earlier) AS rep_id, arg_min(cos, earlier) AS rep_cos
+  FROM pairs WHERE cos >= {_SEMDEDUP_TAU} GROUP BY vec_id
+)
+SELECT c.vec_id, CAST(c.cid AS INT) AS cid,
+  d.vec_id IS NULL AS keep, d.rep_id, d.rep_cos
+FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+""",
+    survey_ref=(
+        "beyond-reference: SemDeDup-style semantic dedup — coarse k-means "
+        "cells as the blocking key, cosine near-dup verdicts only within "
+        "each cell, keep-earliest"
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped: every vector is assigned to its
+    nearest coarse centroid (its *cell*), near-duplicate pairs
+    (cosine >= {tau}) are searched ONLY within cells, and each vector
+    keeps/drops by the keep-earliest rule — ``keep`` is false iff an
+    earlier same-cell vector sits within the threshold, with ``rep_id``
+    the earliest such representative and ``rep_cos`` the cosine to it.
+    One row per corpus vector (survivor-verdict shape, like
+    `dedup_exact`).
+
+    The quantizer here is the first-K explicit baseline arm (the
+    `ann_ivf_untrained_baseline` trick) so the WHOLE pass — assignment,
+    in-cell pairing, verdicts — replays value-for-value in the DuckDB
+    oracle; the production path swaps in `train_ivf_centroids` through
+    the same `ivf_assign_cells` seam, and that quantizer's quality is
+    gated separately by `ann_ivf_trained`'s recall/balance contract.
+
+    100-TB shape: cell assignment is NARROW (greatest over K literal
+    centroid structs — zero shuffle); candidates form only through the
+    cid equi-join of the cell relation with itself (the blocking
+    pigeonhole — no product join), so candidate volume is
+    ~N * cell_size, bounded because K is sized to the corpus
+    (K = N / target_cell, the `bits_for_corpus` discipline) and the
+    quantizer's balance is the gated `balance_ok` contract; the verdict
+    aggregate is a partial-aggregating groupBy (a hot cell partial-aggs
+    map-side, never sorts in one task); the cell relation is persisted
+    once and feeds both join sides plus the anchor (one assignment pass,
+    not three)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < _SEMDEDUP_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cells = ivf_assign_cells(e, cents).persist()
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = _safe_cosine(
+        _dot_q(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.sq"),
+        F.col("b.sq"),
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("earlier"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.min("earlier").alias("rep_id"),
+            F.min_by("cos", "earlier").alias("rep_cos"),
+        )
+    )
+    out = (
+        cells.select("vec_id", "cid")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("rep_id").isNull().alias("keep"),
+            "rep_id",
+            "rep_cos",
+        )
+    )
+    return owns_caches(out, cells)
+
+
+dedup_semantic.__doc__ = dedup_semantic.__doc__.format(tau=_SEMDEDUP_TAU)
+
+
+# --- r10: nearest-centroid classifier (model-based curation filter) --------
+#
+# The fastText/DCLM-style "model-based filtering" shape: fit a tiny linear
+# model, score every document's embedding, keep/flag by prediction. The
+# model here is a nearest-centroid (Rocchio) classifier over the labeled
+# embeddings — per-label mean vectors, cosine assignment — because its fit
+# is ONE exact distributed aggregation, so the oracle replays training AND
+# inference value-for-value (a gradient fit cannot be SQL-replayed).
+#
+# Exactness: per-(label, dim) sums are over floor(x * 1e6) BIGINTs (exact,
+# order-independent); the mean CAST(sum AS DOUBLE) / n is one IEEE division
+# both engines round identically; scoring then rides the module's quantized
+# -dot cosine spec. Scale note: the quantized per-dim sum stays inside
+# BIGINT up to ~9e12 members per label (|q| <= ~1e6 for unit-range dims).
+_CLS_QSCALE = 1_000_000.0
+
+
+@register(
+    "vector_centroid_classifier",
+    oracle=f"""
+WITH dims AS (
+  SELECT label, unnest(range(len(embedding))) AS pos,
+    unnest(embedding) AS val
+  FROM embeddings
+),
+sums AS (
+  SELECT label, pos,
+    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * {_CLS_QSCALE}) AS BIGINT)) AS s,
+    COUNT(*) AS n
+  FROM dims GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS clabel,
+    list(CAST(s AS DOUBLE) / n / {_CLS_QSCALE} ORDER BY pos) AS ce
+  FROM sums GROUP BY label
+),
+csq AS (
+  SELECT clabel, ce, {_DOT_SQL.format(a="ce", b="ce")} AS cs FROM cents
+),
+base AS (
+  SELECT vec_id, label, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id, b.label, c.clabel,
+    {_IVF_COS.format(d=_DOT_SQL.format(a="b.embedding", b="c.ce"), sa="b.sq", sb="c.cs")} AS cos,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      {_IVF_COS.format(d=_DOT_SQL.format(a="b.embedding", b="c.ce"), sa="b.sq", sb="c.cs")} DESC,
+      c.clabel) AS rn
+  FROM base b CROSS JOIN csq c
+)
+SELECT vec_id, label, CAST(clabel AS INT) AS pred_label, cos AS conf,
+  label = clabel AS label_consistent
+FROM scored WHERE rn = 1
+""",
+    survey_ref=(
+        "beyond-reference: nearest-centroid classifier over embeddings — "
+        "model-based curation filtering with an exactly-replayable "
+        "distributed fit"
+    ),
+)
+def vector_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation filter: fit a nearest-centroid classifier on
+    the labeled embeddings (per-label mean vector), then classify every
+    vector by cosine to the centroids — emitting ``pred_label``, the
+    confidence ``conf``, and ``label_consistent`` (prediction agrees with
+    the declared label; the docs a curation pass keeps/flags). One row per
+    corpus vector.
+
+    100-TB shape: the FIT is one exact distributed aggregation —
+    posexplode to (label, dim, quantized value) partial-aggregates
+    map-side down to labels x dims groups (640 here), so the shuffle
+    carries group sums, never rows; the 640 fitted weights collect at the
+    model-weights boundary (same seam as `train_ivf_centroids`) and
+    broadcast as literal arrays; INFERENCE is then a NARROW pass —
+    greatest over per-centroid cosine structs inside whole-stage codegen,
+    zero shuffle, no join — so scoring cost is one scan regardless of
+    corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("val").cast("double") * F.lit(_CLS_QSCALE)).cast("bigint")
+    sums = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in sums:
+        # descale back to original units AFTER the mean — the division
+        # order (sum / n, then / scale) must match the oracle's so both
+        # engines round the same two IEEE divisions
+        by_label.setdefault(r["label"], {})[r["pos"]] = (
+            float(r["s"]) / r["n"] / _CLS_QSCALE
+        )
+    cents = sorted(
+        (int(lbl), [dims[p] for p in sorted(dims)])
+        for lbl, dims in by_label.items()
+    )
+    base = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    structs = [
+        F.struct(
+            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias("cos"),
+            F.lit(-lbl).alias("nlbl"),
+        )
+        for lbl, cvals in cents
+    ]
+    best = F.greatest(*structs)
+    return base.select(
+        "vec_id",
+        "label",
+        (-best.getField("nlbl")).cast("int").alias("pred_label"),
+        best.getField("cos").alias("conf"),
+        (F.col("label") == (-best.getField("nlbl"))).alias("label_consistent"),
+    )

@@ -38,6 +38,8 @@ _PERSISTING = [
     "multimodal_phash_dedup",
     # persists the gram-occurrence relation (firsts agg + hit probe)
     "text_dedup_repeated_ngrams",
+    # persists the cell-assignment relation (both pair-join sides + anchor)
+    "dedup_semantic",
 ]
 
 

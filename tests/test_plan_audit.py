@@ -601,3 +601,61 @@ class TestR10QueryPlans:
         scans = scan_infos(plan)
         assert scans[0].read_columns == ["doc_id"]
         assert "hashpartitioning(shard_id" in plan
+
+    def test_semantic_dedup_blocks_only_through_cells(self, spark):
+        """SemDeDup pins: cell assignment is narrow (quantizer = literal
+        centroids, so ONE parquet scan feeds the whole pass through the
+        persisted cell relation), candidates form only through the cid
+        equi-join (no product join), the verdict aggregate is a
+        partial-aggregating groupBy (no rank window over a hot cell), and
+        scans read only (vec_id, embedding)."""
+        df = q.REGISTRY["dedup_semantic"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "row_number" not in plan.lower()
+        assert "InMemoryTableScan" in plan, "cell relation must be cached"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        assert a.n_scans == 1, "one assignment pass feeds all three consumers"
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"vec_id", "embedding"} for s in scans
+        )
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
+    def test_centroid_classifier_inference_is_zero_exchange(self, spark):
+        """Model-based-filter pins: inference is a pure narrow pass —
+        greatest over per-centroid cosine structs, ZERO exchanges, zero
+        joins, one scan — because the fitted weights are broadcast as
+        literals (the fit's shuffle lives in a separate bounded job that
+        ships 640 group sums, not rows)."""
+        df = q.REGISTRY["vector_centroid_classifier"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.exchanges == 0
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+
+    def test_quantile_gate_histogram_never_sorts_corpus(self, spark):
+        """Global-threshold pins: the CDF comes from a histogram groupBy
+        over the bounded integer key (partial-aggregating — ONE corpus
+        exchange of group counts) plus a single-partition window over the
+        HISTOGRAM only; the 1-row threshold broadcasts back (the one
+        legitimate nested-loop: a 1-row side); no corpus-wide sort or
+        rank window; the histogram pass scans only the text column."""
+        df = q.REGISTRY["q_docs_quality_quantile_gate"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.exchanges == 2, "hist groupBy + histogram window, no more"
+        assert a.python_ops == 0
+        assert a.n_scans == 2, "score-for-histogram + score-for-filter"
+        assert "row_number" not in plan.lower()
+        scans = scan_infos(plan)
+        col_sets = sorted(
+            (len(s.read_columns), set(s.read_columns)) for s in scans
+        )
+        assert col_sets[0][1] == {"text"}, "histogram pass reads text only"
+        assert col_sets[1][1] == {"doc_id", "lang", "text"}

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from dblink_spark.queries import REGISTRY
+from dblink_spark.queries.text import _STOPWORDS
 from tools.oracle_check import compare
 
 # 128-token window / 96 stride boundaries, empty-ish strings, unicode,
@@ -130,6 +131,9 @@ _QUERIES = [
     # shard/position determinism on adversarial ids; the NULL-lang and
     # duplicate-text docs prove the order depends on doc_id alone
     "q_docs_training_order",
+    # tiny-corpus budget ((3*n) div 10 docs), heavy rank_key ties from the
+    # identical triplet, and sub-10-token docs in the 0-point stratum
+    "q_docs_quality_quantile_gate",
 ]
 
 
@@ -429,6 +433,13 @@ _VECTOR_QUERIES = [
     # zero vector projects to all-zero coords; antipodal pair to negated
     # coords (floor asymmetry handled identically on both engines)
     "vector_random_projection",
+    # corpus smaller than K -> every vector is its own centroid; the
+    # zero vector's all-zero cosines tie across all 13 cells (cid-asc
+    # break); the exact-dup pair must land in one cell and drop the later
+    "dedup_semantic",
+    # zero vector ties at conf 0.0 across all centroids (label-asc break);
+    # the antipode classifies away from its source's label centroid
+    "vector_centroid_classifier",
 ]
 
 
@@ -689,3 +700,75 @@ def test_training_order_partition_invariance(spark, tmp_path):
     assert sum(len(v) for v in by_shard.values()) == 300
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_semantic_dedup_edge_verdicts(spark, edge_vectors_dir):
+    """Sharp value pins on the edge vectors: the exact duplicate (12=11's
+    source pair 0/11) must drop with its source as representative at
+    cosine ~1; the zero vector scores 0 against everything so it always
+    survives; survivors plus drops partition the corpus."""
+    out = (
+        REGISTRY["dedup_semantic"]
+        .fn(spark, edge_vectors_dir)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 13
+    assert not out.loc[11, "keep"] and out.loc[11, "rep_id"] == 0
+    assert out.loc[11, "rep_cos"] > 0.999
+    assert out.loc[10, "keep"] and out.loc[0, "keep"]
+    assert (out["keep"] == out["rep_id"].isna()).all()
+
+
+def test_centroid_classifier_edge_verdicts(spark, edge_vectors_dir):
+    """The zero vector's guarded cosine is 0.0 to every centroid, so the
+    label-asc tie-break must predict label 0 at conf exactly 0.0; the
+    exact-duplicate pair (0, 11) must receive identical predictions."""
+    out = (
+        REGISTRY["vector_centroid_classifier"]
+        .fn(spark, edge_vectors_dir)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 13
+    assert out.loc[10, "pred_label"] == 0 and out.loc[10, "conf"] == 0.0
+    assert out.loc[0, "pred_label"] == out.loc[11, "pred_label"]
+    assert out.loc[0, "conf"] == out.loc[11, "conf"]
+
+
+def test_quantile_gate_budget_and_maximality(spark, edge_dir):
+    """The kept set must fit the (3*n) div 10 budget, be downward-closed
+    in rank_key (everything at-or-above the threshold survives), and be
+    MAXIMAL: admitting the next-best excluded bucket would bust the
+    budget — the bucket-granular quantile contract."""
+    docs = spark.read.parquet(f"{edge_dir}/documents.parquet")
+    n = docs.count()
+    budget = (3 * n) // 10
+    kept = (
+        REGISTRY["q_docs_quality_quantile_gate"].fn(spark, edge_dir).toPandas()
+    )
+    assert 0 < len(kept) <= budget
+    thr = kept["threshold_key"].iloc[0]
+    assert (kept["rank_key"] >= thr).all()
+    # recompute every doc's rank_key independently (the same three
+    # heuristics in pandas) to find the next-best excluded bucket
+    rows = docs.select("doc_id", "text").toPandas()
+    stop = set(_STOPWORDS)
+
+    def rank_key(text):
+        toks = text.split(" ")
+        nt, nc = len(toks), len(text)
+        ns = sum(1 for t in toks if t in stop)
+        pts = (
+            (5 if nt >= 10 else 0)
+            + (3 if ns / nt >= 0.05 else 0)
+            + (2 if 3.0 <= nc / nt <= 12.0 else 0)
+        )
+        return pts * 1000 + min(nt, 999)
+
+    keys = sorted(rank_key(t) for t in rows["text"])
+    excluded = [k for k in keys if k < thr]
+    if excluded:
+        next_bucket = max(excluded)
+        overflow = len(kept) + sum(1 for k in keys if k == next_bucket)
+        assert overflow > budget, "gate left budget on the table"
