@@ -112,7 +112,8 @@ R9_QUERIES = [
 # substring removal, token-budget mixing, perceptual-hash image dedup,
 # crawl-delta extraction, deterministic training order, SemDeDup-style
 # semantic dedup, nearest-centroid classifier filtering, corpus-level
-# quality-quantile gating).
+# quality-quantile gating, source-level domain filtering, mixture/epoch
+# recipe, tf-idf keyword extraction, embedding outlier filtering).
 R10_QUERIES = [
     "dedup_paragraphs",
     "text_strip_boilerplate",
@@ -124,6 +125,10 @@ R10_QUERIES = [
     "dedup_semantic",
     "vector_centroid_classifier",
     "q_docs_quality_quantile_gate",
+    "q_docs_domain_filter",
+    "q_docs_mixture_recipe",
+    "text_tfidf_topk",
+    "vector_outlier_filter",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -300,6 +300,28 @@ _GATE_TAIL = [
     # q_events_value_quantiles_approx (same bounded-sketch family) and its
     # exact twin distinct_counts; full result digest-covered below.
     "q_events_user_distinct_approx",
+    # r10: text_tfidf_topk (quantized-idf keyword extraction) enters the
+    # head; pair_canonicalize rotates out — the P4 ordered-pair
+    # normalization is the substrate the RLdata parity suite and the
+    # head-gated pairwise_metrics exercise end-to-end; full result
+    # digest-covered below.
+    "pair_canonicalize",
+    # r10: vector_outlier_filter (exact z-score embedding hygiene) enters
+    # the head; dict_encode rotates out — the P2 dictionary encoding is
+    # pinned by reference goldens (tests/test_cache.py) and feeds every
+    # parity-pinned ER path; full result digest-covered below.
+    "dict_encode",
+    # r10: q_docs_domain_filter (source-level blocklist verdicts) enters
+    # the head; cluster_size_distribution rotates out — the G4 histogram
+    # is a plain groupBy-count whose analog stays head-gated via
+    # distinct_counts and the RLdata chain tests; full result
+    # digest-covered below.
+    "cluster_size_distribution",
+    # r10: q_docs_mixture_recipe (epoch scheduling) enters the head;
+    # membership_to_clusters rotates out — the G6 grouping is pinned by
+    # the RLdata parity suite and its output feeds the still-head-gated
+    # pairwise_metrics/ARI pair; full result digest-covered below.
+    "membership_to_clusters",
     # r8: ann_lsh_recall (the LSH scale path's hash-gated recall contract)
     # enters the head; ann_ivf_untrained_baseline rotates out — it is an
     # explicitly-named baseline arm whose bit-exact full-replay oracle

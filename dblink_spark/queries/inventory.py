@@ -181,6 +181,14 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "q_events_user_distinct_approx": [
         ("event_type", "s"), ("n_exact", "i"), ("approx_ok", "b"),
     ],
+    "pair_canonicalize": [("rec1", "i"), ("rec2", "i")],
+    "dict_encode": [("value", "s"), ("value_id", "i"), ("prob", "f")],
+    "cluster_size_distribution": [
+        ("cluster_size", "i"), ("n_clusters", "i"),
+    ],
+    "membership_to_clusters": [
+        ("ent_id", "i"), ("cluster_hash", "s"), ("cluster_size", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

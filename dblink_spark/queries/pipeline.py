@@ -662,8 +662,14 @@ def q_docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a global sort: rank_key = pts * 1000 + min(n_tokens, 999).
 _GATE_KEEP_NUM, _GATE_KEEP_DEN = 3, 10  # keep fraction as exact integers
 
-_GATE_SCORED_SQL = f"""feats AS (
-  SELECT doc_id, lang,
+
+def _pts_cte_sql(key: str) -> str:
+    """Integer-points twin of :func:`_scored_cte_sql` (same three
+    heuristics, 5/3/2 points instead of 0.5/0.3/0.2) — shared by the
+    quantile gate and the domain filter so "quality" means ONE thing
+    across every knob that thresholds it exactly."""
+    return f"""feats AS (
+  SELECT doc_id, {key},
     len(string_split(text, ' ')) AS n_tokens,
     length(text) AS n_chars_m,
     len(list_filter(string_split(text, ' '),
@@ -671,14 +677,40 @@ _GATE_SCORED_SQL = f"""feats AS (
   FROM documents
 ),
 gscored AS (
-  SELECT doc_id, lang, n_tokens,
+  SELECT doc_id, {key}, n_tokens,
     (CASE WHEN n_tokens >= 10 THEN 5 ELSE 0 END)
       + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
               THEN 3 ELSE 0 END)
       + (CASE WHEN CAST(n_chars_m AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
               THEN 2 ELSE 0 END) AS pts
   FROM feats
-),
+)"""
+
+
+def _pts_scored(d: DataFrame, key: str) -> DataFrame:
+    """Spark twin of :func:`_pts_cte_sql` — row-local integer scoring, no
+    shuffle, reads only (doc_id, {key}, text)."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    feats = d.select(
+        "doc_id",
+        key,
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_stop.alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
+    pts = (
+        F.when(F.col("n_tokens") >= 10, 5).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 3).otherwise(0)
+        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 2).otherwise(0)
+    )
+    return feats.select("doc_id", key, "n_tokens", pts.alias("pts"))
+
+
+_GATE_SCORED_SQL = f"""{_pts_cte_sql("lang")},
 keyed AS (
   SELECT doc_id, lang, n_tokens, pts,
     pts * 1000 + LEAST(n_tokens, 999) AS rank_key
@@ -734,29 +766,14 @@ def q_docs_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold; at scale the scored relation is typically already
     materialized by the scoring stage."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    feats = d.select(
-        "doc_id",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        F.length("text").alias("n_chars_m"),
-        n_stop.alias("n_stop"),
-    )
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
-    pts = (
-        F.when(F.col("n_tokens") >= 10, 5).otherwise(0)
-        + F.when(stop_ratio >= 0.05, 3).otherwise(0)
-        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), 2).otherwise(0)
-    )
-    keyed = feats.select(
+    keyed = _pts_scored(d, "lang").select(
         "doc_id",
         "lang",
         "n_tokens",
-        pts.alias("pts"),
-        (pts * 1000 + F.least(F.col("n_tokens"), F.lit(999))).alias("rank_key"),
+        "pts",
+        (F.col("pts") * 1000 + F.least(F.col("n_tokens"), F.lit(999))).alias(
+            "rank_key"
+        ),
     )
     from pyspark.sql import Window
 
@@ -795,4 +812,189 @@ def q_docs_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_docs_quality_quantile_gate.__doc__ = q_docs_quality_quantile_gate.__doc__.format(
     num=_GATE_KEEP_NUM, den=_GATE_KEEP_DEN
+)
+
+
+# --- r10: source-level (domain) filtering -----------------------------------
+#
+# The RefinedWeb/C4-family domain blocklist pass: aggregate doc-level
+# quality per SOURCE, then keep or drop whole sources — the complement of
+# every per-doc knob above (a doc from a spam farm is dropped even when it
+# individually scores well, because curation trusts provenance statistics
+# over single-doc heuristics). The verdict is pure integer arithmetic
+# (sum_pts * DEN >= THRESH_NUM * n_docs), so no double comparison ever
+# sits near a tie.
+_DOMAIN_MIN_DOCS = 5  # below this, a source has too little evidence: drop
+_DOMAIN_MEAN_NUM, _DOMAIN_MEAN_DEN = 89, 10  # keep iff mean pts >= 8.9
+
+
+@register(
+    "q_docs_domain_filter",
+    oracle=f"""
+WITH {_pts_cte_sql("source")},
+card AS (
+  SELECT source, COUNT(*) AS src_n_docs, SUM(pts) AS src_sum_pts
+  FROM gscored GROUP BY source
+)
+SELECT g.doc_id, g.source,
+  CAST(c.src_n_docs AS BIGINT) AS src_n_docs,
+  CAST(c.src_sum_pts AS DOUBLE) / c.src_n_docs AS src_mean_pts,
+  (c.src_n_docs >= {_DOMAIN_MIN_DOCS}
+   AND c.src_sum_pts * {_DOMAIN_MEAN_DEN}
+       >= {_DOMAIN_MEAN_NUM} * c.src_n_docs) AS src_kept
+FROM gscored g JOIN card c USING (source)
+""",
+    survey_ref=(
+        "beyond-reference: source-level filtering — per-domain quality "
+        "scorecard drives a whole-source keep/drop verdict (the "
+        "RefinedWeb-family blocklist pass)"
+    ),
+)
+def q_docs_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: score every doc (the shared integer-points
+    spec), aggregate a per-source scorecard (doc count, mean points), and
+    emit one verdict row per doc — ``src_kept`` is true iff the doc's
+    source has enough evidence (>= {min_docs} docs) AND a mean score of
+    at least {num}/{den} points. Downstream drops with
+    ``WHERE src_kept`` or audits the scorecard columns directly.
+
+    100-TB shape: the scorecard is a partial-aggregating groupBy — the
+    shuffle carries (source, count, sum) triples, one per source per map
+    task, never rows; the corpus side of the verdict join carries only
+    (doc_id, source) — text is scanned once, in the scorecard pass, and
+    never moves; the scorecard side is domains-sized (millions of rows at
+    web scale, KB-to-MB serialized), so AQE picks a broadcast join at
+    runtime — the plan pins that neither side ever carries text. The
+    keep/drop rule is exact integer arithmetic, identical in any engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = _pts_scored(d, "source")
+    card = scored.groupBy("source").agg(
+        F.count("*").alias("src_n_docs"),
+        F.sum("pts").alias("src_sum_pts"),
+    )
+    kept = (F.col("src_n_docs") >= _DOMAIN_MIN_DOCS) & (
+        F.col("src_sum_pts") * _DOMAIN_MEAN_DEN
+        >= F.col("src_n_docs") * _DOMAIN_MEAN_NUM
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(card, "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("src_n_docs").cast("bigint").alias("src_n_docs"),
+            (
+                F.col("src_sum_pts").cast("double") / F.col("src_n_docs")
+            ).alias("src_mean_pts"),
+            kept.alias("src_kept"),
+        )
+    )
+
+
+q_docs_domain_filter.__doc__ = q_docs_domain_filter.__doc__.format(
+    min_docs=_DOMAIN_MIN_DOCS, num=_DOMAIN_MEAN_NUM, den=_DOMAIN_MEAN_DEN
+)
+
+
+# --- r10: mixture recipe (epoch scheduling) ---------------------------------
+#
+# The data-recipe computation every epoch-weighted training run performs
+# BEFORE sampling: given per-stratum token inventories and target mixture
+# weights, how large can the total token budget be before some stratum
+# exceeds its repetition cap, and how many epochs of each stratum does the
+# chosen budget imply? Uniform target weights keep the whole computation
+# data-derived and exact-integer (weight 1/L each, L = #strata); the cap
+# is {_RECIPE_MAX_EPOCHS} epochs (the "repeat small high-quality subsets
+# up to ~4x" rule of thumb).
+_RECIPE_MAX_EPOCHS = 4
+
+
+@register(
+    "q_docs_mixture_recipe",
+    oracle=f"""
+WITH avail AS (
+  SELECT COALESCE(lang, 'und') AS stratum,
+    SUM(len(string_split(text, ' '))) AS avail_tokens
+  FROM documents GROUP BY 1
+),
+counted AS (
+  SELECT stratum, avail_tokens, COUNT(*) OVER () AS n_strata FROM avail
+),
+sized AS (
+  SELECT stratum, avail_tokens, n_strata,
+    MIN(avail_tokens * {_RECIPE_MAX_EPOCHS} * n_strata) OVER ()
+      AS budget_total
+  FROM counted
+)
+SELECT stratum, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+  CAST(n_strata AS INT) AS n_strata,
+  CAST(budget_total AS BIGINT) AS budget_total,
+  CAST(budget_total // n_strata AS BIGINT) AS target_tokens,
+  CAST((budget_total // n_strata) * 1000 // avail_tokens AS BIGINT)
+    AS epochs_milli
+FROM sized
+""",
+    survey_ref=(
+        "beyond-reference: mixture recipe / epoch scheduling — per-stratum "
+        "token targets and repetition factors for a uniform target mix "
+        "under a max-epochs cap"
+    ),
+)
+def q_docs_mixture_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted data recipe: per language stratum (NULL -> 'und'),
+    the available token inventory, the largest total budget for which no
+    stratum under a uniform target mix repeats more than
+    {max_epochs} epochs (``budget_total = min_l(avail_l * E * L)``), the
+    implied per-stratum token target (``budget_total div L``) and the
+    repetition factor in milli-epochs (``target * 1000 div avail``) —
+    every derived column is integer arithmetic on exact token counts, so
+    the recipe is engine-identical and auditable.
+
+    100-TB shape: the corpus collapses to L rows in ONE partial-
+    aggregating groupBy (the shuffle carries per-task (lang, count)
+    partials); all recipe math then runs on the L-row relation — the
+    windows are single-partition by construction but over L rows, never
+    the corpus (the plan pin asserts exactly one corpus-wide exchange).
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    avail = (
+        d.select(
+            F.coalesce("lang", F.lit("und")).alias("stratum"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("stratum")
+        .agg(F.sum("n_tokens").alias("avail_tokens"))
+    )
+    w = Window.partitionBy()
+    counted = avail.select(
+        "stratum",
+        "avail_tokens",
+        F.count("*").over(w).alias("n_strata"),
+    )
+    sized = counted.select(
+        "stratum",
+        "avail_tokens",
+        "n_strata",
+        F.min(
+            F.col("avail_tokens") * _RECIPE_MAX_EPOCHS * F.col("n_strata")
+        ).over(w).alias("budget_total"),
+    )
+    target = F.expr("budget_total div n_strata")
+    return sized.select(
+        "stratum",
+        F.col("avail_tokens").cast("bigint").alias("avail_tokens"),
+        F.col("n_strata").cast("int").alias("n_strata"),
+        F.col("budget_total").cast("bigint").alias("budget_total"),
+        target.cast("bigint").alias("target_tokens"),
+        F.expr(
+            "(budget_total div n_strata) * 1000 div avail_tokens"
+        ).cast("bigint").alias("epochs_milli"),
+    )
+
+
+q_docs_mixture_recipe.__doc__ = q_docs_mixture_recipe.__doc__.format(
+    max_epochs=_RECIPE_MAX_EPOCHS
 )

@@ -1338,3 +1338,143 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-5 terms per document by tf * idf, with the
+# idf's log2 quantized by the SAME pure-integer construction as the bigram
+# LM above (see the comment over `_LM_TOPV`) so no transcendental is
+# evaluated at query time in either engine:
+#
+#   idf16(df, N) = -qlp(df, N) = 16*s - j   (ceil-quantized 16*log2(N/df);
+#   s, r, j exactly as in the LM construction with c=df, t=N)
+#
+# A token appearing in every doc gets idf16 = 0 and never ranks; rare
+# tokens rank by an integer score tf * idf16, exact in any engine.
+_TFIDF_TOPK = 5
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+i1 AS (
+  SELECT token, df, n_docs,
+    length(bin(n_docs)) - length(bin(df)) AS s0
+  FROM dfreq, n
+),
+i2 AS (
+  SELECT *, CASE WHEN (df << s0) >= n_docs THEN s0 ELSE s0 + 1 END AS s
+  FROM i1
+),
+i3 AS (
+  SELECT *, CAST((df << s) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS r FROM i2
+),
+idf AS (SELECT token, df, 16 * s - ({_LM_J_SQL}) AS idf16 FROM i3),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, i.df, i.idf16,
+    t.tf * i.idf16 AS score,
+    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      ORDER BY t.tf * i.idf16 DESC, t.token) AS rn
+  FROM tf t JOIN idf i USING (token)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  CAST(idf16 AS BIGINT) AS idf16, CAST(score AS BIGINT) AS score,
+  CAST(rn AS INT) AS rn
+FROM scored WHERE rn <= {_TFIDF_TOPK}
+""",
+    survey_ref=(
+        "beyond-reference: tf-idf keyword extraction — top-k terms per doc "
+        "with integer-quantized idf so ranking is engine-exact"
+    ),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} keywords per document by tf-idf: term frequency counted
+    ROW-LOCALLY (distinct tokens of a doc paired with their in-doc counts
+    via higher-order functions — the (doc, token) pair relation is built
+    without any shuffle), document frequency aggregated once over the
+    per-doc distinct relation, idf quantized to 1/16-bit by the LM's
+    pure-integer log2 construction, and the integer score ``tf * idf16``
+    ranked per doc with a deterministic (score desc, token asc)
+    tie-break.
+
+    100-TB shape: ONE corpus tokenize pass persisted and shared by the
+    df aggregate and the scoring join (plan-pinned single scan); the df
+    shuffle carries (token, count) partials — vocab-sized after map-side
+    combine, not corpus-sized; the idf relation stays vocab-sized and
+    equi-joins back (AQE broadcasts it when it fits); the final top-k
+    rides WindowGroupLimit, so each map task forwards at most {k} rows
+    per doc to the rank exchange. The corpus-docs count is the one
+    driver-side scalar (the same bounded model boundary every trained
+    operator uses)."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = F.split("text", " ")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    tf_rel = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.token", F.col("p.tf").cast("long").alias("tf"))
+        .persist()
+    )
+    s0_py = n_docs.bit_length()
+    dfreq = tf_rel.groupBy("token").agg(F.count("*").alias("df"))
+    i2 = dfreq.withColumn(
+        "s0", (F.lit(s0_py) - F.length(F.bin("df"))).cast("int")
+    ).withColumn(
+        "s",
+        F.when(
+            F.expr(f"shiftleft(df, s0) >= {n_docs}L"), F.col("s0")
+        ).otherwise(F.col("s0") + 1),
+    )
+    i3 = i2.withColumn(
+        "r", F.expr("shiftleft(df, s)").cast("double") / F.lit(float(n_docs))
+    )
+    j = None
+    for th in _LM_THRESHOLDS:
+        term = F.when(F.col("r") >= F.lit(th), 1).otherwise(0)
+        j = term if j is None else j + term
+    idf = i3.select(
+        "token", "df", (16 * F.col("s") - j).cast("long").alias("idf16")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    scored = (
+        tf_rel.join(idf, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            "idf16",
+            (F.col("tf") * F.col("idf16")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            "idf16",
+            F.col("score").cast("long").alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+    return owns_caches(scored, tf_rel)
+
+
+text_tfidf_topk.__doc__ = text_tfidf_topk.__doc__.format(k=_TFIDF_TOPK)

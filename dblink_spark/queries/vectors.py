@@ -1335,3 +1335,98 @@ def vector_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("cos").alias("conf"),
         (F.col("label") == (-best.getField("nlbl"))).alias("label_consistent"),
     )
+
+
+# --- r10: embedding outlier filter (exact z-score on quantized norms) ------
+#
+# Corpus-hygiene pass over the embedding table: flag vectors whose squared
+# norm sits far outside their label's distribution (corrupt encodes,
+# zeroed rows, scale bugs — the standard pre-index sanity filter). The
+# per-label moments are EXACT (BIGINT/DECIMAL sums of the quantized
+# squared norm), and the verdict compares dev^2 > K^2 * var through an
+# identical sequence of IEEE double operations in both engines, so the
+# flag is engine-exact without ever evaluating a square root.
+#
+# Norms are quantized at 1e6 (not the module's 1e9 dot scale) so sq^2
+# stays far inside BIGINT and the DECIMAL(38) sums keep ~1e12 rows of
+# headroom per label.
+_OUT_QSCALE = 1_000_000.0
+_OUT_K2 = 4.0  # flag beyond 2 standard deviations
+
+
+@register(
+    "vector_outlier_filter",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label,
+    list_sum(list_transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_OUT_QSCALE}) AS BIGINT)
+    )) AS sq
+  FROM embeddings
+),
+mom AS (
+  SELECT label, COUNT(*) AS n_label,
+    CAST(SUM(sq) AS DOUBLE) AS s1d,
+    CAST(SUM(sq * sq) AS DOUBLE) AS s2d
+  FROM base GROUP BY label
+)
+SELECT b.vec_id, b.label, CAST(b.sq AS BIGINT) AS sq,
+  CAST(m.n_label AS BIGINT) AS n_label,
+  m.s1d / m.n_label AS label_mean,
+  m.s2d / m.n_label - (m.s1d / m.n_label) * (m.s1d / m.n_label) AS label_var,
+  (CAST(b.sq AS DOUBLE) - m.s1d / m.n_label)
+    * (CAST(b.sq AS DOUBLE) - m.s1d / m.n_label)
+    > {_OUT_K2} * (m.s2d / m.n_label - (m.s1d / m.n_label) * (m.s1d / m.n_label))
+    AS is_outlier
+FROM base b JOIN mom m USING (label)
+""",
+    survey_ref=(
+        "beyond-reference: embedding outlier filter — per-label exact "
+        "moments over quantized squared norms, z-score verdict without "
+        "evaluating sqrt"
+    ),
+)
+def vector_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag embedding outliers per label: ``is_outlier`` is true iff the
+    vector's quantized squared norm deviates from its label's mean by
+    more than 2 standard deviations — computed as
+    ``dev^2 > 4 * var`` so no square root is evaluated. One verdict row
+    per corpus vector with the label's (n, mean, var) carried for audit.
+
+    100-TB shape: the squared norm is a row-local fold (zip-free
+    transform+sum inside codegen, zero Python); the moments groupBy
+    partial-aggregates to #labels groups — the shuffle carries (label,
+    n, sum, sum-of-squares) per task, never vectors; the base relation
+    is persisted once and feeds both the moments pass and the verdict
+    join (plan-pinned single scan), and the #labels-sized moments side
+    broadcasts at runtime via AQE. Sums go through DECIMAL(38) so the
+    moments stay exact to ~1e12 vectors per label before the one
+    double conversion both engines round identically."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        _dot_q(
+            F.col("embedding"), F.col("embedding"), scale=_OUT_QSCALE
+        ).alias("sq"),
+    ).persist()
+    mom = base.groupBy("label").agg(
+        F.count("*").alias("n_label"),
+        F.sum(F.col("sq").cast("decimal(38,0)")).cast("double").alias("s1d"),
+        F.sum((F.col("sq") * F.col("sq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2d"),
+    )
+    mean = F.col("s1d") / F.col("n_label")
+    var = F.col("s2d") / F.col("n_label") - mean * mean
+    dev = F.col("sq").cast("double") - mean
+    out = base.join(mom, "label").select(
+        "vec_id",
+        "label",
+        F.col("sq").cast("bigint").alias("sq"),
+        F.col("n_label").cast("bigint").alias("n_label"),
+        mean.alias("label_mean"),
+        var.alias("label_var"),
+        (dev * dev > _OUT_K2 * var).alias("is_outlier"),
+    )
+    return owns_caches(out, base)

@@ -40,6 +40,10 @@ _PERSISTING = [
     "text_dedup_repeated_ngrams",
     # persists the cell-assignment relation (both pair-join sides + anchor)
     "dedup_semantic",
+    # persists the row-local (doc_id, token, tf) relation (df agg + join)
+    "text_tfidf_topk",
+    # persists the quantized-norm base relation (moments pass + verdict)
+    "vector_outlier_filter",
 ]
 
 

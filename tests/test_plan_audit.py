@@ -659,3 +659,79 @@ class TestR10QueryPlans:
         )
         assert col_sets[0][1] == {"text"}, "histogram pass reads text only"
         assert col_sets[1][1] == {"doc_id", "lang", "text"}
+
+    def test_domain_filter_text_never_joins(self, spark):
+        """Source-blocklist pins: the scorecard is ONE partial-aggregating
+        exchange; the verdict join's corpus side carries only
+        (doc_id, source) — text is read in the scorecard pass only and
+        never crosses a join; the domains-sized scorecard broadcasts; no
+        window, no product join."""
+        df = q.REGISTRY["q_docs_domain_filter"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.exchanges == 1, "scorecard groupBy only"
+        assert a.python_ops == 0
+        assert a.broadcast_joins >= 1 and a.sortmerge_joins == 0
+        assert "row_number" not in plan.lower()
+        col_sets = sorted(
+            tuple(sorted(s.read_columns)) for s in scan_infos(plan)
+        )
+        assert col_sets == [("doc_id", "source"), ("source", "text")]
+
+    def test_mixture_recipe_single_corpus_exchange(self, spark):
+        """Recipe pins: the corpus collapses through exactly ONE
+        partial-aggregating exchange (per-stratum token sums); the
+        min/count windows run over the L-row relation (the second
+        exchange is the single-partition window over L rows, never the
+        corpus); one scan reading (lang, text) only."""
+        df = q.REGISTRY["q_docs_mixture_recipe"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.exchanges == 2, "stratum groupBy + L-row window"
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        scans = scan_infos(formatted_plan(df))
+        assert sorted(scans[0].read_columns) == ["lang", "text"]
+
+    def test_tfidf_single_tokenize_pass_and_group_limit(self, spark):
+        """TF-IDF pins: ONE corpus tokenize pass (the persisted
+        (doc_id, token, tf) relation feeds the df aggregate AND the
+        scoring join — InMemoryTableScan), the vocab-sized idf relation
+        broadcasts, and the per-doc top-k rides WindowGroupLimit so map
+        tasks forward at most k rows per doc to the rank exchange."""
+        df = q.REGISTRY["text_tfidf_topk"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.n_scans == 1, "one tokenize pass feeds both consumers"
+        assert "InMemoryTableScan" in plan
+        assert a.exchanges == 2, "df groupBy + doc_id rank window"
+        assert "WindowGroupLimit" in plan
+        assert a.broadcast_joins >= 1 and a.sortmerge_joins == 0
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert sorted(scans[0].read_columns) == ["doc_id", "text"]
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
+    def test_outlier_filter_moments_shuffle_only(self, spark):
+        """Embedding-hygiene pins: the quantized-norm base relation is
+        persisted (one parquet scan feeds moments AND verdict), the only
+        exchange is the #labels-group moments aggregate, the moments side
+        broadcasts back, and no window/sort touches the vectors."""
+        df = q.REGISTRY["vector_outlier_filter"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.n_scans == 1
+        assert "InMemoryTableScan" in plan
+        assert a.exchanges == 1, "moments groupBy only"
+        assert a.broadcast_joins >= 1 and a.sortmerge_joins == 0
+        assert a.python_ops == 0
+        assert "row_number" not in plan.lower()
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"vec_id", "label", "embedding"}
+            for s in scans
+        )
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

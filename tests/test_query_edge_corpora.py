@@ -134,6 +134,16 @@ _QUERIES = [
     # tiny-corpus budget ((3*n) div 10 docs), heavy rank_key ties from the
     # identical triplet, and sub-10-token docs in the 0-point stratum
     "q_docs_quality_quantile_gate",
+    # every edge source holds 1-4 docs, all under the min-docs evidence
+    # floor — the whole corpus must drop on provenance alone
+    "q_docs_domain_filter",
+    # strata of wildly different sizes (en heavy, NULL->'und' tiny): the
+    # und stratum binds the budget and its epochs_milli must hit the cap
+    "q_docs_mixture_recipe",
+    # single-token docs, exact-dup texts (identical tf vectors must get
+    # identical keyword sets), unicode tokens, corpus-wide tokens at
+    # idf16=0
+    "text_tfidf_topk",
 ]
 
 
@@ -440,6 +450,9 @@ _VECTOR_QUERIES = [
     # zero vector ties at conf 0.0 across all centroids (label-asc break);
     # the antipode classifies away from its source's label centroid
     "vector_centroid_classifier",
+    # the zero vector's sq=0 sits far below its label's mean; the exact
+    # duplicate pair must receive identical verdicts within their labels
+    "vector_outlier_filter",
 ]
 
 
@@ -772,3 +785,113 @@ def test_quantile_gate_budget_and_maximality(spark, edge_dir):
         next_bucket = max(excluded)
         overflow = len(kept) + sum(1 for k in keys if k == next_bucket)
         assert overflow > budget, "gate left budget on the table"
+
+
+def test_domain_filter_verdict_consistency(spark, edge_dir):
+    """Every edge source holds fewer than the min-docs evidence floor, so
+    provenance alone must drop every doc; and all docs of one source must
+    share one verdict and one scorecard (the verdict is a function of the
+    source, never the doc)."""
+    out = (
+        REGISTRY["q_docs_domain_filter"].fn(spark, edge_dir).toPandas()
+    )
+    assert (~out["src_kept"]).all()
+    per_src = out.groupby("source")[["src_n_docs", "src_mean_pts", "src_kept"]]
+    assert (per_src.nunique() == 1).all().all()
+    # scorecard counts reconcile with the corpus
+    assert (
+        out.groupby("source")["doc_id"].count()
+        == out.groupby("source")["src_n_docs"].first()
+    ).all()
+
+
+def test_mixture_recipe_laws(spark, edge_dir):
+    """The recipe's defining laws, recomputed from the emitted inventory:
+    budget_total = min(avail * E * L); target = budget div L; the binding
+    stratum's epochs_milli hits the 4-epoch cap exactly and nobody
+    exceeds it; every column is reproducible integer arithmetic."""
+    out = REGISTRY["q_docs_mixture_recipe"].fn(spark, edge_dir).toPandas()
+    L = len(out)
+    assert (out["n_strata"] == L).all()
+    budget = int((out["avail_tokens"] * 4 * L).min())
+    assert (out["budget_total"] == budget).all()
+    assert (out["target_tokens"] == budget // L).all()
+    expect_epochs = (budget // L) * 1000 // out["avail_tokens"]
+    assert (out["epochs_milli"] == expect_epochs).all()
+    assert out["epochs_milli"].max() == 4000
+    assert (out["epochs_milli"] <= 4000).all()
+    assert "und" in set(out["stratum"])
+
+
+def test_tfidf_quantization_is_exact_ceil_log2(spark, edge_dir):
+    """idf16 must equal ceil(16*log2(N/df)) EXACTLY — verified with
+    arbitrary-precision integers (N^16 <= df^16 * 2^idf16 < 2 * N^16),
+    not float log2; plus rank-shape invariants (rn dense from 1, <= k,
+    deterministic (score desc, token asc) order) and the exact-duplicate
+    docs carrying identical keyword sets."""
+    docs = spark.read.parquet(f"{edge_dir}/documents.parquet")
+    n_docs = docs.count()
+    out = REGISTRY["text_tfidf_topk"].fn(spark, edge_dir).toPandas()
+    for df_val, idf16 in (
+        out[["df", "idf16"]].drop_duplicates().itertuples(index=False)
+    ):
+        df_i, k = int(df_val), int(idf16)
+        if df_i == n_docs:
+            assert k == 0
+            continue
+        lhs = df_i**16 * 2**k
+        assert n_docs**16 <= lhs < 2 * n_docs**16, (df_i, k)
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("rn")
+        assert list(g["rn"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 5
+        key = list(zip(-g["score"], g["token"]))
+        assert key == sorted(key)
+    # exact-duplicate texts -> identical (token, tf, score, rn) sets
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+        if r["text"] is not None
+    }
+    by_text = {}
+    for did, t in texts.items():
+        by_text.setdefault(t, []).append(did)
+    dup_groups = [v for v in by_text.values() if len(v) > 1]
+    assert dup_groups, "edge corpus must contain duplicate texts"
+    for grp in dup_groups:
+        sets = {
+            frozenset(
+                zip(g["token"], g["tf"], g["score"], g["rn"])
+            )
+            for _, g in out[out["doc_id"].isin(grp)].groupby("doc_id")
+        }
+        assert len(sets) == 1, grp
+
+
+def test_outlier_filter_edge_verdicts(spark, edge_vectors_dir):
+    """Small-n MASKING, pinned exactly: with only n=5 members per label,
+    no point can strictly exceed 2 population standard deviations —
+    Samuelson's inequality caps z^2 at n-1 = 4 exactly — so even the
+    zero vector (sq=0, the label's extreme deviation) must NOT be
+    flagged; its z^2 must still sit near that algebraic maximum. The
+    exact-duplicate pair shares sq, and each label's carried moments are
+    internally consistent (n_label matches the actual member count)."""
+    out = (
+        REGISTRY["vector_outlier_filter"]
+        .fn(spark, edge_vectors_dir)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 13
+    assert out.loc[10, "sq"] == 0
+    assert not out["is_outlier"].any(), "n<=5 labels: masking forbids flags"
+    z2 = (out.loc[10, "sq"] - out.loc[10, "label_mean"]) ** 2 / out.loc[
+        10, "label_var"
+    ]
+    n = out.loc[10, "n_label"]
+    assert z2 <= (n - 1) + 1e-9, "Samuelson bound"
+    assert z2 > 0.8 * (n - 1), "zero vector must be near the extreme"
+    assert out.loc[0, "sq"] == out.loc[11, "sq"]
+    counts = out.groupby("label")["n_label"].first()
+    actual = out.groupby("label").size()
+    assert (counts == actual).all()
