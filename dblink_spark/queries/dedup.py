@@ -215,7 +215,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     docs = minhash_signatures(d).persist()
     tagged = _tagged_bands(minhash_bands(docs)).persist()
-    cand = capped_band_candidates(minhash_bands(docs), tagged=tagged)
+    cand = capped_band_candidates(None, tagged=tagged)
 
     s1 = docs.select(
         F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"), F.col("n_tok").alias("n1")
@@ -347,7 +347,9 @@ def _tagged_bands(bands: DataFrame) -> DataFrame:
 
 
 def capped_band_candidates(
-    bands: DataFrame, cap: int = HOT_BUCKET_CAP, tagged: DataFrame | None = None
+    bands: DataFrame | None,
+    cap: int = HOT_BUCKET_CAP,
+    tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(doc1 < doc2)`` from the band self-join with
     hot-bucket capping: cold buckets (occ <= cap) keep the exact all-pairs
@@ -358,8 +360,13 @@ def capped_band_candidates(
     ``tagged`` lets the caller pass a PERSISTED ``_tagged_bands`` relation:
     it feeds three consumers (both self-join sides + the hot arm), so a
     long pipeline persists it once instead of shuffling the band relation
-    three times (dedup_minhash_lsh does; the caller owns the cache)."""
+    three times (dedup_minhash_lsh does; the caller owns the cache and
+    passes ``bands=None`` — exactly one of the two inputs is read)."""
     if tagged is None:
+        if bands is None:
+            raise ValueError(
+                "capped_band_candidates needs either bands or tagged"
+            )
         tagged = _tagged_bands(bands)
     cold = tagged.filter(F.col("occ") <= cap)
     a, b = cold.alias("a"), cold.alias("b")

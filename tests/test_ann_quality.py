@@ -137,3 +137,75 @@ def test_trained_quantizer_beats_seed_on_neutral_queries(spark):
     # measured at calibration: seed 0.42, trained 0.575 (sf0.01, nprobe=2)
     assert r_trained > r_seed, (r_trained, r_seed)
     assert r_trained >= 0.5, r_trained
+
+
+def test_semdedup_k_matches_duckdb_formula():
+    """Python `semdedup_k` and the oracle's scalar-subquery formula must
+    agree at every corpus size — a one-cell disagreement changes every
+    centroid and every verdict. The gate corpora (500 vectors) sit at the
+    16-cell floor; sf0.1 (2000) departs it."""
+    import duckdb
+
+    from dblink_spark.queries.vectors import semdedup_k
+
+    con = duckdb.connect()
+    sizes = [0, 1, 500, 1023, 1024, 1025, 2000, 2048, 10**6, 6 * 10**10]
+    for n in sizes:
+        sql_k = con.execute(
+            f"SELECT GREATEST(16, CAST({n} AS BIGINT) // 64)"
+        ).fetchone()[0]
+        assert semdedup_k(n) == sql_k, (n, semdedup_k(n), sql_k)
+    assert semdedup_k(500) == 16           # gate corpora: floor (hashes stable)
+    assert semdedup_k(2000) == 31          # sf0.1: corpus-derived
+    assert semdedup_k(64 * 10**9) == 10**9  # 100-TB-ish: cells keep pace
+
+
+def test_semdedup_cells_scale_with_corpus(spark, tmp_path):
+    """The r10 fixed-K retirement made real (VERDICT r10 #1): on a corpus
+    ABOVE the floor the derived K must exceed 16, the Spark result must
+    still hash-match the DuckDB oracle (the scalar subquery derives the
+    SAME K), and the in-cell candidate volume must stay ~N * target_cell —
+    the linear bound that makes the blocker survive a 100x corpus."""
+    import duckdb
+    import numpy as np
+
+    from dblink_spark.queries import REGISTRY
+    from dblink_spark.queries.vectors import (
+        _SEMDEDUP_TARGET_CELL,
+        semdedup_k,
+    )
+    from tools.oracle_check import compare
+
+    n = 2048  # -> K = 32, double the floor
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=64).astype("float32")], i % 3)
+        for i in range(n)
+    ]
+    d = str(tmp_path / "scaled_vectors")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(d + "/embeddings.parquet")
+
+    q = REGISTRY["dedup_semantic"]
+    sdf = q.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.execute(q.oracle).fetchdf()
+    problems = compare("dedup_semantic", sdf, odf)
+    assert not problems, problems
+
+    k = semdedup_k(n)
+    assert k == 32
+    occ = sdf.groupby("cid").size()
+    assert occ.index.nunique() > 16, "derived K must depart the floor"
+    # in-cell candidate volume: sum C(occ, 2) ~ N/2 * target_cell for a
+    # balanced quantizer; 4x slack absorbs Voronoi skew of the first-K
+    # seed centroids (measured 1.00x at this seed, max cell 85). The
+    # retired fixed-K=16 formulation sits at 2.0x of THIS bound already
+    # at n=2048 and grows linearly with N — the bound is the scale pin.
+    vol = int((occ * (occ - 1) // 2).sum())
+    assert vol <= 4 * (n // 2) * _SEMDEDUP_TARGET_CELL, (vol, occ.describe())
