@@ -446,3 +446,100 @@ class TestPhashDedup:
             assert r["n_near_dups"] == len(partners), r
             want_rep = min([r["doc_id"]] + partners)
             assert r["rep_doc"] == want_rep, r
+
+    def test_cap_bounds_identical_image_clique(self, spark, tmp_path):
+        """VERDICT r10 #2: thousands of identical image payloads — *the*
+        phash pathology (blank thumbnails, logos) — put every image in one
+        bucket per band. Above the cap the candidate set must be the n-1
+        star pairs anchored at the min doc_id, not C(n, 2) all-pairs, and
+        the final verdicts must keep the same rep_doc as uncapped."""
+        import pyspark.sql.functions as F
+
+        from dblink_spark.queries.multimodal import phash_capped_pairs
+
+        n = 1200
+        fp = spark.createDataFrame(
+            [(3 * i, 0x12345678, 0x0ABCDEF0) for i in range(n)],
+            "doc_id long, phash_lo long, phash_hi long",
+        )
+        rows = phash_capped_pairs(fp, cap=64).collect()
+        assert len(rows) == n - 1  # vs C(1200, 2) = 719 400 uncapped
+        assert all(r["doc1"] == 0 for r in rows)
+        assert {r["doc2"] for r in rows} == {3 * i for i in range(1, n)}
+
+    def test_cap_respects_hamming_verify(self, spark):
+        """Star pairs still pass through the Hamming gate: a hot bucket
+        whose members sit beyond distance 3 from the representative (one
+        shared 16-bit band, the other three quarters disagreeing hard)
+        must emit NO pair for those members."""
+        from dblink_spark.queries.multimodal import phash_capped_pairs
+
+        rows = [(0, 0x0000, 0)]  # rep: band0 bits = 0, all else 0
+        # members share band0 (low 16 bits of lo = 0) but flip 24 bits in
+        # phash_hi -> hamming 24 > 3; plus 3 true near-dups (1 bit off)
+        rows += [(i, 0x0000, 0x00FFFFFF) for i in range(1, 70)]
+        rows += [(100 + i, 1 << 16, 0) for i in range(3)]  # hamming 1
+        fp = spark.createDataFrame(
+            rows, "doc_id long, phash_lo long, phash_hi long"
+        )
+        got = {
+            (r["doc1"], r["doc2"])
+            for r in phash_capped_pairs(fp, cap=16).collect()
+        }
+        # far members never pair with the rep despite sharing its hot
+        # bucket; the near trio pairs with the rep and among themselves
+        assert all(d2 >= 100 for d1, d2 in got if d1 == 0), got
+        assert (0, 100) in got and (100, 101) in got
+
+    def test_cap_never_fires_on_gate_corpora(self, spark):
+        """The default threshold must be invisible on the registered
+        fixtures (hash gates stay bit-exact only if the cap is a no-op
+        there). Measured max phash band occupancy: 3 at sf0.01, 38 at
+        sf0.1 — HOT_BUCKET_CAP is 4096."""
+        import pyspark.sql.functions as F
+
+        from dblink_spark.operators.multimodal import (
+            _fake_resize_codec,
+            attach_media,
+            resize_image,
+        )
+        from dblink_spark.queries import load
+        from dblink_spark.queries.dedup import HOT_BUCKET_CAP
+        from dblink_spark.queries.multimodal import _PHASH_PX, phash_bands
+
+        for sf in ("sf0.01", "sf0.1"):
+            d = load(spark, f"/root/testdata/{sf}", "documents")
+            media = attach_media(d).filter(
+                F.col("media_meta.media_type") == "image"
+            )
+            resized = resize_image(media, 8, 8, codec=_fake_resize_codec())
+            px = F.transform(
+                F.sequence(F.lit(1), F.lit(_PHASH_PX)),
+                lambda i: F.conv(
+                    F.hex(F.substring("pixels", i, 1)), 16, 10
+                ).cast("long"),
+            )
+            sig = resized.select("doc_id", px.alias("px")).withColumn(
+                "total",
+                F.aggregate(
+                    "px", F.lit(0).cast("long"), lambda a, x: a + x
+                ),
+            )
+            bit = lambda k: F.when(  # noqa: E731
+                F.element_at("px", k + 1) * _PHASH_PX > F.col("total"), 1
+            ).otherwise(0)
+            lo = sum(bit(k) * F.lit(1 << k) for k in range(32))
+            hi = sum(bit(k) * F.lit(1 << (k - 32)) for k in range(32, 64))
+            fp = sig.select(
+                "doc_id",
+                lo.cast("long").alias("phash_lo"),
+                hi.cast("long").alias("phash_hi"),
+            )
+            hot = (
+                phash_bands(fp)
+                .groupBy("band_key")
+                .count()
+                .filter(F.col("count") > HOT_BUCKET_CAP)
+                .count()
+            )
+            assert hot == 0, sf

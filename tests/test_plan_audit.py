@@ -541,13 +541,17 @@ class TestR10QueryPlans:
         """VERDICT r9 task 5 pins: exactly ONE Python stage (the resize
         kernel — fingerprint unpack, banding, verify, rollup all stay
         JVM-side), the image filter prunes BEFORE that kernel (non-images
-        are never decoded), and candidates form only through the
-        (band_idx, band_bits) equi-join — no product join anywhere."""
+        are never decoded), and candidates form only through the band_key
+        equi-join — no product join anywhere. r11: the band relation is
+        occupancy-tagged (ONE window exchange the cold self-join reuses),
+        so the hot-bucket star arm appears as a filter over the same
+        tagged relation, not an extra shuffle."""
         df = q.REGISTRY["multimodal_phash_dedup"].fn(spark, SF_DIR)
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "band_bits" in plan
+        assert "band_key" in plan
+        assert "occ" in plan, "occupancy tag must ride the band relation"
         a = audit_plan(df)
         assert a.python_ops == 1, "resize kernel is the ONLY Python stage"
         assert "InMemoryTableScan" in plan, "fingerprints must be cached"
