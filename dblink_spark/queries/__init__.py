@@ -329,6 +329,14 @@ _GATE_TAIL = [
     # is digest-covered by q_inventory_checksum below; the canonical IVF
     # entry (ann_ivf_trained) stays head-gated.
     "ann_ivf_untrained_baseline",
+    # r11: text_strip_maximal_spans (Lee-et-al maximal-span substring
+    # removal) enters the head; text_pack_shard_totals rotates out — its
+    # bin-packing invariants are pinned operator-level by
+    # tests/test_packing.py, the per-sequence packing surface stays
+    # head-gated via text_pack_sequences, and like every tail entry its
+    # full result is digest-covered below and hash-verified per round by
+    # tools/driver_sim.py.
+    "text_pack_shard_totals",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -189,6 +189,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "membership_to_clusters": [
         ("ent_id", "i"), ("cluster_hash", "s"), ("cluster_size", "i"),
     ],
+    "text_pack_shard_totals": [
+        ("shard", "i"), ("n_chunks", "i"), ("total_tokens", "i"),
+        ("bins_ok", "b"), ("fill_ok", "b"), ("fill_consistent", "b"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -572,10 +572,17 @@ grams AS (
   FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
 )"""
 
-_EXCISE_TAIL_SQL = """cover AS (
+# cover-from-hits prefix: flagged 8-gram starts -> distinct covered token
+# positions. The fixed-granularity surgeons excise this set directly; the
+# maximal-span surgeon (text_strip_maximal_spans) interposes a
+# gaps-and-islands run-merge + length gate between this and the tail.
+_COVER_FROM_HITS_SQL_T = """{name} AS (
   SELECT DISTINCT doc_id, i + dd AS p FROM hits, UNNEST(range(0, 8)) AS v(dd)
-),
-pos AS (
+)"""
+
+_COVER_FROM_HITS_SQL = _COVER_FROM_HITS_SQL_T.format(name="cover")
+
+_EXCISE_FROM_COVER_SQL = """pos AS (
   SELECT doc_id, p, t[p] AS token
   FROM tok, UNNEST(range(1, len(t) + 1)) AS w(p)
 ),
@@ -598,6 +605,17 @@ LEFT JOIN tot tt ON tt.doc_id = d.doc_id
 LEFT JOIN cleanagg k ON k.doc_id = d.doc_id
 LEFT JOIN rem r ON r.doc_id = d.doc_id"""
 
+_EXCISE_TAIL_SQL = _COVER_FROM_HITS_SQL + ",\n" + _EXCISE_FROM_COVER_SQL
+
+
+def _cover_from_hits(hits: DataFrame) -> DataFrame:
+    """Spark twin of ``_COVER_FROM_HITS_SQL``: flagged 8-gram starts
+    ``(doc_id, i)`` -> distinct covered positions ``(doc_id, p)`` — 8
+    rows per hit, linear in flagged spans, never in corpus tokens."""
+    return hits.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p")
+    ).distinct()
+
 
 def _excise_by_hits(d: DataFrame, hits: DataFrame) -> DataFrame:
     """Spark twin of ``_EXCISE_TAIL_SQL``: given flagged 8-gram starts
@@ -607,9 +625,13 @@ def _excise_by_hits(d: DataFrame, hits: DataFrame) -> DataFrame:
     token-level shuffle). Emits
     ``(doc_id, n_tokens, n_kept, n_removed, clean_text)`` with the
     structural conservation ``n_kept + n_removed == n_tokens``."""
-    cover = hits.select(
-        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p")
-    ).distinct()
+    return _excise_by_cover(d, _cover_from_hits(hits))
+
+
+def _excise_by_cover(d: DataFrame, cover: DataFrame) -> DataFrame:
+    """Spark twin of ``_EXCISE_FROM_COVER_SQL``: given the covered-position
+    relation ``(doc_id, p)`` (distinct), excise those token positions
+    row-locally and emit the shared conserved-count schema."""
     removed = cover.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("p")).alias("rm")
     )
@@ -735,6 +757,105 @@ def text_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "i")
     )
     return owns_caches(_excise_by_hits(d, hits), exploded)
+
+
+# --- r11: MAXIMAL-span substring removal (Lee et al. semantics) ------------
+# The fixed-granularity surgeons above excise every position covered by a
+# flagged 8-gram, so a 40-token boilerplate block and an 8-token idiom are
+# treated identically. The production exact-substring-dedup pass (Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models Better")
+# removes only repeated spans ABOVE a length threshold (~50 tokens there).
+# Here: merge runs of consecutive covered positions into MAXIMAL spans
+# (gaps-and-islands over the covered-position relation — covered positions
+# of overlapping/adjacent shared grams coalesce into one island), then
+# excise only islands of >= _SPAN_MIN_TOKENS tokens. An isolated shared
+# 8-gram covers 8 positions < 16 -> kept; any shared substring of >= 16
+# tokens -> its full extent excised.
+_SPAN_MIN_TOKENS = 16
+
+
+@register(
+    "text_strip_maximal_spans",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN boiler b USING (g)
+),
+{_COVER_FROM_HITS_SQL_T.format(name="rawcover")},
+isl AS (
+  SELECT doc_id, p,
+    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM rawcover
+),
+spans AS (
+  SELECT doc_id, grp FROM isl GROUP BY doc_id, grp
+  HAVING COUNT(*) >= {_SPAN_MIN_TOKENS}
+),
+cover AS (
+  SELECT i2.doc_id, i2.p FROM isl i2 JOIN spans s USING (doc_id, grp)
+),
+{_EXCISE_FROM_COVER_SQL}
+""",
+    survey_ref=(
+        "beyond-reference: maximal repeated-span removal above a length "
+        "threshold — the Lee-et-al exact-substring-dedup semantics "
+        "(VERDICT r10 'What's missing' #3); fixed-granularity twin is "
+        "text_strip_boilerplate"
+    ),
+)
+def text_strip_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact-substring dedup: positions covered by
+    cross-document 8-grams (the `text_strip_boilerplate` detector) are
+    run-merged into MAXIMAL spans, and only spans of at least
+    {min_tokens} tokens are excised — a 40-token licensing block
+    disappears while an 8-token idiom survives, the distinction the
+    fixed-granularity surgeons cannot make. Emits the shared
+    conserved-count schema ``(doc_id, n_tokens, n_kept, n_removed,
+    clean_text)`` with ``n_kept + n_removed == n_tokens``.
+
+    100-TB shape: everything upstream of the run-merge is the shared
+    skeleton (one persisted tokenize+gram pass feeding detector and
+    probe; covered positions explode 8 rows per HIT — linear in flagged
+    spans, not corpus tokens). The run-merge itself is gaps-and-islands:
+    ONE window exchange on doc_id over the Δ-sized cover relation (each
+    doc's covered positions are bounded by its own length, so no hot
+    partition), whose hash partitioning the island aggregate REUSES
+    (grouping on (doc_id, grp) is clustered by the doc_id partitioning);
+    the qualifying-island back-join is (doc_id, grp)-keyed and AQE
+    broadcasts the island side when small. Excision stays row-local —
+    tokens never shuffle."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    exploded = _gram_occurrences(d).persist()
+    boiler = (
+        exploded.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = exploded.join(boiler, "g").select("doc_id", "i")
+    raw = _cover_from_hits(hits)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = raw.select(
+        "doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("grp")
+    )
+    spans = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("span_len"))
+        .filter(F.col("span_len") >= _SPAN_MIN_TOKENS)
+        .select("doc_id", "grp")
+    )
+    cover = isl.join(spans, ["doc_id", "grp"]).select("doc_id", "p")
+    return owns_caches(_excise_by_cover(d, cover), exploded)
+
+
+text_strip_maximal_spans.__doc__ = text_strip_maximal_spans.__doc__.format(
+    min_tokens=_SPAN_MIN_TOKENS
+)
 
 
 @register(

@@ -44,6 +44,8 @@ _PERSISTING = [
     "text_tfidf_topk",
     # persists the quantized-norm base relation (moments pass + verdict)
     "vector_outlier_filter",
+    # persists the gram-occurrence relation (boiler agg + hit probe)
+    "text_strip_maximal_spans",
 ]
 
 

@@ -537,6 +537,31 @@ class TestR10QueryPlans:
             set(s.read_columns) <= {"doc_id", "lang", "text"} for s in scans
         )
 
+    def test_maximal_span_surgery_plan(self, spark):
+        """r11 maximal-span surgeon pins: the shared skeleton holds (ONE
+        persisted gram relation, row-local excision, (doc_id, text) scans
+        only, zero Python), and the run-merge adds exactly one
+        doc_id-partitioned window whose hash partitioning the island
+        aggregate reuses — no token-level shuffle anywhere."""
+        df = q.REGISTRY["text_strip_maximal_spans"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan, "gram relation must be cached"
+        import re as _re
+
+        assert _re.search(r"Window.*row_number", plan, _re.S)
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        assert a.n_scans <= 2  # doc anchor + the persisted gram build
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        ), "excision must not read lang/source/n_chars"
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
     def test_phash_candidates_only_via_band_join(self, spark):
         """VERDICT r9 task 5 pins: exactly ONE Python stage (the resize
         kernel — fingerprint unpack, banding, verify, rollup all stay
