@@ -337,6 +337,21 @@ _GATE_TAIL = [
     # full result is digest-covered below and hash-verified per round by
     # tools/driver_sim.py.
     "text_pack_shard_totals",
+    # r11: vector_classifier_holdout (train/valid generalization contract
+    # for the curation classifier) enters the head; ann_lsh_recall rotates
+    # out — its recall/bucket contract booleans are the in-band columns of
+    # a digest-covered result, its candidate-join plan stays pinned by
+    # tests/test_plan_audit.py, and the LSH surface keeps ann_lsh_bucketed
+    # head-gated; hash-verified per round by tools/driver_sim.py like
+    # every tail entry.
+    "ann_lsh_recall",
+    # r11: dedup_url_canonical (canonical-URL first-pass dedup) enters the
+    # head; multimodal_decode_stats rotates out — the decode kernel is
+    # pinned byte-level by tests/test_multimodal.py (incl. the real-BMP
+    # route), the multimodal family keeps feature_extract / phash /
+    # bytes_stats / frame_index head-gated; digest-covered below and
+    # hash-verified per round by tools/driver_sim.py.
+    "multimodal_decode_stats",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -1072,3 +1072,166 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
     return owns_caches(out, paras)
+
+
+# --- r11: URL/metadata canonical dedup (VERDICT r10 "What's missing" #4) ---
+#
+# The cheapest, most-used first pass of a crawl pipeline: canonicalize the
+# URL and drop exact re-crawls BEFORE any content hashing — scheme/case/
+# www/tracking-param/fragment/trailing-slash noise makes the same page
+# arrive under many raw URLs, and catching it here costs string ops on a
+# short column instead of tokenizing gigabytes of body text. The fixtures
+# carry no URL column, so a deterministic URL-ish string is DERIVED from
+# (doc_id, lang, source) with exactly the noise classes a canonicalizer
+# must remove (mixed-case scheme+host, www., per-crawl utm_* junk,
+# unordered params, fragments, trailing slash); the canonicalization rules
+# and the keep-first-crawl decision are the real operator and replay
+# engine-exactly.
+#
+# Canonical form: host/path lowercased, scheme and 'www.' dropped, fragment
+# dropped, utm_* params dropped, surviving params sorted, trailing slash
+# stripped. Keep = earliest crawl (min doc_id) per canonical key.
+_URL_RAW_SQL = """(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END
+  || source || '.example.com/'
+  || COALESCE(lang, 'und') || '/page-' || CAST(doc_id % 50 AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+  || '?utm_source=s' || CAST(doc_id AS VARCHAR)
+  || '&ref=r' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=c'
+  || CASE WHEN doc_id % 7 = 0
+     THEN '#sec-' || CAST(doc_id AS VARCHAR) ELSE '' END
+)"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_replace(url, '[?#].*$', '') AS base,
+    CASE WHEN strpos(url, '?') > 0
+      THEN regexp_replace(substr(url, strpos(url, '?') + 1), '#.*$', '')
+      ELSE '' END AS query
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, url,
+    rtrim(
+      regexp_replace(regexp_replace(lower(base), '^https?://', ''),
+                     '^www\\.', ''),
+      '/')
+    || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url
+  FROM (
+    SELECT doc_id, url, base,
+      array_to_string(list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS kept
+    FROM parts
+  )
+),
+tagged AS (
+  SELECT doc_id, url, canon_url,
+    COUNT(*) OVER (PARTITION BY canon_url) AS n_crawls,
+    MIN(doc_id) OVER (PARTITION BY canon_url) AS rep_doc
+  FROM canon
+)
+SELECT doc_id, url, canon_url,
+  CAST(n_crawls AS BIGINT) AS n_crawls, rep_doc,
+  doc_id = rep_doc AS keep
+FROM tagged
+""",
+    survey_ref=(
+        "beyond-reference: URL/metadata canonical dedup — canonicalize, "
+        "keep first crawl per canonical key; the pre-content first pass "
+        "of a crawl pipeline (q_docs_snapshot_diff is the adjacent "
+        "cross-snapshot delta, not a substitute)"
+    ),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup: each crawl record's URL is normalized
+    (lowercase scheme+host, strip scheme / ``www.`` / fragment /
+    ``utm_*`` tracking params / trailing slash, sort surviving params)
+    and the EARLIEST crawl per canonical key is kept. One row per input
+    doc — ``(doc_id, url, canon_url, n_crawls, rep_doc, keep)`` — the
+    survivor-verdict shape downstream delta passes join against.
+
+    100-TB shape: canonicalization is ROW-LOCAL string work inside
+    whole-stage codegen (split/filter/sort over a handful of params — no
+    UDF, no explode); the keep decision is ONE exchange on the canonical
+    key (an unordered window carrying count+min, the `_tagged_bands`
+    trick — not a groupBy+join-back, which would shuffle twice more);
+    output is linear in the input. Scans read only (doc_id, lang,
+    source) — body text is never touched, which is the entire point of
+    running this pass first."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.coalesce("lang", F.lit("und")),
+        F.lit("/page-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=r"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&utm_campaign=c"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("#sec-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = F.regexp_replace(F.col("url"), r"[?#].*$", "")
+    query = F.when(
+        F.instr(F.col("url"), "?") > 0,
+        F.regexp_replace(
+            F.substring_index(F.col("url"), "?", -1), r"#.*$", ""
+        ),
+    ).otherwise(F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    host_path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(base), r"^https?://", ""), r"^www\.", ""
+        ),
+        r"/+$",
+        "",
+    )
+    canon = F.concat(
+        host_path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("canon_url")
+    tagged = (
+        d.select("doc_id", raw.alias("url"))
+        .withColumn("canon_url", canon)
+        .select(
+            "doc_id",
+            "url",
+            "canon_url",
+            F.count("*").over(w).cast("long").alias("n_crawls"),
+            F.min("doc_id").over(w).alias("rep_doc"),
+        )
+    )
+    return tagged.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        "n_crawls",
+        "rep_doc",
+        (F.col("doc_id") == F.col("rep_doc")).alias("keep"),
+    )

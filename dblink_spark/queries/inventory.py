@@ -193,6 +193,14 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("shard", "i"), ("n_chunks", "i"), ("total_tokens", "i"),
         ("bins_ok", "b"), ("fill_ok", "b"), ("fill_consistent", "b"),
     ],
+    "ann_lsh_recall": [
+        ("n_queries", "i"), ("n_returned_total", "i"),
+        ("recall_ok", "b"), ("buckets_ok", "b"),
+    ],
+    "multimodal_decode_stats": [
+        ("media_type", "s"), ("n_items", "i"), ("total_samples", "i"),
+        ("total_byte_sum", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -1367,6 +1367,237 @@ def vector_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: classifier HOLDOUT contract (VERDICT r10 "What's missing" #5) ----
+#
+# `vector_centroid_classifier` fits and scores on the same rows; the
+# production question is generalization, and the production failure is
+# LEAKAGE (valid rows reaching the fit). This entry fits the same
+# exact-integer Rocchio model on a deterministic hash-keyed TRAIN stratum
+# (the q_docs_sample_split discipline, 25% valid) and scores the whole
+# corpus in one narrow pass, emitting per-label train/valid accuracy plus
+# two corpus-level contract booleans (the ann_ivf_trained
+# contract-as-data pattern):
+# - fit_ok:  train accuracy >= 2x chance. The fixture labels are
+#   independent of the embeddings, so a real fit shows up as pure
+#   MEMORIZATION (measured: train ~0.45 vs chance 0.1); a broken fit
+#   (zeroed sums, wrong label mapping) collapses to chance.
+# - leak_ok: valid accuracy <= chance + 5 sd (binomial). Labels being
+#   unlearnable is exactly what makes this a leakage canary: the ONLY way
+#   holdout accuracy can leave the chance band upward is valid rows
+#   having reached the fit (they'd be memorized at ~0.45).
+# On a production corpus with learnable labels, valid_acc is the number a
+# curation pass reads off; the two booleans stay the wiring contract.
+_HOLDOUT_SALT = "clsholdout|"
+_HOLDOUT_VALID_THR = "40000000"  # top 25% of the 32-bit key space
+
+
+@register(
+    "vector_classifier_holdout",
+    oracle=f"""
+WITH keyed AS (
+  SELECT vec_id, label, embedding,
+    substr(md5('{_HOLDOUT_SALT}' || CAST(vec_id AS VARCHAR)), 1, 8) AS k
+  FROM embeddings
+),
+tr AS (SELECT * FROM keyed WHERE k >= '{_HOLDOUT_VALID_THR}'),
+dims AS (
+  SELECT label, unnest(range(len(embedding))) AS pos,
+    unnest(embedding) AS val
+  FROM tr
+),
+sums AS (
+  SELECT label, pos,
+    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * {_CLS_QSCALE}) AS BIGINT)) AS s,
+    COUNT(*) AS n
+  FROM dims GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS clabel,
+    list(CAST(s AS DOUBLE) / n / {_CLS_QSCALE} ORDER BY pos) AS ce
+  FROM sums GROUP BY label
+),
+csq AS (
+  SELECT clabel, ce, {_DOT_SQL.format(a="ce", b="ce")} AS cs FROM cents
+),
+nl AS (SELECT COUNT(*) AS n_labels FROM csq),
+base AS (
+  SELECT vec_id, label, k, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  FROM keyed
+),
+sc AS (
+  SELECT b.vec_id, b.label, b.k, c.clabel,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      {_IVF_COS.format(d=_DOT_SQL.format(a="b.embedding", b="c.ce"), sa="b.sq", sb="c.cs")} DESC,
+      c.clabel) AS rn
+  FROM base b CROSS JOIN csq c
+),
+pred AS (SELECT label, k, clabel AS pred_label FROM sc WHERE rn = 1),
+per AS (
+  SELECT label,
+    SUM(CASE WHEN k >= '{_HOLDOUT_VALID_THR}' THEN 1 ELSE 0 END) AS n_train,
+    SUM(CASE WHEN k < '{_HOLDOUT_VALID_THR}' THEN 1 ELSE 0 END) AS n_valid,
+    SUM(CASE WHEN k >= '{_HOLDOUT_VALID_THR}' AND pred_label = label
+        THEN 1 ELSE 0 END) AS n_correct_train,
+    SUM(CASE WHEN k < '{_HOLDOUT_VALID_THR}' AND pred_label = label
+        THEN 1 ELSE 0 END) AS n_correct_valid
+  FROM pred GROUP BY label
+),
+tot AS (
+  SELECT SUM(n_train) AS t_n, SUM(n_correct_train) AS t_c,
+    SUM(n_valid) AS v_n, SUM(n_correct_valid) AS v_c
+  FROM per
+)
+SELECT p.label,
+  CAST(p.n_train AS BIGINT) AS n_train,
+  CAST(p.n_valid AS BIGINT) AS n_valid,
+  CAST(p.n_correct_train AS BIGINT) AS n_correct_train,
+  CAST(p.n_correct_valid AS BIGINT) AS n_correct_valid,
+  CASE WHEN p.n_train > 0
+    THEN CAST(p.n_correct_train AS DOUBLE) / p.n_train END AS train_acc,
+  CASE WHEN p.n_valid > 0
+    THEN CAST(p.n_correct_valid AS DOUBLE) / p.n_valid END AS valid_acc,
+  1.0 / nl.n_labels AS chance_acc,
+  COALESCE(CAST(t.t_c AS DOUBLE) / NULLIF(t.t_n, 0)
+    >= 2.0 / nl.n_labels, FALSE) AS fit_ok,
+  COALESCE(CAST(t.v_c AS DOUBLE) / NULLIF(t.v_n, 0)
+    <= 1.0 / nl.n_labels + 5.0 * sqrt(
+      ((1.0 / nl.n_labels) * (1.0 - 1.0 / nl.n_labels)) / t.v_n),
+    TRUE) AS leak_ok
+FROM per p CROSS JOIN tot t CROSS JOIN nl
+""",
+    survey_ref=(
+        "beyond-reference: holdout contract for the model-based curation "
+        "classifier — hash-keyed train/valid split, fit on train only, "
+        "per-label generalization accuracy, memorization + leakage "
+        "contract booleans"
+    ),
+)
+def vector_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier with a HOLDOUT discipline: a
+    deterministic hash split (salt-domain-separated md5 over vec_id, 25%
+    valid — the `q_docs_sample_split` mechanism) partitions the corpus;
+    the exact-integer Rocchio fit sees ONLY the train stratum; one narrow
+    inference pass scores every row; the result is one row per label with
+    train/valid counts and accuracies plus two corpus-level contract
+    booleans — ``fit_ok`` (train accuracy >= 2x chance: the fit
+    memorizes, so it is real) and ``leak_ok`` (valid accuracy inside the
+    binomial chance band: the fit never saw valid rows — a leak would be
+    memorized and blow the band upward). Both engines replay fit AND
+    inference value-for-value.
+
+    100-TB shape: split membership is a row-local hash compare (no
+    coordination); the fit is the same map-side-combining labels x dims
+    aggregation as `vector_centroid_classifier` with the train filter
+    pushed below it; inference is zero-exchange (greatest over literal
+    broadcast weights); the per-label rollup partial-aggregates to L
+    groups, and the corpus-level contract row is a broadcast of ONE
+    summary row back onto L label rows."""
+    e = load(spark, sf_dir, "embeddings")
+    key = F.substring(
+        F.md5(F.concat(F.lit(_HOLDOUT_SALT), F.col("vec_id").cast("string"))),
+        1,
+        8,
+    )
+    keyed = e.select("vec_id", "label", "embedding", key.alias("k"))
+    tr = keyed.filter(F.col("k") >= _HOLDOUT_VALID_THR)
+    q = F.floor(F.col("val").cast("double") * F.lit(_CLS_QSCALE)).cast("bigint")
+    sums = (
+        tr.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in sums:
+        by_label.setdefault(r["label"], {})[r["pos"]] = (
+            float(r["s"]) / r["n"] / _CLS_QSCALE
+        )
+    cents = sorted(
+        (int(lbl), [dims[p] for p in sorted(dims)])
+        for lbl, dims in by_label.items()
+    )
+    if not cents:
+        raise ValueError(
+            "vector_classifier_holdout: train stratum is empty — no model"
+        )
+    n_labels = len(cents)
+    base = keyed.select(
+        "label",
+        "k",
+        "embedding",
+        _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    structs = [
+        F.struct(
+            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias("cos"),
+            F.lit(-lbl).alias("nlbl"),
+        )
+        for lbl, cvals in cents
+    ]
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    is_train = F.col("k") >= _HOLDOUT_VALID_THR
+    hit = F.col("pred_label") == F.col("label")
+    per = (
+        base.select(
+            "label", "k", (-best.getField("nlbl")).cast("int").alias("pred_label")
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(is_train, 1).otherwise(0)).cast("long").alias("n_train"),
+            F.sum(F.when(~is_train, 1).otherwise(0)).cast("long").alias("n_valid"),
+            F.sum(F.when(is_train & hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct_train"),
+            F.sum(F.when((~is_train) & hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct_valid"),
+        )
+    )
+    # ONE corpus-level summary row broadcast back onto the L label rows;
+    # .limit(1) documents the fixed cardinality (broadcast-hint discipline)
+    tot = (
+        per.groupBy()
+        .agg(
+            F.sum("n_train").alias("t_n"),
+            F.sum("n_correct_train").alias("t_c"),
+            F.sum("n_valid").alias("v_n"),
+            F.sum("n_correct_valid").alias("v_c"),
+        )
+        .limit(1)
+    )
+    p = 1.0 / n_labels
+    band = F.lit(p) + F.lit(5.0) * F.sqrt(
+        F.lit(p * (1.0 - p)) / F.col("v_n").cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_train",
+        "n_valid",
+        "n_correct_train",
+        "n_correct_valid",
+        F.when(
+            F.col("n_train") > 0,
+            F.col("n_correct_train").cast("double") / F.col("n_train"),
+        ).alias("train_acc"),
+        F.when(
+            F.col("n_valid") > 0,
+            F.col("n_correct_valid").cast("double") / F.col("n_valid"),
+        ).alias("valid_acc"),
+        F.lit(p).alias("chance_acc"),
+        F.coalesce(
+            F.col("t_c").cast("double") / F.nullif(F.col("t_n"), F.lit(0))
+            >= F.lit(2.0 / n_labels),
+            F.lit(False),
+        ).alias("fit_ok"),
+        F.coalesce(
+            F.col("v_c").cast("double") / F.nullif(F.col("v_n"), F.lit(0))
+            <= band,
+            F.lit(True),
+        ).alias("leak_ok"),
+    )
+
+
 # --- r10: embedding outlier filter (exact z-score on quantized norms) ------
 #
 # Corpus-hygiene pass over the embedding table: flag vectors whose squared

@@ -537,6 +537,25 @@ class TestR10QueryPlans:
             set(s.read_columns) <= {"doc_id", "lang", "text"} for s in scans
         )
 
+    def test_url_canonical_single_shuffle_no_text(self, spark):
+        """r11 URL dedup pins: canonicalization is row-local string work,
+        the keep decision is ONE exchange on the canonical key (unordered
+        window carrying count+min — not a groupBy+join-back), zero Python,
+        and the scan never reads body text (the entire point of a
+        metadata-first pass)."""
+        df = q.REGISTRY["dedup_url_canonical"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        a = audit_plan(df)
+        assert a.exchanges == 1, "one shuffle on canon_url, no more"
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "lang", "source"} for s in scans
+        ), "body text must never be read"
+
     def test_maximal_span_surgery_plan(self, spark):
         """r11 maximal-span surgeon pins: the shared skeleton holds (ONE
         persisted gram relation, row-local excision, (doc_id, text) scans

@@ -79,6 +79,10 @@ _QUERIES = [
     # empty-token exclusion (doc 7), unicode tokens, und stratum, rank ties
     "text_vocab_topk",
     "dedup_exact",
+    # NULL-lang docs route through the 'und' path segment; the exact-dup
+    # texts (1/10, 11-13) do NOT collide here — different doc_ids derive
+    # different pages, pinning that this pass keys on metadata, not text
+    "dedup_url_canonical",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_bottomk_jaccard",
@@ -457,6 +461,10 @@ _VECTOR_QUERIES = [
     # the zero vector's sq=0 sits far below its label's mean; the exact
     # duplicate pair must receive identical verdicts within their labels
     "vector_outlier_filter",
+    # 13-vector corpus: tiny strata (some labels may miss train or valid
+    # rows entirely -> NULL accuracies), the zero vector scored at conf 0,
+    # huge binomial band from the tiny n_valid
+    "vector_classifier_holdout",
 ]
 
 
@@ -737,6 +745,46 @@ def test_semantic_dedup_edge_verdicts(spark, edge_vectors_dir):
     assert (out["keep"] == out["rep_id"].isna()).all()
 
 
+def test_classifier_holdout_contract(spark, edge_vectors_dir):
+    """Contract semantics beyond engine agreement. On the SF fixtures the
+    labels are independent of the embeddings, so the honest expectation is
+    memorization-without-transfer: fit_ok AND leak_ok must BOTH hold
+    (measured: train ~0.45 vs chance 0.1; valid ~0.04-0.08, inside the
+    band). Structural pins everywhere: counts partition each label, the
+    accuracy columns replay the count ratios, contract booleans are
+    corpus-constant."""
+    import math
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = (
+            REGISTRY["vector_classifier_holdout"].fn(spark, sf).collect()
+        )
+        assert rows
+        assert all(r["fit_ok"] for r in rows), sf
+        assert all(r["leak_ok"] for r in rows), sf
+        t_c = sum(r["n_correct_train"] for r in rows)
+        t_n = sum(r["n_train"] for r in rows)
+        v_c = sum(r["n_correct_valid"] for r in rows)
+        v_n = sum(r["n_valid"] for r in rows)
+        p = rows[0]["chance_acc"]
+        assert t_c / t_n >= 2 * p, "memorization must clear 2x chance"
+        assert v_c / v_n <= p + 5 * math.sqrt(p * (1 - p) / v_n)
+
+    rows = (
+        REGISTRY["vector_classifier_holdout"]
+        .fn(spark, edge_vectors_dir)
+        .collect()
+    )
+    for r in rows:
+        if r["n_train"] == 0:
+            assert r["train_acc"] is None
+        else:
+            assert r["train_acc"] == r["n_correct_train"] / r["n_train"]
+        if r["n_valid"] == 0:
+            assert r["valid_acc"] is None
+    assert len({(r["fit_ok"], r["leak_ok"]) for r in rows}) == 1
+
+
 def test_centroid_classifier_edge_verdicts(spark, edge_vectors_dir):
     """The zero vector's guarded cosine is 0.0 to every centroid, so the
     label-asc tie-break must predict label 0 at conf exactly 0.0; the
@@ -899,6 +947,64 @@ def test_outlier_filter_edge_verdicts(spark, edge_vectors_dir):
     counts = out.groupby("label")["n_label"].first()
     actual = out.groupby("label").size()
     assert (counts == actual).all()
+
+
+def test_url_canonical_rules(spark, edge_dir):
+    """Pin the canonicalization semantics beyond engine agreement: scheme
+    case / www / utm params / fragments / trailing slash are all removed,
+    surviving params are sorted, and two doc_ids agreeing on
+    (source, lang, doc_id mod 50, ref mod 4) — the canonical content —
+    dedup regardless of their raw-URL noise."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_url_canonical"].fn(spark, edge_dir).collect()
+    }
+    for r in rows.values():
+        c = r["canon_url"]
+        assert not c.startswith(("http", "HTTP", "www."))
+        assert "utm_" not in c and "#" not in c and "WWW" not in c
+        assert not c.split("?")[0].endswith("/")
+        assert r["rep_doc"] <= r["doc_id"]
+        assert r["keep"] == (r["doc_id"] == r["rep_doc"])
+    # docs 12 and 16: both en, doc_id%50 differs -> no collision; construct
+    # the one collision pair present in the edge ids: none share
+    # (source, lang, id%50, id%4), so every doc is its own canonical rep
+    groups: dict = {}
+    for r in rows.values():
+        groups.setdefault(r["canon_url"], []).append(r["doc_id"])
+    for ids in groups.values():
+        for i in ids:
+            assert rows[i]["rep_doc"] == min(ids)
+            assert rows[i]["n_crawls"] == len(ids)
+
+
+def test_url_canonical_collides_across_noise(spark, tmp_path):
+    """Two crawls of the same page must dedup even when their raw URLs
+    disagree on the noise axes the canonicalizer removes: docs 700 and 800
+    share the canonical content (source, lang, id%50=0, ref=id%4=0) but
+    differ in per-crawl utm_source AND fragment presence (700%7==0 carries
+    '#sec-700', 800 carries none). Note the derivation makes scheme-case/
+    www/trailing-slash agree within any collision group (id%2 and id%5
+    can't differ when id%100 agrees) — those axes are pinned by the
+    no-noise-survives assertions in test_url_canonical_rules."""
+    rows = [(700, "a", "en", "sx"), (800, "b", "en", "sx"),
+            (101, "c", "en", "sx")]
+    d = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_url_canonical"].fn(spark, d).collect()
+    }
+    assert out[700]["url"] != out[800]["url"]
+    assert "#sec-700" in out[700]["url"] and "#" not in out[800]["url"]
+    assert out[700]["canon_url"] == out[800]["canon_url"]
+    assert out[800]["rep_doc"] == 700 and not out[800]["keep"]
+    assert out[700]["keep"] and out[700]["n_crawls"] == 2
+    # different page (id%50=1) never collides despite same source/lang
+    assert out[101]["n_crawls"] == 1 and out[101]["keep"]
 
 
 def test_maximal_span_length_gate(spark, tmp_path):
