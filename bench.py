@@ -131,6 +131,14 @@ R10_QUERIES = [
     "vector_outlier_filter",
 ]
 
+# r11: queries added this round (maximal-span substring removal,
+# classifier holdout contract, URL canonical dedup).
+R11_QUERIES = [
+    "text_strip_maximal_spans",
+    "vector_classifier_holdout",
+    "dedup_url_canonical",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -222,7 +230,8 @@ def main() -> None:
 
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
-        + R8_QUERIES + R9_QUERIES + R10_QUERIES + GATE_QUERIES
+        + R8_QUERIES + R9_QUERIES + R10_QUERIES + R11_QUERIES
+        + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -248,6 +257,7 @@ def main() -> None:
         "r8_total": round(sum(timings[n] for n in R8_QUERIES), 3),
         "r9_total": round(sum(timings[n] for n in R9_QUERIES), 3),
         "r10_total": round(sum(timings[n] for n in R10_QUERIES), 3),
+        "r11_total": round(sum(timings[n] for n in R11_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {
@@ -395,6 +405,7 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "r8_total": out["r8_total"],
         "r9_total": out["r9_total"],
         "r10_total": out["r10_total"],
+        "r11_total": out["r11_total"],
         "gate_overhead_sec": out["gate_overhead_sec"],
         "combined_total": out["combined_total"],
         "n_queries_timed": len(timings),
