@@ -1203,24 +1203,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    cells = ivf_assign_cells(e, cents).persist()
-    a, b = cells.alias("a"), cells.alias("b")
-    cos = _safe_cosine(
-        _dot_q(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.sq"),
-        F.col("b.sq"),
-    )
+    tagged = _semdedup_tagged_cells(ivf_assign_cells(e, cents)).persist()
     drops = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("a.vec_id").alias("earlier"),
-            cos.alias("cos"),
-        )
+        _semdedup_pairs(tagged)
         .filter(F.col("cos") >= _SEMDEDUP_TAU)
         .groupBy("vec_id")
         .agg(
@@ -1229,7 +1214,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        cells.select("vec_id", "cid")
+        tagged.select("vec_id", "cid")
         .join(drops, "vec_id", "left")
         .select(
             "vec_id",
@@ -1239,7 +1224,75 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_cos",
         )
     )
-    return owns_caches(out, cells)
+    return owns_caches(out, tagged)
+
+
+def _semdedup_tagged_cells(cells: DataFrame) -> DataFrame:
+    """Cell assignment annotated with per-cell ``(occ, rep)`` via ONE
+    unordered window over cid (the `_tagged_bands` trick) — the rep
+    struct carries the representative's embedding and squared norm, so
+    the hot arm's cosine verify needs no join-back."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid")
+    return cells.select(
+        "vec_id",
+        "embedding",
+        "sq",
+        "cid",
+        F.count("*").over(w).alias("occ"),
+        F.min(F.struct("vec_id", "embedding", "sq")).over(w).alias("rep"),
+    )
+
+
+def _semdedup_pairs(tagged: DataFrame, cap: int | None = None) -> DataFrame:
+    """In-cell candidate pairs ``(vec_id, earlier, cos)`` with HOT CELLS
+    occupancy-capped (the VERDICT r10 phash/MinHash rule applied to the
+    semantic blocker): identical or near-identical embeddings all land in
+    one cell regardless of K, so a degenerate clique would cost O(occ²)
+    in-cell pairs. Cells above ``cap`` (default `HOT_BUCKET_CAP`) emit
+    star pairs against the cell representative (min vec_id, fingerprint
+    carried by the min(struct) tag). On the degenerate cliques that
+    create hot cells this preserves the keep-earliest verdicts exactly —
+    every member verifies against the clique minimum, which IS the
+    min-earlier partner the uncapped join would pick; what degrades is
+    partner choice inside heterogeneous pathological cells, only above
+    the threshold. The cap never fires on the gate corpora (expected cell
+    ~64 vectors by the `semdedup_k` sizing; hash gates stay bit-exact)."""
+    from dblink_spark.queries.dedup import HOT_BUCKET_CAP
+
+    if cap is None:
+        cap = HOT_BUCKET_CAP
+    cold = tagged.filter(F.col("occ") <= cap)
+    a, b = cold.alias("a"), cold.alias("b")
+    cos_cold = _safe_cosine(
+        _dot_q(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.sq"),
+        F.col("b.sq"),
+    )
+    pairs_cold = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("a.vec_id").alias("earlier"),
+        cos_cold.alias("cos"),
+    )
+    # rep = min(struct) => rep.vec_id < member vec_id, so 'earlier' keeps
+    # its meaning; the tau verify still applies downstream
+    hot = tagged.filter(
+        (F.col("occ") > cap) & (F.col("vec_id") != F.col("rep.vec_id"))
+    )
+    cos_hot = _safe_cosine(
+        _dot_q(F.col("rep.embedding"), F.col("embedding")),
+        F.col("rep.sq"),
+        F.col("sq"),
+    )
+    pairs_hot = hot.select(
+        "vec_id", F.col("rep.vec_id").alias("earlier"), cos_hot.alias("cos")
+    )
+    return pairs_cold.unionAll(pairs_hot)
 
 
 dedup_semantic.__doc__ = dedup_semantic.__doc__.format(tau=_SEMDEDUP_TAU)

@@ -209,3 +209,67 @@ def test_semdedup_cells_scale_with_corpus(spark, tmp_path):
     # at n=2048 and grows linearly with N — the bound is the scale pin.
     vol = int((occ * (occ - 1) // 2).sum())
     assert vol <= 4 * (n // 2) * _SEMDEDUP_TARGET_CELL, (vol, occ.describe())
+
+
+def test_semdedup_hot_cell_cap_bounds_identical_clique(spark):
+    """A clique of identical embeddings lands in ONE cell regardless of K
+    (the phash/MinHash degenerate input, on the semantic blocker): above
+    the cap the pair relation must be the n-1 star pairs at cosine 1, and
+    the downstream keep-earliest verdicts must match what the uncapped
+    join would produce (every member drops against the clique minimum)."""
+    import pyspark.sql.functions as F
+
+    from dblink_spark.functions.vector import quantized_dot
+    from dblink_spark.queries.vectors import (
+        _semdedup_pairs,
+        _semdedup_tagged_cells,
+    )
+
+    n = 1000
+    vec = [float((i * 7 % 13) - 6) / 13.0 for i in range(64)]
+    cells = spark.createDataFrame(
+        [(i, vec, 3) for i in range(n)],
+        "vec_id long, embedding array<float>, cid int",
+    ).withColumn(
+        "sq", quantized_dot(F.col("embedding"), F.col("embedding"))
+    ).select("vec_id", "embedding", "sq", "cid")
+    pairs = _semdedup_pairs(_semdedup_tagged_cells(cells), cap=64)
+    rows = pairs.collect()
+    # star: n-1 pairs anchored at the clique min, vs C(1000,2) = 499 500
+    assert len(rows) == n - 1
+    assert all(r["earlier"] == 0 for r in rows)
+    assert {r["vec_id"] for r in rows} == set(range(1, n))
+    assert all(r["cos"] > 0.999 for r in rows)
+
+
+def test_semdedup_cap_never_fires_on_gate_corpora(spark):
+    """Hash gates stay bit-exact only if the default cap is a no-op on
+    the registered fixtures: max cell occupancy must sit far below
+    HOT_BUCKET_CAP at every gate SF (the semdedup_k sizing keeps the
+    EXPECTED cell ~64; measured max: 85 on the 2048-vector scale test)."""
+    import pyspark.sql.functions as F
+
+    from dblink_spark.queries import load
+    from dblink_spark.queries.dedup import HOT_BUCKET_CAP
+    from dblink_spark.queries.vectors import (
+        ivf_assign_cells,
+        semdedup_k,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = load(spark, sf, "embeddings")
+        k = semdedup_k(e.count())
+        cents = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in e.filter(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        occ = (
+            ivf_assign_cells(e, cents)
+            .groupBy("cid")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert occ <= HOT_BUCKET_CAP // 4, (sf, occ)
