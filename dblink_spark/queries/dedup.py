@@ -1168,7 +1168,35 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    raw = F.concat(
+    raw = _derived_url()
+    tagged = (
+        d.select("doc_id", raw.alias("url"))
+        .withColumn("canon_url", canonicalize_url(F.col("url")))
+        .select(
+            "doc_id",
+            "url",
+            "canon_url",
+            F.count("*")
+            .over(Window.partitionBy("canon_url"))
+            .cast("long")
+            .alias("n_crawls"),
+            F.min("doc_id").over(Window.partitionBy("canon_url")).alias("rep_doc"),
+        )
+    )
+    return tagged.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        "n_crawls",
+        "rep_doc",
+        (F.col("doc_id") == F.col("rep_doc")).alias("keep"),
+    )
+
+
+def _derived_url():
+    """The deterministic URL-ish derivation over (doc_id, lang, source) —
+    Spark twin of ``_URL_RAW_SQL`` (the fixtures carry no URL column)."""
+    return F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
             F.lit("https://")
         ),
@@ -1188,12 +1216,19 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("#sec-"), F.col("doc_id").cast("string")),
         ).otherwise(F.lit("")),
     )
-    base = F.regexp_replace(F.col("url"), r"[?#].*$", "")
+
+
+def canonicalize_url(url) -> "F.Column":
+    """The canonicalization spec, as ONE row-local Column expression shared
+    by the batch query and the streaming twin
+    (streaming/events.py:url_dedup_doc_stream): lowercase scheme+host,
+    strip scheme / ``www.`` / fragment / ``utm_*`` params / trailing
+    slash, sort surviving params. Pure string ops inside whole-stage
+    codegen — streaming-legal (stateless) and shuffle-free."""
+    base = F.regexp_replace(url, r"[?#].*$", "")
     query = F.when(
-        F.instr(F.col("url"), "?") > 0,
-        F.regexp_replace(
-            F.substring_index(F.col("url"), "?", -1), r"#.*$", ""
-        ),
+        F.instr(url, "?") > 0,
+        F.regexp_replace(F.substring_index(url, "?", -1), r"#.*$", ""),
     ).otherwise(F.lit(""))
     kept = F.array_join(
         F.array_sort(
@@ -1211,27 +1246,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"/+$",
         "",
     )
-    canon = F.concat(
+    return F.concat(
         host_path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
-    )
-    w = Window.partitionBy("canon_url")
-    tagged = (
-        d.select("doc_id", raw.alias("url"))
-        .withColumn("canon_url", canon)
-        .select(
-            "doc_id",
-            "url",
-            "canon_url",
-            F.count("*").over(w).cast("long").alias("n_crawls"),
-            F.min("doc_id").over(w).alias("rep_doc"),
-        )
-    )
-    return tagged.select(
-        "doc_id",
-        "url",
-        "canon_url",
-        "n_crawls",
-        "rep_doc",
-        (F.col("doc_id") == F.col("rep_doc")).alias("keep"),
     )

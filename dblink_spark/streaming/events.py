@@ -360,3 +360,33 @@ def pii_redact_doc_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, F.lit(pat), F.lit(mask))
     return docs.withColumn(text_col, scrubbed)
+
+
+def url_dedup_doc_stream(
+    docs: DataFrame,
+    url_col: str = "url",
+    watermark: str = "2 hours",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming twin of the batch `queries.dedup.dedup_url_canonical`
+    pass — the metadata-FIRST dedup a crawl pipeline runs at ingest:
+    canonicalize the URL row-locally (the SHARED `canonicalize_url` spec,
+    so stream and batch can never disagree on the rules) and keep the
+    first crawl per canonical key inside the watermark horizon.
+
+    State is one row per distinct canonical URL within the window
+    (``dropDuplicatesWithinWatermark`` evicts older keys) — bounded for
+    an unbounded crawl stream, and occupancy-bounded by construction
+    like the banded near-dedup (state keyed on the canonical key itself,
+    no pair join, so a million re-crawls of one page cost one state row
+    and one lookup each). Canonicalization is stateless string work
+    inside codegen; the dedup is the only stateful stage, so this drops
+    in BEFORE the content passes (cheapest filter first, body text never
+    consulted)."""
+    from dblink_spark.queries.dedup import canonicalize_url
+
+    return (
+        docs.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["canon_url"])
+    )

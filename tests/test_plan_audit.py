@@ -537,6 +537,28 @@ class TestR10QueryPlans:
             set(s.read_columns) <= {"doc_id", "lang", "text"} for s in scans
         )
 
+    def test_classifier_holdout_inference_is_narrow(self, spark):
+        """r11 holdout pins: the returned plan is inference + rollup only
+        (the fit collects at the model boundary before the plan exists) —
+        scoring is a narrow greatest-over-literals pass (zero Python, no
+        equi-join anywhere), the per-label rollup is one partial-agg
+        exchange plus the 1-row summary's own, and the only nested-loop
+        is the LIMIT-1-bounded summary broadcast back onto the L label
+        rows."""
+        df = q.REGISTRY["vector_classifier_holdout"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        # exactly the 1-row tot crossJoin (prints twice in formatted plans)
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        assert a.exchanges <= 3, "label rollup + summary agg, nothing more"
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"vec_id", "label", "embedding"}
+            for s in scans
+        )
+
     def test_url_canonical_single_shuffle_no_text(self, spark):
         """r11 URL dedup pins: canonicalization is row-local string work,
         the keep decision is ONE exchange on the canonical key (unordered

@@ -451,3 +451,78 @@ class TestIncrementalDedupStreamBatchParity:
         assert stream_dups == batch_dups, (
             "stream and batch must issue identical novel/dup verdicts"
         )
+
+
+class TestUrlDedupStream:
+    """r11 streaming twin of dedup_url_canonical: canonicalize at ingest
+    (shared spec with the batch query), keep the first crawl per canonical
+    key — stream survivors == batch distinct canonical keys, and raw-URL
+    noise (utm junk, fragments) never defeats the dedup."""
+
+    @pytest.fixture(scope="class")
+    def urls_dir(self, spark, tmp_path_factory):
+        from datetime import datetime, timedelta
+
+        d = tmp_path_factory.mktemp("url_stream")
+        base = datetime(2024, 1, 1)
+        rows = []
+        for i in range(120):
+            page = i % 30  # 4 crawls of each of 30 pages
+            rows.append(
+                (
+                    i,
+                    f"HTTP://WWW.site{page % 5}.example.com/p/{page}"
+                    f"?utm_source=crawl{i}&ref=r1&utm_campaign=c#frag{i}",
+                    base + timedelta(seconds=i),
+                )
+            )
+        out = d / "urls"
+        spark.createDataFrame(
+            rows, "doc_id: long, url: string, event_time: timestamp"
+        ).coalesce(1).write.parquet(str(out))
+        return str(out)
+
+    def _stream(self, spark, urls_dir):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType, TimestampType,
+        )
+
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("event_time", TimestampType()),
+        ])
+        return spark.readStream.schema(schema).parquet(urls_dir)
+
+    def test_one_survivor_per_canonical_key(self, spark, urls_dir):
+        from dblink_spark.queries.dedup import canonicalize_url
+        from dblink_spark.streaming.events import (
+            run_to_memory_sink, url_dedup_doc_stream,
+        )
+
+        run_to_memory_sink(
+            url_dedup_doc_stream(self._stream(spark, urls_dir)), "url_dedup_docs"
+        )
+        out = spark.table("url_dedup_docs").collect()
+        keys = [r["canon_url"] for r in out]
+        assert len(keys) == len(set(keys)) == 30, "one survivor per page"
+        # per-crawl noise must be gone from every survivor's canonical key
+        assert all(
+            "utm_" not in k and "#" not in k and not k.startswith("http")
+            for k in keys
+        )
+        batch = spark.read.parquet(urls_dir).select(
+            canonicalize_url(F.col("url")).alias("canon_url")
+        )
+        expect = {r["canon_url"] for r in batch.distinct().collect()}
+        assert set(keys) == expect, "stream survivors == batch distinct keys"
+
+    def test_canonicalization_is_stateless_and_shuffle_free(self, spark, urls_dir):
+        from dblink_spark.plans.audit import audit_plan
+        from dblink_spark.queries.dedup import canonicalize_url
+
+        df = spark.read.parquet(urls_dir).select(
+            "doc_id", canonicalize_url(F.col("url")).alias("canon_url")
+        )
+        a = audit_plan(df)
+        assert a.exchanges == 0 and a.python_ops == 0
