@@ -137,6 +137,7 @@ R11_QUERIES = [
     "text_strip_maximal_spans",
     "vector_classifier_holdout",
     "dedup_url_canonical",
+    "q_docs_alpha_mixture",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -352,6 +352,13 @@ _GATE_TAIL = [
     # bytes_stats / frame_index head-gated; digest-covered below and
     # hash-verified per round by tools/driver_sim.py.
     "multimodal_decode_stats",
+    # r11: q_docs_alpha_mixture (temperature-resampled language mixture)
+    # enters the head; multimodal_feature_extract rotates out — the
+    # feature kernel's bucket math is pinned exactly by
+    # tests/test_multimodal.py (test_exact_bucket_counts) and its dyadic
+    # exactness guard stays in the digest-covered result; the multimodal
+    # family keeps phash / bytes_stats / frame_index head-gated.
+    "multimodal_feature_extract",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

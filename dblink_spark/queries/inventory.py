@@ -201,6 +201,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("media_type", "s"), ("n_items", "i"), ("total_samples", "i"),
         ("total_byte_sum", "i"),
     ],
+    "multimodal_feature_extract": [
+        ("media_type", "s"), ("pos", "i"), ("n_items", "i"),
+        ("sum_scaled", "i"), ("mean_weight", "f"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -474,6 +474,156 @@ def q_docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: temperature/alpha-resampled language mixture ---------------------
+#
+# The mT5/XLM-R multilingual recipe: sample language l with probability
+# proportional to n_l^alpha (alpha < 1 flattens the distribution — high-
+# resource languages are downsampled, low-resource ones keep more of their
+# share). alpha is fixed at 0.5 because sqrt is the ONE fractional power
+# with a correctly-rounded primitive in both engines (IEEE-754 requires
+# it); arbitrary alpha would route through exp/log, whose last-ulp
+# disagreement between JVM and C libm is a documented gotcha of this repo.
+# All derived integers (quantized weights, per-stratum targets, hex
+# thresholds) come from single correctly-rounded IEEE ops on identical
+# inputs, so the kept-set replays row-for-row in the oracle.
+_ALPHA_SALT = "alpha|"
+
+
+@register(
+    "q_docs_alpha_mixture",
+    oracle="""
+WITH counts AS (
+  SELECT COALESCE(lang, 'und') AS lang_k, COUNT(*) AS cnt
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang_k, cnt,
+    CAST(FLOOR(sqrt(CAST(cnt AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+  FROM counts
+),
+tot AS (SELECT SUM(wq) AS w_sum, SUM(cnt) AS n_total FROM w),
+tgt AS (
+  SELECT lang_k, cnt, wq,
+    LEAST(cnt, CAST(FLOOR(
+      CAST(n_total // 2 AS DOUBLE)
+      * (CAST(wq AS DOUBLE) / CAST(w_sum AS DOUBLE))) AS BIGINT)) AS target
+  FROM w CROSS JOIN tot
+),
+keyed AS (
+  SELECT d.doc_id, t.lang_k, t.cnt, t.target,
+    substr(md5('alpha|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_key,
+    printf('%08x', LEAST(CAST(FLOOR(
+      CAST(t.target AS DOUBLE) / t.cnt * 4294967296.0) AS BIGINT),
+      4294967295)) AS thr
+  FROM documents d JOIN tgt t ON t.lang_k = COALESCE(d.lang, 'und')
+)
+SELECT doc_id, lang_k AS lang, sample_key,
+  CAST(cnt AS BIGINT) AS n_docs, CAST(target AS BIGINT) AS target_docs
+FROM keyed WHERE cnt = target OR sample_key < thr
+""",
+    survey_ref=(
+        "beyond-reference: temperature/alpha-resampled language mixture "
+        "(p_l proportional to n_l^0.5 — the mT5/XLM-R multilingual "
+        "recipe) under a half-corpus budget, deterministic hash-threshold "
+        "membership"
+    ),
+)
+def q_docs_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled corpus mixing at alpha = 0.5: each language
+    stratum gets a target share of the half-corpus budget proportional to
+    sqrt(n_l) — flattening the language distribution the way multilingual
+    pretraining recipes do (high-resource languages yield share to
+    low-resource ones; a stratum whose target reaches its size is kept
+    whole). Membership is the salted-hash-threshold discipline of
+    `q_docs_lang_rebalance`, so the kept subset is deterministic across
+    engines, partitionings and retries; emits one row per KEPT doc with
+    its stratum's ``(n_docs, target_docs)`` carried for audit.
+
+    Exactness chain (every step one correctly-rounded IEEE op on
+    identical inputs): weight = floor(sqrt(n) * 2^20) — sqrt is
+    correctly rounded BY THE STANDARD and the 2^20 scale is a pure
+    exponent shift, so the quantized weight is engine-exact; the target
+    is floor(budget * (w / w_sum)) with division-then-multiplication in
+    a fixed order; the per-stratum rate threshold reuses the clamped
+    floor(rate * 2^32) 8-hex-digit rendering proven by the rebalance
+    pass. Integer sums (w_sum, n_total) are exact BIGINTs. Doc counts up
+    to 2^52 stay inside the double-exact range — comfortable at 100 TB.
+
+    100-TB shape: per-language counts are a tiny broadcast aggregate
+    (bounded lang domain, .limit documents it), totals are a 1-row cross
+    join, membership is a pure NARROW filter — no window, no sort, no
+    corpus shuffle; the fail-fast raise_error guards the 10k stratum cap
+    exactly like the rebalance pass."""
+    d = load(spark, sf_dir, "documents")
+    lang_k = F.coalesce(F.col("lang"), F.lit("und"))
+    counts = (
+        d.groupBy(lang_k.alias("lang_k"))
+        .agg(F.count("*").alias("cnt"))
+        .limit(10_000)
+    )
+    wq = F.floor(F.sqrt(F.col("cnt").cast("double")) * F.lit(1048576.0)).cast(
+        "bigint"
+    )
+    w = counts.select("lang_k", "cnt", wq.alias("wq"))
+    tot = (
+        w.agg(
+            F.sum("wq").alias("w_sum"), F.sum("cnt").alias("n_total")
+        ).limit(1)
+    )
+    budget_d = (F.col("n_total") / F.lit(2)).cast("bigint").cast("double")
+    target = F.least(
+        F.col("cnt"),
+        F.floor(
+            budget_d
+            * (F.col("wq").cast("double") / F.col("w_sum").cast("double"))
+        ).cast("bigint"),
+    )
+    tgt = w.crossJoin(F.broadcast(tot)).select(
+        "lang_k", "cnt", target.alias("target")
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit(_ALPHA_SALT), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.floor(
+                        F.col("target").cast("double")
+                        / F.col("cnt")
+                        * F.lit(4294967296.0)
+                    ).cast("bigint"),
+                    F.lit(4294967295),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    cnt_checked = F.when(
+        F.col("cnt").isNull(),
+        F.raise_error(
+            "q_docs_alpha_mixture: language domain exceeds the 10k "
+            "aggregate cap — raise the cap or pre-bucket the lang column"
+        ).cast("long"),
+    ).otherwise(F.col("cnt"))
+    return (
+        d.select("doc_id", lang_k.alias("lang_k"), key.alias("sample_key"))
+        .join(F.broadcast(tgt), "lang_k", "left")
+        .withColumn("cnt", cnt_checked)
+        .filter((F.col("cnt") == F.col("target")) | (F.col("sample_key") < thr))
+        .select(
+            "doc_id",
+            F.col("lang_k").alias("lang"),
+            "sample_key",
+            F.col("cnt").cast("bigint").alias("n_docs"),
+            F.col("target").cast("bigint").alias("target_docs"),
+        )
+    )
+
+
 @register(
     "q_events_json_props",
     oracle="""

@@ -74,6 +74,10 @@ _QUERIES = [
     "q_docs_sample_split",
     # NULL lang -> 'und' stratum; singleton languages kept whole
     "q_docs_lang_rebalance",
+    # alpha-resampling on wildly uneven strata: singleton fr/und targets
+    # round to 0-or-1 docs, the heavy en stratum is budget-capped, the
+    # sqrt-quantized weights exercise tiny-count edges (sqrt(1), sqrt(2))
+    "q_docs_alpha_mixture",
     "text_token_count",
     "text_token_count_bpe",  # unicode + digit-lead + empty docs pin the regex
     # empty-token exclusion (doc 7), unicode tokens, und stratum, rank ties
@@ -211,6 +215,36 @@ def test_pii_redact_typed_counts(spark, edge_dir):
     assert rows[12]["chars_delta"] == 0
     scrubbed19 = rows[19]
     assert scrubbed19["redacted_fp"] != rows[12]["redacted_fp"]
+
+
+def test_alpha_mixture_flattens_distribution(spark, edge_dir):
+    """The temperature-sampling law beyond engine agreement: realized
+    stratum shares must be FLATTER than the raw distribution — every
+    stratum's kept/target rate is non-increasing in stratum size (smaller
+    strata keep a larger fraction), targets respect the half-corpus
+    budget, and membership is downward-deterministic (kept docs are
+    exactly those under the stratum threshold)."""
+    rows = REGISTRY["q_docs_alpha_mixture"].fn(spark, edge_dir).collect()
+    assert rows
+    strata = {}
+    for r in rows:
+        strata.setdefault(r["lang"], r)
+    kept_counts = {}
+    for r in rows:
+        kept_counts[r["lang"]] = kept_counts.get(r["lang"], 0) + 1
+    total_docs = sum({r["lang"]: r["n_docs"] for r in rows}.values())
+    total_target = sum({r["lang"]: r["target_docs"] for r in rows}.values())
+    assert total_target <= total_docs // 2 + len(strata), "budget respected"
+    # monotone flattening: target rate never increases with stratum size
+    info = sorted(
+        {(r["n_docs"], r["target_docs"]) for r in rows}
+    )
+    for (n1, t1), (n2, t2) in zip(info, info[1:]):
+        assert t1 / n1 >= t2 / n2 - 1e-12, (info,)
+    # whole-stratum keeps: target == n -> every doc of the stratum present
+    for r in rows:
+        if r["target_docs"] == r["n_docs"]:
+            assert kept_counts[r["lang"]] == r["n_docs"]
 
 
 def test_lang_rebalance_semantics(spark, edge_dir):
