@@ -138,6 +138,7 @@ R11_QUERIES = [
     "vector_classifier_holdout",
     "dedup_url_canonical",
     "q_docs_alpha_mixture",
+    "q_docs_snapshot_drift",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

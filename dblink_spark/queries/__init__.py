@@ -359,6 +359,13 @@ _GATE_TAIL = [
     # exactness guard stays in the digest-covered result; the multimodal
     # family keeps phash / bytes_stats / frame_index head-gated.
     "multimodal_feature_extract",
+    # r11: q_docs_snapshot_drift (crawl distribution-shift monitor) enters
+    # the head; ann_lsh_bucketed rotates out — the LSH family keeps
+    # ann_topk_cosine + ann_ivf_trained + dedup_embedding_cosine_scaled
+    # head-gated, the bucketed path's recall stays contract-gated via the
+    # digest-covered ann_lsh_recall result, and its band plan is pinned by
+    # tests/test_plan_audit.py; hash-verified per round by driver_sim.
+    "ann_lsh_bucketed",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

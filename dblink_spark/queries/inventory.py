@@ -205,6 +205,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("media_type", "s"), ("pos", "i"), ("n_items", "i"),
         ("sum_scaled", "i"), ("mean_weight", "f"),
     ],
+    "ann_lsh_bucketed": [
+        ("bucket", "i"), ("n_pairs", "i"), ("total_dot", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

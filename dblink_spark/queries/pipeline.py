@@ -498,6 +498,134 @@ def _snap_key(salt: str):
     )
 
 
+# --- r11: snapshot drift monitor (distribution shift between crawls) -------
+#
+# The monitoring companion of q_docs_snapshot_diff: before the delta feeds
+# training, compare the STRATUM DISTRIBUTION of the two snapshots — a crawl
+# whose language/source mix shifted (a big site went dark, a spam network
+# appeared) should page a human even when every individual document is
+# valid. Shares and the total-variation distance are exact integer milli
+# units (1000*n // tot), so the whole report replays engine-for-engine
+# with no float anywhere.
+_DRIFT_FLAG_MILLI = 20  # page at > 2.0 percentage points of stratum shift
+
+
+@register(
+    "q_docs_snapshot_drift",
+    oracle=f"""
+WITH old_counts AS (
+  SELECT COALESCE(lang, 'und') AS lang_k, COUNT(*) AS n_old
+  FROM documents WHERE {{snapold}} < '{_SNAP_RATE_HEX}' GROUP BY 1
+),
+new_counts AS (
+  SELECT COALESCE(lang, 'und') AS lang_k, COUNT(*) AS n_new
+  FROM documents WHERE {{snapnew}} < '{_SNAP_RATE_HEX}' GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(o.lang_k, n.lang_k) AS lang,
+    COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+  FROM old_counts o FULL OUTER JOIN new_counts n ON o.lang_k = n.lang_k
+),
+tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM joined),
+shares AS (
+  SELECT j.lang, j.n_old, j.n_new,
+    CASE WHEN t.t_old > 0 THEN (1000 * j.n_old) // t.t_old ELSE 0 END
+      AS share_old_milli,
+    CASE WHEN t.t_new > 0 THEN (1000 * j.n_new) // t.t_new ELSE 0 END
+      AS share_new_milli
+  FROM joined j CROSS JOIN tot t
+),
+tv AS (
+  SELECT SUM(ABS(share_new_milli - share_old_milli)) // 2 AS tv_milli
+  FROM shares
+)
+SELECT s.lang, CAST(s.n_old AS BIGINT) AS n_old,
+  CAST(s.n_new AS BIGINT) AS n_new,
+  CAST(s.share_old_milli AS BIGINT) AS share_old_milli,
+  CAST(s.share_new_milli AS BIGINT) AS share_new_milli,
+  CAST(ABS(s.share_new_milli - s.share_old_milli) AS BIGINT) AS drift_milli,
+  ABS(s.share_new_milli - s.share_old_milli) > {_DRIFT_FLAG_MILLI}
+    AS drifted,
+  CAST(t.tv_milli AS BIGINT) AS tv_milli
+FROM shares s CROSS JOIN tv t
+""".format(snapold=_snap_key_sql("snapold"), snapnew=_snap_key_sql("snapnew")),
+    survey_ref=(
+        "beyond-reference: snapshot drift monitor — per-stratum share "
+        "shift and total-variation distance between two crawl snapshots, "
+        "exact integer milli units; the monitoring companion of "
+        "q_docs_snapshot_diff"
+    ),
+)
+def q_docs_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift report between two corpus snapshots (the same
+    hash-derived pair as `q_docs_snapshot_diff` — in production, two
+    parquet roots): one row per language stratum with old/new counts,
+    exact milli shares (``1000*n // total``), the per-stratum drift
+    magnitude, a page-worthy flag at > {flag} milli (2 percentage
+    points), and the corpus-level total-variation distance carried on
+    every row. All integer arithmetic — no float enters the report.
+
+    100-TB shape: two narrow hash filters feed two tiny
+    partial-aggregating groupBys (bounded lang domain — L rows cross the
+    exchange, never documents); the stratum join, totals and TV are
+    L-row operations; nothing else touches the corpus, and only
+    (doc_id, lang) is ever read."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    lang_k = F.coalesce(F.col("lang"), F.lit("und"))
+    old = (
+        d.filter(_snap_key("snapold") < _SNAP_RATE_HEX)
+        .groupBy(lang_k.alias("lang_k"))
+        .agg(F.count("*").alias("n_old"))
+    )
+    new = (
+        d.filter(_snap_key("snapnew") < _SNAP_RATE_HEX)
+        .groupBy(lang_k.alias("lang_k"))
+        .agg(F.count("*").alias("n_new"))
+    )
+    joined = old.join(new, "lang_k", "full").select(
+        F.col("lang_k").alias("lang"),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    ).limit(1)
+    # integer DIV, not double `/`+cast: at stratum totals beyond ~2^40 a
+    # correctly-rounded double quotient can land one ulp above an integer
+    # and truncate differently from the oracle's exact `//`
+    share = lambda n, t: F.when(  # noqa: E731
+        F.col(t) > 0, F.expr(f"(1000 * {n}) DIV {t}")
+    ).otherwise(F.lit(0).cast("bigint"))
+    shares = joined.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_old",
+        "n_new",
+        share("n_old", "t_old").alias("share_old_milli"),
+        share("n_new", "t_new").alias("share_new_milli"),
+    )
+    tv = shares.agg(
+        F.expr(
+            "SUM(ABS(share_new_milli - share_old_milli)) DIV 2"
+        ).alias("tv_milli")
+    ).limit(1)
+    drift = F.abs(F.col("share_new_milli") - F.col("share_old_milli"))
+    return shares.crossJoin(F.broadcast(tv)).select(
+        "lang",
+        F.col("n_old").cast("bigint").alias("n_old"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.col("share_old_milli").cast("bigint").alias("share_old_milli"),
+        F.col("share_new_milli").cast("bigint").alias("share_new_milli"),
+        drift.cast("bigint").alias("drift_milli"),
+        (drift > _DRIFT_FLAG_MILLI).alias("drifted"),
+        "tv_milli",
+    )
+
+
+q_docs_snapshot_drift.__doc__ = q_docs_snapshot_drift.__doc__.format(
+    flag=_DRIFT_FLAG_MILLI
+)
+
+
 @register(
     "q_docs_snapshot_diff",
     oracle=f"""

@@ -143,6 +143,9 @@ _QUERIES = [
     # shard/position determinism on adversarial ids; the NULL-lang and
     # duplicate-text docs prove the order depends on doc_id alone
     "q_docs_training_order",
+    # tiny uneven strata: singleton fr/und rows, strata that vanish from
+    # one snapshot entirely (full-outer edge), zero-guard shares
+    "q_docs_snapshot_drift",
     # tiny-corpus budget ((3*n) div 10 docs), heavy rank_key ties from the
     # identical triplet, and sub-10-token docs in the 0-point stratum
     "q_docs_quality_quantile_gate",
@@ -215,6 +218,29 @@ def test_pii_redact_typed_counts(spark, edge_dir):
     assert rows[12]["chars_delta"] == 0
     scrubbed19 = rows[19]
     assert scrubbed19["redacted_fp"] != rows[12]["redacted_fp"]
+
+
+def test_snapshot_drift_laws(spark, edge_dir):
+    """Integer-law pins beyond engine agreement: shares are exact floor
+    milli units summing to <= 1000 per side, drift_milli == |delta|,
+    drifted == (drift > 20), and tv_milli is half the L1 distance —
+    identical on every row."""
+    rows = REGISTRY["q_docs_snapshot_drift"].fn(spark, edge_dir).collect()
+    assert rows
+    t_old = sum(r["n_old"] for r in rows)
+    t_new = sum(r["n_new"] for r in rows)
+    assert sum(r["share_old_milli"] for r in rows) <= 1000
+    assert sum(r["share_new_milli"] for r in rows) <= 1000
+    l1 = 0
+    for r in rows:
+        assert r["share_old_milli"] == (1000 * r["n_old"]) // t_old
+        assert r["share_new_milli"] == (1000 * r["n_new"]) // t_new
+        d = abs(r["share_new_milli"] - r["share_old_milli"])
+        assert r["drift_milli"] == d
+        assert r["drifted"] == (d > 20)
+        l1 += d
+    assert len({r["tv_milli"] for r in rows}) == 1
+    assert rows[0]["tv_milli"] == l1 // 2
 
 
 def test_alpha_mixture_flattens_distribution(spark, edge_dir):
