@@ -134,6 +134,74 @@ def _bmp_codec() -> tuple:
 bmp_decode, _looks_like_bmp = _bmp_codec()
 
 
+def _wav_codec() -> tuple:
+    """Factory for the pure-numpy WAV codec (r11 — the audio twin of
+    `_bmp_codec`): nested functions so kernel closures capture them by
+    value (same module-path pickling caveat)."""
+
+    def wav_decode(buf: bytes) -> np.ndarray:
+        """Pure-numpy decoder for uncompressed RIFF/WAVE PCM: 16-bit
+        signed or 8-bit unsigned (centered to signed on decode, per the
+        format's 128-midpoint convention) -> ``(n_frames, channels)``
+        int16. Chunk-walks the container (word-aligned), so LIST/INFO
+        metadata chunks before ``data`` are handled. A REAL audio codec
+        executing in-container — the RIFF/PCM layout is public and
+        trivially parseable; librosa/soundfile stay optional for
+        compressed formats."""
+        import numpy as _np
+
+        if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or len(fmt) < 16 or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        bps = int.from_bytes(fmt[14:16], "little")
+        if audio_fmt != 1:
+            raise ValueError("compressed WAV unsupported")
+        if channels < 1:
+            raise ValueError("bad channel count")
+        if bps == 16:
+            usable = len(data) - (len(data) % (2 * channels))
+            arr = _np.frombuffer(data, dtype="<i2", count=usable // 2)
+        elif bps == 8:
+            usable = len(data) - (len(data) % channels)
+            arr = (
+                _np.frombuffer(data, dtype=_np.uint8, count=usable).astype(
+                    _np.int16
+                )
+                - 128
+            )
+        else:
+            raise ValueError(f"unsupported bits-per-sample {bps}")
+        return _np.ascontiguousarray(arr.reshape(-1, channels))
+
+    def looks_like_wav(buf: bytes) -> bool:
+        """Strict sniff so arbitrary payloads can never be misrouted:
+        magic + the RIFF size field must equal the actual payload length
+        + a leading fmt chunk (mirrors `looks_like_bmp`)."""
+        if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            return False
+        if int.from_bytes(buf[4:8], "little") + 8 != len(buf):
+            return False
+        return buf[12:16] == b"fmt "
+
+    return wav_decode, looks_like_wav
+
+
+wav_decode, _looks_like_wav = _wav_codec()
+
+
 def _fake_decode(buf: bytes) -> np.ndarray:
     """Deterministic stand-in for a codec: raw bytes as a uint8 signal.
 
@@ -233,10 +301,11 @@ def decode_media(
     if decoder is None and Image is not None:  # pragma: no cover - PIL absent
         decoder = _pil_image_decoder(Image)
     # decoder is None from here on ⇒ the default path: payloads that sniff
-    # as real uncompressed BMPs (strict magic + size check, so text can
-    # never be misrouted) go through the pure-numpy `bmp_decode`; everything
-    # else takes the deterministic fake, which admits a fully vectorized
-    # per-batch path (no per-row Python at all)
+    # as real uncompressed BMPs or RIFF/PCM WAVs (strict magic + size
+    # checks, so text can never be misrouted) go through the pure-numpy
+    # `bmp_decode` / `wav_decode`; everything else takes the deterministic
+    # fake, which admits a fully vectorized per-batch path (no per-row
+    # Python at all)
 
     out_schema = (
         "doc_id bigint, media_type string, n_samples bigint, "
@@ -244,6 +313,7 @@ def decode_media(
     )
     # nested copies pickle by value into the kernel closure
     _bmp_dec, _bmp_sniff = _bmp_codec()
+    _wav_dec, _wav_sniff = _wav_codec()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,6 +335,10 @@ def decode_media(
                 for i, b in enumerate(bufs):
                     if _bmp_sniff(b):
                         sig = _bmp_dec(b).astype(np.int64, copy=False).ravel()
+                        lens[i] = sig.size
+                        sums[i] = int(sig.sum())
+                    elif _wav_sniff(b):
+                        sig = _wav_dec(b).astype(np.int64, copy=False).ravel()
                         lens[i] = sig.size
                         sums[i] = int(sig.sum())
                 means = np.divide(

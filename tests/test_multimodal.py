@@ -621,3 +621,107 @@ class TestRealCodecResizeContract:
         ]
         assert (runs[0] == want).all()
         assert (runs[0] == runs[1]).all()
+
+
+def _wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16,
+    leading_chunk: bytes = b"",
+) -> bytes:
+    """Minimal RIFF/WAVE PCM writer for test fixtures: (n, ch) int16 for
+    16-bit, (n, ch) uint8 for 8-bit. ``leading_chunk`` injects an extra
+    metadata chunk between fmt and data (chunk-walk coverage)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    else:
+        data = samples.astype(np.uint8).tobytes()
+    block = ch * (bits // 8)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += leading_chunk
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) % 2:
+        chunks += b"\x00"  # word alignment pad
+    body = b"WAVE" + chunks
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class TestWavDecode:
+    """The pure-numpy WAV codec (r11 audio twin of TestBmpDecode): REAL
+    PCM decodes execute in-container."""
+
+    def test_roundtrip_16bit_stereo(self):
+        from dblink_spark.operators.multimodal import wav_decode
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+        assert (wav_decode(_wav_encode(px)) == px).all()
+
+    def test_roundtrip_8bit_mono_centered(self):
+        from dblink_spark.operators.multimodal import wav_decode
+
+        raw = np.arange(16, dtype=np.uint8) * 17
+        got = wav_decode(_wav_encode(raw, bits=8))
+        assert got.shape == (16, 1)
+        assert (got.ravel() == raw.astype(np.int16) - 128).all()
+
+    def test_chunk_walk_skips_metadata(self):
+        from dblink_spark.operators.multimodal import wav_decode
+
+        px = np.array([[100, -100], [7, -7], [0, 1]], dtype=np.int16)
+        meta = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+        assert (wav_decode(_wav_encode(px, leading_chunk=meta)) == px).all()
+
+    def test_rejects_non_wav_and_compressed(self):
+        import pytest as _pytest
+
+        from dblink_spark.operators.multimodal import wav_decode
+
+        with _pytest.raises(ValueError):
+            wav_decode(b"RIFFxxxx not really wave data at all......")
+        good = bytearray(_wav_encode(np.zeros((4, 1), dtype=np.int16)))
+        good[20:22] = (85).to_bytes(2, "little")  # fmt tag -> non-PCM
+        with _pytest.raises(ValueError):
+            wav_decode(bytes(good))
+
+    def test_sniff_rejects_size_mismatch(self):
+        from dblink_spark.operators.multimodal import _looks_like_wav
+
+        good = _wav_encode(np.zeros((4, 1), dtype=np.int16))
+        assert _looks_like_wav(good)
+        assert not _looks_like_wav(good + b"x")  # RIFF size field stale
+
+    def test_decode_media_routes_real_wav(self, spark):
+        """End-to-end through the Spark mapInPandas kernel: WAV payloads
+        decode for REAL (sample stats, signed sums) while other rows keep
+        the deterministic fake — exact value gate, mirroring the BMP
+        routing test."""
+        rng = np.random.default_rng(21)
+        s0 = rng.integers(-1000, 1000, size=(64, 2), dtype=np.int16)
+        s1 = (np.arange(30) * 9 % 256).astype(np.uint8)
+        wav0, wav1 = _wav_encode(s0), _wav_encode(s1, bits=8)
+        text = b"definitely not audio content here"
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(wav0), ("audio",)),
+                (1, bytearray(wav1), ("audio",)),
+                (2, bytearray(text), ("video",)),
+            ],
+            "doc_id: long, media: binary, media_meta: struct<media_type: string>",
+        )
+        out = {r["doc_id"]: r for r in decode_media(df).collect()}
+        assert out[0]["n_samples"] == s0.size
+        assert out[0]["byte_sum"] == int(s0.astype(np.int64).sum())
+        assert out[1]["n_samples"] == s1.size
+        assert out[1]["byte_sum"] == int(s1.astype(np.int64).sum()) - 128 * s1.size
+        assert out[2]["n_samples"] == len(text)
+        assert out[2]["byte_sum"] == sum(text)
