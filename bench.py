@@ -139,6 +139,7 @@ R11_QUERIES = [
     "dedup_url_canonical",
     "q_docs_alpha_mixture",
     "q_docs_snapshot_drift",
+    "text_bloom_decontaminate",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -366,6 +366,13 @@ _GATE_TAIL = [
     # digest-covered ann_lsh_recall result, and its band plan is pinned by
     # tests/test_plan_audit.py; hash-verified per round by driver_sim.
     "ann_lsh_bucketed",
+    # r11: text_bloom_decontaminate (broadcast-bitset decontamination)
+    # enters the head; text_repetition rotates out — it is the
+    # detection-only twin of the head-gated surgery ops
+    # (text_dedup_repeated_ngrams strips what it scores), its 1-token-doc
+    # edge is pinned by the edge corpus, and like every tail entry it is
+    # digest-covered below and hash-verified per round by driver_sim.
+    "text_repetition",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

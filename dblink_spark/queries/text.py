@@ -858,6 +858,141 @@ text_strip_maximal_spans.__doc__ = text_strip_maximal_spans.__doc__.format(
 )
 
 
+# --- r11: Bloom-filter decontamination (the broadcast-bitset scale arm) ----
+#
+# `text_decontaminate` joins every training gram against the benchmark gram
+# set — correct, and fine while the benchmark side broadcasts. The
+# production-scale arm replaces the join with a BLOOM FILTER: k bit
+# positions per gram, a bitset sized to the benchmark, membership tested
+# row-locally against the broadcast bits — the doc-gram table never joins
+# anything. Bloom filters have NO false negatives (every truly tainted
+# gram is flagged — the safety direction for decontamination) and a
+# documented false-positive rate ~ fill^k (over-flagging only costs a
+# little extra dropped data).
+#
+# Engine-exactness: the k=4 positions are the 4 disjoint 16-bit quarters
+# of the gram md5's first 16 hex chars (m = 2^16 bits, no modulo needed),
+# and "bit p is set" is definitionally "p is in the set-position set", so
+# the DuckDB oracle replays membership with 4 IN-subqueries against the
+# same distinct-position set — bit-identical verdicts by construction.
+_BLOOM_M = 65536  # 2^16 bits -> a 4-hex-char quarter IS a position
+_BLOOM_K = 4
+
+
+def _bloom_positions(gcol):
+    """The k=4 bit positions of one gram md5 — disjoint 16-bit quarters,
+    so no two positions of a gram are correlated by construction."""
+    return [
+        F.conv(F.substring(gcol, 1 + 4 * j, 4), 16, 10).cast("long")
+        for j in range(_BLOOM_K)
+    ]
+
+
+_BLOOM_POS_SQL = [
+    f"('0x' || substr({{g}}, {1 + 4 * j}, 4))::BIGINT" for j in range(_BLOOM_K)
+]
+
+
+@register(
+    "text_bloom_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+pos AS (
+  SELECT DISTINCT unnest([{", ".join(p.format(g="g") for p in _BLOOM_POS_SQL)}]) AS p
+  FROM bench
+),
+member AS (
+  SELECT DISTINCT gr.doc_id, gr.g
+  FROM grams gr
+  WHERE gr.source <> 'src0'
+    AND {" AND ".join(f"{p.format(g='gr.g')} IN (SELECT p FROM pos)" for p in _BLOOM_POS_SQL)}
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_bloom FROM member GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_bloom, 0) AS BIGINT) AS n_bloom_hits,
+  COALESCE(h.n_bloom, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: Bloom-filter decontamination — the broadcast-"
+        "bitset scale arm of text_decontaminate (row-local membership, no "
+        "join of the doc-gram table; no false negatives, FPR ~ fill^4)"
+    ),
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: the benchmark's
+    8-gram md5s set k=4 bits each in a 2^16-bit bitset (positions = the
+    four disjoint 16-bit quarters of the digest); every training gram is
+    then tested ROW-LOCALLY against the broadcast bits, and a doc is
+    ``flagged`` iff any gram has all four bits set. Supersets the exact
+    join's verdicts (no false negatives — the safety direction; the edge
+    suite pins flagged ⊇ contaminated against `text_decontaminate`), with
+    FPR ~ fill^4 — at gate fill (~10%) that is ~1e-4 per gram, and a
+    production deployment sizes m to the benchmark (~10 bits/gram for
+    ~1e-4) exactly like `bits_for_corpus` sizes band widths.
+
+    100-TB shape — what the Bloom arm buys over the exact join: the
+    doc-gram relation NEVER joins anything — membership is a narrow
+    filter against literal broadcast bits, so the only shuffle left is
+    the per-doc hit rollup; the bitset is O(m) bits regardless of corpus
+    size. The build side here collects distinct set-positions (bounded
+    by m — a model-weights boundary like the IVF centroids; 8 KiB at
+    this m) and bakes the bitset into the plan as ONE string literal
+    split at runtime; at production m the build becomes a distributed
+    word-wise OR aggregate broadcast as a variable, same contract."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
+    )
+    exploded = d.select("doc_id", "source", F.explode(grams).alias("g"))
+    set_pos = {
+        r["p"]
+        for r in exploded.filter(F.col("source") == "src0")
+        .select(F.explode(F.array(*_bloom_positions(F.col("g")))).alias("p"))
+        .distinct()
+        .collect()
+    }
+    bitstr = "".join(
+        "1" if p in set_pos else "0" for p in range(_BLOOM_M)
+    )
+    bits = F.split(F.lit(bitstr), "")
+    member = None
+    for pos in _bloom_positions(F.col("g")):
+        test = F.element_at(bits, (pos + 1).cast("int")) == "1"
+        member = test if member is None else (member & test)
+    hits = (
+        exploded.filter(F.col("source") != "src0")
+        .filter(member)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_bloom"))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce("n_bloom", F.lit(0)) > 0).alias("flagged"),
+        )
+    )
+
+
 @register(
     "text_vocab_topk",
     oracle="""

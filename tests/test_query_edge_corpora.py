@@ -98,6 +98,10 @@ _QUERIES = [
     "text_gopher_rules",
     "text_repetition",   # 1-token docs: descending sequence(1,0) ANSI crash, fixed
     "text_decontaminate",
+    # bloom membership on the same corpus: the src0 'solo' doc is sub-8
+    # tokens (EMPTY benchmark gram set -> all-zero bitset, nothing
+    # flagged), pinning the empty-bench edge both engines must agree on
+    "text_bloom_decontaminate",
     # sub-8-token docs exercise the n_grams=0 guard; identical docs 11-13
     # drive a 100%-boilerplate fraction
     "text_boilerplate_grams",
@@ -218,6 +222,26 @@ def test_pii_redact_typed_counts(spark, edge_dir):
     assert rows[12]["chars_delta"] == 0
     scrubbed19 = rows[19]
     assert scrubbed19["redacted_fp"] != rows[12]["redacted_fp"]
+
+
+def test_bloom_supersets_exact_decontamination(spark):
+    """The Bloom law that makes it safe for decontamination: NO false
+    negatives — every doc the exact join flags, the bitset flags too
+    (false positives are allowed and expected at ~fill^4). Checked at
+    both gate SFs where src0 carries real benchmark grams."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            r["doc_id"]
+            for r in REGISTRY["text_decontaminate"].fn(spark, sf).collect()
+            if r["contaminated"]
+        }
+        bloom = {
+            r["doc_id"]: r["flagged"]
+            for r in REGISTRY["text_bloom_decontaminate"].fn(spark, sf).collect()
+        }
+        assert exact, sf  # fixture plants real contamination
+        missed = [d for d in exact if not bloom.get(d)]
+        assert not missed, (sf, missed)
 
 
 def test_snapshot_drift_laws(spark, edge_dir):
