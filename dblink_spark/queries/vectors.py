@@ -1228,10 +1228,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_tagged_cells(cells: DataFrame) -> DataFrame:
-    """Cell assignment annotated with per-cell ``(occ, rep)`` via ONE
-    unordered window over cid (the `_tagged_bands` trick) — the rep
-    struct carries the representative's embedding and squared norm, so
-    the hot arm's cosine verify needs no join-back."""
+    """Cell assignment annotated with per-cell ``(occ, rep_id)`` via ONE
+    unordered window over cid (the `_tagged_bands` trick). Only the
+    SCALARS ride the window — carrying the representative's embedding in
+    a min(struct) tag (the phash trick) doubles the persisted row width
+    with a 64-float array and measurably slows the always-paid window;
+    the hot arm instead joins the (normally EMPTY) hot-rep slice back for
+    its embedding, so healthy corpora pay nothing."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("cid")
@@ -1241,7 +1244,7 @@ def _semdedup_tagged_cells(cells: DataFrame) -> DataFrame:
         "sq",
         "cid",
         F.count("*").over(w).alias("occ"),
-        F.min(F.struct("vec_id", "embedding", "sq")).over(w).alias("rep"),
+        F.min("vec_id").over(w).alias("rep_id"),
     )
 
 
@@ -1279,18 +1282,28 @@ def _semdedup_pairs(tagged: DataFrame, cap: int | None = None) -> DataFrame:
         F.col("a.vec_id").alias("earlier"),
         cos_cold.alias("cos"),
     )
-    # rep = min(struct) => rep.vec_id < member vec_id, so 'earlier' keeps
-    # its meaning; the tau verify still applies downstream
+    # rep_id = min(vec_id) < member vec_id, so 'earlier' keeps its
+    # meaning; the tau verify still applies downstream. The rep's
+    # embedding comes from a cid join against the hot-REP slice — a
+    # relation with one row per HOT cell, i.e. empty unless the cap
+    # fired, so the healthy-corpus cost of this arm is ~zero.
     hot = tagged.filter(
-        (F.col("occ") > cap) & (F.col("vec_id") != F.col("rep.vec_id"))
+        (F.col("occ") > cap) & (F.col("vec_id") != F.col("rep_id"))
+    )
+    reps = tagged.filter(
+        (F.col("occ") > cap) & (F.col("vec_id") == F.col("rep_id"))
+    ).select(
+        "cid",
+        F.col("embedding").alias("rep_embedding"),
+        F.col("sq").alias("rep_sq"),
     )
     cos_hot = _safe_cosine(
-        _dot_q(F.col("rep.embedding"), F.col("embedding")),
-        F.col("rep.sq"),
+        _dot_q(F.col("rep_embedding"), F.col("embedding")),
+        F.col("rep_sq"),
         F.col("sq"),
     )
-    pairs_hot = hot.select(
-        "vec_id", F.col("rep.vec_id").alias("earlier"), cos_hot.alias("cos")
+    pairs_hot = hot.join(reps, "cid").select(
+        "vec_id", F.col("rep_id").alias("earlier"), cos_hot.alias("cos")
     )
     return pairs_cold.unionAll(pairs_hot)
 
