@@ -1254,8 +1254,9 @@ def _semdedup_pairs(tagged: DataFrame, cap: int | None = None) -> DataFrame:
     semantic blocker): identical or near-identical embeddings all land in
     one cell regardless of K, so a degenerate clique would cost O(occ²)
     in-cell pairs. Cells above ``cap`` (default `HOT_BUCKET_CAP`) emit
-    star pairs against the cell representative (min vec_id, fingerprint
-    carried by the min(struct) tag). On the degenerate cliques that
+    star pairs against the cell representative (min vec_id; its embedding
+    comes from the hot-rep slice join — see `_semdedup_tagged_cells` for
+    why it does not ride the window). On the degenerate cliques that
     create hot cells this preserves the keep-earliest verdicts exactly —
     every member verifies against the clique minimum, which IS the
     min-earlier partner the uncapped join would pick; what degrades is
