@@ -896,17 +896,40 @@ def _cos_to_cent(vec_col, sq_col, cvals):
     return _safe_cosine(_dot_q(vec_col, cl), sq_col, csq)
 
 
-def ivf_assign_cells(e: DataFrame, cents: list, cos_cols: "list | None" = None) -> DataFrame:
+#: above this K, cell assignment switches from the literal-expression arm
+#: to the broadcast-join arm: K greatest-structs of 64-element folds grow
+#: the codegen'd expression tree LINEARLY in K, and with `semdedup_k`
+#: deriving K = N/64 the literal arm would hit compiler/driver limits at
+#: ~100k-vector corpora (K in the thousands). Both arms are value-exact
+#: twins (same quantized cosine spec, same (cos DESC, cid ASC) tie-break —
+#: pinned by tests/test_ann_quality.py), so the threshold only picks the
+#: PLAN: zero-shuffle narrow expression at small K, broadcast crossJoin +
+#: map-side-combining max_by at large K (one vec_id exchange).
+_IVF_LITERAL_MAX_K = 64
+
+
+def ivf_assign_cells(
+    e: DataFrame,
+    cents: list,
+    cos_cols: "list | None" = None,
+    max_literal_k: "int | None" = None,
+) -> DataFrame:
     """Nearest-centroid cell assignment ``(vec_id, embedding, sq, cid)``:
     max over K (cosine, -cid) structs built from literal centroid arrays —
     a NARROW column expression, zero shuffle, no crossJoin (the quantizer
     is a driver-side constant, like trained model weights). ``cos_cols``
     lets a caller that already built the per-centroid cosine Columns (over
     ``embedding``/``sq``) reuse them — Column objects are immutable, and
-    rebuilding K 64-element folds is driver time wasted."""
+    rebuilding K 64-element folds is driver time wasted. Above
+    ``max_literal_k`` centroids (default `_IVF_LITERAL_MAX_K`) the
+    value-exact broadcast-join arm takes over — see the constant's note."""
     base = e.select(
         "vec_id", "embedding", _dot_q(F.col("embedding"), F.col("embedding")).alias("sq")
     )
+    if max_literal_k is None:
+        max_literal_k = _IVF_LITERAL_MAX_K
+    if cos_cols is None and len(cents) > max_literal_k:
+        return _ivf_assign_cells_join(base, cents, e.sparkSession)
     if cos_cols is None:
         cos_cols = [
             _cos_to_cent(F.col("embedding"), F.col("sq"), cvals)
@@ -918,6 +941,50 @@ def ivf_assign_cells(e: DataFrame, cents: list, cos_cols: "list | None" = None) 
     ]
     return base.withColumn(
         "cid", (-F.greatest(*structs).getField("ncid")).cast("int")
+    )
+
+
+def _ivf_assign_cells_join(base: DataFrame, cents: list, spark) -> DataFrame:
+    """Broadcast-join assignment arm for LARGE quantizers: K centroid rows
+    ``(cid, ce array<double>, csq)`` broadcast against the corpus, best
+    cell per vector via a map-side-combining ``max(struct(cos, -cid))``
+    aggregate — the crossJoin's K rows per vector collapse locally, so the
+    one exchange carries a single row per vector.
+
+    Value parity with the literal arm is exact by construction: ``ce`` is
+    stored as array<double> (the literal arm's `_lit_vec` is a double
+    array — a float column would silently narrow TRAINED centroids), the
+    cosine is the same `quantized_dot`/`_safe_cosine` spec (element casts
+    to double either way), ``csq`` is the same Python-computed
+    `_quantized_dot_py`, and max(struct(cos, -cid)) is the same
+    (cos DESC, cid ASC) tie-break as greatest over the literal structs."""
+    rows = [
+        (int(cid), [float(x) for x in cv], _quantized_dot_py(cv, cv))
+        for cid, cv in cents
+    ]
+    cent_df = spark.createDataFrame(
+        rows, "cid int, ce array<double>, csq bigint"
+    ).limit(len(rows))  # fixed cardinality documented for the hint
+    cos = _safe_cosine(
+        _dot_q(F.col("embedding"), F.col("ce")), F.col("sq"), F.col("csq")
+    )
+    best = F.max(
+        F.struct(cos.alias("cos"), (-F.col("cid")).cast("int").alias("ncid"))
+    )
+    return (
+        base.crossJoin(F.broadcast(cent_df))
+        .groupBy("vec_id")
+        .agg(
+            best.alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("sq").alias("sq"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "sq",
+            (-F.col("m.ncid")).cast("int").alias("cid"),
+        )
     )
 
 

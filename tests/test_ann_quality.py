@@ -273,3 +273,45 @@ def test_semdedup_cap_never_fires_on_gate_corpora(spark):
             .collect()[0][0]
         )
         assert occ <= HOT_BUCKET_CAP // 4, (sf, occ)
+
+
+def test_ivf_join_arm_matches_literal_arm(spark):
+    """The broadcast-join assignment arm (large-K path: corpus-derived K
+    would blow the literal expression tree past ~64 centroids) must be a
+    VALUE-EXACT twin of the literal arm — same quantized cosine, same
+    (cos DESC, cid ASC) tie-break — including on a zero vector (cosine
+    ties across every centroid -> cid-asc break) and an exact-duplicate
+    pair (identical assignments)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dblink_spark.queries.vectors import ivf_assign_cells
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=64).astype("float32")], 0)
+        for i in range(400)
+    ]
+    rows.append((400, [0.0] * 64, 0))          # zero vector: all-tie
+    rows.append((401, rows[5][1], 0))          # exact duplicate of 5
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 100).collect()
+    )  # K=100 > _IVF_LITERAL_MAX_K: the default dispatch picks the join arm
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign_cells(e, cents, max_literal_k=10**9).collect()
+    }
+    join = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign_cells(e, cents, max_literal_k=0).collect()
+    }
+    assert lit == join
+    default = {
+        r["vec_id"]: r["cid"] for r in ivf_assign_cells(e, cents).collect()
+    }
+    assert default == lit, "default dispatch at K=100 must use a twin arm"
+    assert join[401] == join[5], "exact duplicates co-assign"
