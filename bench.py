@@ -140,6 +140,7 @@ R11_QUERIES = [
     "q_docs_alpha_mixture",
     "q_docs_snapshot_drift",
     "text_bloom_decontaminate",
+    "q_events_funnel",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

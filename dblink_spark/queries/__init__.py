@@ -373,6 +373,12 @@ _GATE_TAIL = [
     # edge is pinned by the edge corpus, and like every tail entry it is
     # digest-covered below and hash-verified per round by driver_sim.
     "text_repetition",
+    # r11: q_events_funnel (sequential conversion funnel) enters the head;
+    # dedup_bottomk_jaccard rotates out — the sketch-dedup family keeps
+    # dedup_minhash_lsh + dedup_simhash head-gated, the KMV sketch math is
+    # pinned by the edge corpus and benched every round (rebased-baseline
+    # pin since r7); digest-covered below, driver_sim-verified per round.
+    "dedup_bottomk_jaccard",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -208,6 +208,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "ann_lsh_bucketed": [
         ("bucket", "i"), ("n_pairs", "i"), ("total_dot", "i"),
     ],
+    "dedup_bottomk_jaccard": [
+        ("doc1", "i"), ("doc2", "i"), ("sketch_jaccard", "f"),
+    ],
     "text_repetition": [
         ("doc_id", "i"), ("n_words", "i"), ("distinct_word_ratio", "f"),
         ("top_bigram_count", "i"), ("top_bigram_ratio", "f"),

@@ -696,3 +696,128 @@ def q_events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_col="event_id",
     ).withColumn("total_value", F.col("total_value").cast("double"))
+
+# --- r11: sequential conversion funnel ------------------------------------
+#
+# The classic product-analytics shape on the events table: how many users
+# progress signup -> view -> click -> purchase IN ORDER (each stage's
+# timestamp at or after the previous stage's). The Spark side computes the
+# whole funnel in ONE exchange: per-user event lists collapse under a
+# groupBy, and the four chained stage times are row-local
+# array_min-over-filter expressions (NULL cascades: missing a stage nulls
+# every later stage). The oracle reaches the same RESULT through four
+# chained stage CTEs — formulation-independent because stage_k's time is
+# MIN(ts of type_k >= t_{k-1}) either way.
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(ts_us) AS t FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts_us >= s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us >= s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t FROM ev e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us >= s3.t GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n FROM s1
+  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+)
+SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_users,
+  CAST(CASE WHEN stage_idx = 1 THEN 1000
+       WHEN LAG(n) OVER (ORDER BY stage_idx) > 0
+       THEN (1000 * n) // LAG(n) OVER (ORDER BY stage_idx)
+       ELSE 0 END AS BIGINT) AS conv_milli
+FROM counts
+""",
+    survey_ref=(
+        "beyond-reference: sequential conversion funnel — per-user "
+        "chained stage times in one exchange + row-local folds; exact "
+        "integer milli conversion rates"
+    ),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel over the event stream: a user reaches stage k
+    iff an event of stage k's type occurs AT OR AFTER their stage-(k-1)
+    time (chained minima — re-orderings don't count, which is what
+    separates a funnel from four independent existence checks). Emits one
+    row per stage with the user count and the exact integer milli
+    conversion rate from the previous stage.
+
+    100-TB shape: ONE exchange — per-user event structs collapse under
+    groupBy(user_id) (partial collect_list map-side), and all four stage
+    times are row-local array_min-over-filter expressions over that list
+    (NULL cascades kill later stages for free); the stage counts then
+    fold to a single row, and the 4-row report is built by exploding a
+    literal array — no second pass over events, no join, no window over
+    anything corpus-sized. Per-user state is that user's event list —
+    bounded by per-user activity, the same state bound the sessionizer
+    carries. The oracle's 4-CTE formulation replays the identical result
+    through stage semi-joins."""
+    e = load_events_us(spark, sf_dir)
+    lst = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts_us", "event_type")).alias("evs")
+    )
+
+    def stage_time(prev_t, stage):
+        cond = (
+            (lambda x: x["event_type"] == stage)
+            if prev_t is None
+            else (lambda x: (x["event_type"] == stage) & (x["ts_us"] >= prev_t))
+        )
+        return F.array_min(
+            F.transform(F.filter("evs", cond), lambda x: x["ts_us"])
+        )
+
+    t = None
+    times = []
+    for stage in _FUNNEL_STAGES:
+        t = stage_time(t, stage)
+        times.append(t)
+    per_user = lst.select(
+        *[tc.alias(f"t{i+1}") for i, tc in enumerate(times)]
+    )
+    one = per_user.agg(
+        *[F.count(f"t{i+1}").alias(f"n{i+1}") for i in range(4)]
+    ).limit(1)
+    conv = [F.lit(1000).cast("bigint")]
+    for i in range(1, 4):
+        conv.append(
+            F.when(
+                F.col(f"n{i}") > 0,
+                F.expr(f"(1000 * n{i+1}) DIV n{i}"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(f"n{i+1}").cast("bigint").alias("n_users"),
+                conv[i].alias("conv_milli"),
+            )
+            for i, stage in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.stage_idx", "r.stage", "r.n_users", "r.conv_milli"
+    )
+

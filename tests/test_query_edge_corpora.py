@@ -1137,3 +1137,47 @@ def test_maximal_span_length_gate(spark, tmp_path):
         assert "idm0" in maximal[i]["clean_text"]
         assert fixed[i]["n_removed"] == 8, "fixed surgeon strips the idiom"
         assert maximal[i]["n_kept"] + maximal[i]["n_removed"] == maximal[i]["n_tokens"]
+
+
+def test_funnel_requires_sequential_order(spark, tmp_path):
+    """The property that makes it a funnel and not four existence checks:
+    user 1 does signup->view->click->purchase in order (converts fully);
+    user 2 has all four types but the purchase PRECEDES the click (stops
+    at click); user 3 views before signing up (stops at signup); user 4
+    re-views after a later signup (second view counts — chained minima,
+    not first-occurrence); same-timestamp stages count (>= semantics)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec, etype):
+        return (eid, base + timedelta(seconds=sec), uid, etype, 0.0, "{}")
+
+    rows = [
+        ev(1, 1, 10, "signup"), ev(2, 1, 20, "view"),
+        ev(3, 1, 20, "click"),          # same-ts as view: >= counts
+        ev(4, 1, 40, "purchase"),
+        ev(5, 2, 10, "signup"), ev(6, 2, 20, "view"),
+        ev(7, 2, 25, "purchase"),       # BEFORE the click -> no conversion
+        ev(8, 2, 30, "click"),
+        ev(9, 3, 20, "view"), ev(10, 3, 30, "signup"),  # view too early
+        ev(11, 4, 5, "view"), ev(12, 4, 10, "signup"),
+        ev(13, 4, 15, "view"),          # the re-view after signup counts
+    ]
+    d = str(tmp_path / "funnel_events")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {
+        r["stage"]: r
+        for r in REGISTRY["q_events_funnel"].fn(spark, d).collect()
+    }
+    assert out["signup"]["n_users"] == 4
+    assert out["view"]["n_users"] == 3       # users 1, 2, 4
+    assert out["click"]["n_users"] == 2      # users 1, 2
+    assert out["purchase"]["n_users"] == 1   # user 1 only
+    assert out["view"]["conv_milli"] == (1000 * 3) // 4
+    assert out["purchase"]["conv_milli"] == 500
+    assert out["signup"]["conv_milli"] == 1000
