@@ -141,6 +141,10 @@ R11_QUERIES = [
     "q_docs_snapshot_drift",
     "text_bloom_decontaminate",
     "q_events_funnel",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_blamed_supplier",
+    "q22_dormant_accounts",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -379,6 +379,29 @@ _GATE_TAIL = [
     # pinned by the edge corpus and benched every round (rebased-baseline
     # pin since r7); digest-covered below, driver_sim-verified per round.
     "dedup_bottomk_jaccard",
+    # r11: the four correlated-subquery SQL shapes (q15_top_supplier,
+    # q17_small_quantity_revenue, q21_blamed_supplier,
+    # q22_dormant_accounts) enter the head; four mature beyond-reference
+    # entries rotate out, each with its operator surface still head-gated
+    # by a sibling and its full result digest-covered below +
+    # driver_sim-verified per round:
+    # - ann_topk_cosine: the brute-force ANN baseline — benched every
+    #   round since r3; the ANN family keeps ann_ivf_trained +
+    #   dedup_embedding_cosine_scaled head-gated, and the brute result
+    #   remains the recall oracle inside ann_ivf_trained's contract.
+    "ann_topk_cosine",
+    # - dedup_simhash: benched every round; the sketch-dedup family keeps
+    #   dedup_minhash_lsh head-gated and the simhash bit math is pinned by
+    #   the edge corpus.
+    "dedup_simhash",
+    # - text_token_count_bpe: the BPE-ish token-counting rollup — its
+    #   regex tokenizer is shared with (and exercised by) head-gated
+    #   text_vocab_topk / text_tfidf_topk; benched every round since r6.
+    "text_token_count_bpe",
+    # - text_gopher_rules: the Gopher quality-rule scorecard — its exact
+    #   rule set is re-exercised end-to-end inside head-gated
+    #   pipeline_corpus_prep (filter-first composition); benched since r5.
+    "text_gopher_rules",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

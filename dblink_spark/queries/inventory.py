@@ -216,6 +216,23 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("top_bigram_count", "i"), ("top_bigram_ratio", "f"),
         ("repetitive", "b"),
     ],
+    "ann_topk_cosine": [
+        ("query_id", "i"), ("neighbor_id", "i"), ("label", "i"),
+        ("cosine", "f"), ("rank", "i"),
+    ],
+    "dedup_simhash": [
+        ("doc_id", "i"), ("n_near_dups", "i"), ("min_partner", "i"),
+    ],
+    "text_token_count_bpe": [
+        ("lang", "s"), ("source", "s"), ("n_docs", "i"),
+        ("total_bpe_tokens", "i"), ("total_ws_tokens", "i"),
+        ("bpe_per_ws_token", "f"),
+    ],
+    "text_gopher_rules": [
+        ("doc_id", "i"), ("lang", "s"), ("source", "s"), ("n_words", "i"),
+        ("mean_word_len", "f"), ("stop_hits", "i"), ("symbol_ratio", "f"),
+        ("gopher_pass", "b"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from dblink_spark.queries import load, register
+from dblink_spark.queries import load, owns_caches, register
 
 # Exact-decimal helpers (see package docstring for why).
 def dec(c, p=18, s=2):
@@ -821,3 +821,252 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r.stage_idx", "r.stage", "r.n_users", "r.conv_milli"
     )
 
+
+
+# --- r11: correlated-subquery SQL shapes -----------------------------------
+#
+# The four classic TPC-H decision-support shapes the inventory still lacked:
+# a scalar MAX over an aggregated view (Q15), a correlated per-group average
+# threshold (Q17), multi-correlated EXISTS + NOT EXISTS on the same fact
+# table (Q21), and a whole-table scalar threshold feeding an anti join
+# (Q22). Each is expressed as the DECORRELATED DataFrame plan a 100-TB run
+# needs (per-key aggregate + join-back; 1-row broadcast thresholds), while
+# the oracle keeps the textbook correlated-subquery formulation — the gate
+# proves the decorrelation is semantics-preserving.
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+       CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+    survey_ref="beyond-reference: scalar MAX over an aggregated view (TPC-H Q15)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — a scalar subquery over an aggregated view. Revenue stays
+    DECIMAL end-to-end so the equality against the max is EXACT in both
+    engines (a double round-trip could split a genuine tie); ties emit
+    every maximal supplier, deterministically.
+
+    100-TB shape: the per-supplier aggregate is one partial-aggregating
+    exchange over the date-pruned scan, PERSISTED so the fact table is
+    scanned exactly once — the MAX consumer and the winner filter both
+    read the supplier-cardinality cache (2 narrow columns), not lineitem.
+    The MAX collapses it to a 1-row frame (``.limit(1)`` documents the
+    fixed cardinality) broadcast back as a nested-loop filter, so the
+    aggregate is never sorted and never crosses a second exchange. The
+    supplier dim joins AFTER the max filter — only the winning row(s)
+    reach it."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(disc_price()).alias("total_rev")
+    ).persist()
+    max_rev = F.broadcast(rev.agg(F.max("total_rev").alias("max_rev")).limit(1))
+    winners = rev.join(max_rev, rev.total_rev == max_rev.max_rev, "inner")
+    s = load(spark, sf_dir, "supplier")
+    out = winners.join(s, winners.l_suppkey == s.s_suppkey).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("name"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+    return owns_caches(out, rev)  # caller releases after materializing
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+""",
+    survey_ref="beyond-reference: correlated per-group average threshold (TPC-H Q17)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitems of one
+    brand whose quantity is below 20% of that part's average quantity.
+    The correlated AVG threshold is evaluated in EXACT integer arithmetic
+    (quantities are integral): ``qty < 0.2 * sum/cnt`` becomes
+    ``5*qty*cnt < sum`` — no division, no float, so the strict-inequality
+    boundary (a part whose average is exactly 5x a line's quantity) cannot
+    flip between engines. The oracle keeps the textbook correlated form;
+    this plan is its decorrelation.
+
+    100-TB shape: the brand filter broadcast-semi-joins the scan FIRST, so
+    the per-part (count, sum) aggregate runs over only the brand's
+    lineitems — the correlation key (l_partkey) is a subset of the brand's
+    parts, so restricting the aggregate is semantics-preserving and cuts
+    the aggregated volume by |brands|. One partial-aggregating exchange on
+    l_partkey, join-back on the same key (the exchange is reused), final
+    1-row fold."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l = load(spark, sf_dir, "lineitem").join(
+        parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+    probe = l.select("l_partkey", "l_quantity", "l_extendedprice").withColumnRenamed(
+        "l_partkey", "pk"
+    )
+    small = probe.join(per_part, probe.pk == per_part.l_partkey).filter(
+        F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q21_blamed_supplier",
+    oracle="""
+SELECT s.s_name AS name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+    survey_ref=(
+        "beyond-reference: multi-correlated EXISTS + NOT EXISTS on one fact "
+        "table (TPC-H Q21)"
+    ),
+)
+def q21_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a flagged line on
+    a finished multi-supplier order — the returned-line supplier where at
+    least one OTHER supplier shipped on the same order (EXISTS) and no
+    other supplier's line was flagged (NOT EXISTS). Both subqueries
+    correlate on the order key AND an inequality on the supplier key, the
+    textbook shape planners decorrelate into semi/anti joins.
+
+    100-TB shape: the flagged slice l1 is returnflag-pruned at the scan;
+    the EXISTS becomes a left-semi and the NOT EXISTS a left-anti join,
+    both equi-keyed on l_orderkey with the supplier inequality as a
+    residual — all three lineitem passes co-partition on l_orderkey so
+    AQE reuses one exchange layout, and only (orderkey, suppkey) pairs
+    ever shuffle (never price/comment-width rows). The orders join is
+    equi-keyed on the same orderkey; the supplier dim join happens last,
+    on the already-aggregated-down slice."""
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    cand = l1.join(
+        l2,
+        (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.ok3) & (F.col("l_suppkey") != l3.sk3),
+        "left_anti",
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0 AND c_nationkey % 5 = 0
+)
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_nationkey % 5 = 0 AND c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c.c_nationkey
+""",
+    survey_ref=(
+        "beyond-reference: whole-table scalar threshold + anti join "
+        "(TPC-H Q22)"
+    ),
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance-above-average customers in a
+    nation subset with NO recent order (dormant since 2000-06-01 — the
+    fixtures give every customer SOME order, so the classic no-order anti
+    join would be vacuously empty; dormancy keeps the identical plan shape
+    with a non-trivial result). The threshold is a whole-table scalar
+    subquery; the recency check is a correlated NOT EXISTS.
+
+    100-TB shape: the 1-row average (``.limit(1)`` documents fixed
+    cardinality) broadcasts back over the nation-pruned customer scan —
+    sum/count are exact DECIMAL/BIGINT so the single IEEE division, and
+    therefore the > comparison, is bit-identical in both engines. The NOT
+    EXISTS is a left-anti equi-join against the date-pruned orders scan
+    (only o_custkey shuffles). Final aggregate groups the handful of
+    surviving rows by nation."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") % 5 == 0
+    )
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("a")
+        )
+        .limit(1)
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(avg_bal).filter(F.col("c_acctbal") > F.col("a"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("numcust"),
+        F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )

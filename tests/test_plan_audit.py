@@ -805,3 +805,93 @@ class TestR10QueryPlans:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+
+class TestR11SqlShapes:
+    """The four correlated-subquery TPC-H shapes (Q15/Q17/Q21/Q22) — pins
+    are the decorrelation properties that survive a 100× scale-up: the
+    fact table is scanned the minimum number of times with only the
+    correlation/key columns read, every filter reaches the scan, and no
+    decorrelated subquery degenerates into a cartesian product. Join
+    STRATEGY is deliberately unpinned (AQE broadcasts at test SF, shuffles
+    at scale) except where a 1-row frame is structurally broadcast."""
+
+    def test_q15_fact_scanned_once_via_cache(self, spark):
+        """Q15: the per-supplier revenue aggregate is persisted, so the
+        date-pruned lineitem scan happens exactly ONCE even though two
+        consumers (MAX scalar + winner filter) read the aggregate."""
+        df = q.REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        scans = scan_infos(plan)
+        fact = [s for s in scans if "lineitem" in s.location]
+        assert len(fact) == 1, "lineitem must be scanned exactly once"
+        assert fact[0].pushed_filters, "ship-date window must push down"
+        assert set(fact[0].read_columns) <= {
+            "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+        }
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
+    def test_q17_correlated_avg_decorrelation(self, spark):
+        """Q17: both lineitem passes (per-part aggregate + probe) read at
+        most the 3 needed columns, the brand predicate pushes into BOTH
+        part scans (the semi-join prune), and the exact-integer threshold
+        join stays equi-keyed on l_partkey — never a product."""
+        df = q.REGISTRY["q17_small_quantity_revenue"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        scans = scan_infos(plan)
+        for s in scans:
+            if "lineitem" in s.location:
+                assert set(s.read_columns) <= {
+                    "l_partkey", "l_quantity", "l_extendedprice"
+                }
+            if "part.parquet" in s.location:
+                assert any("p_brand" in f for f in s.pushed_filters)
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0
+
+    def test_q21_exists_chain_reads_only_keys(self, spark):
+        """Q21: the EXISTS/NOT-EXISTS decorrelation shuffles only
+        (l_orderkey, l_suppkey, l_returnflag) — a width column (price,
+        quantity) reaching any of the three lineitem scans means the
+        semi/anti sides stopped pruning. The supplier inequality is a
+        join residual, never a product."""
+        df = q.REGISTRY["q21_blamed_supplier"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        scans = scan_infos(plan)
+        fact = [s for s in scans if "lineitem" in s.location]
+        assert len(fact) == 3
+        for s in fact:
+            assert set(s.read_columns) <= {
+                "l_orderkey", "l_suppkey", "l_returnflag"
+            }
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0
+
+    def test_q22_scalar_threshold_is_one_row_broadcast(self, spark):
+        """Q22: the whole-table average is a 1-row frame broadcast back
+        (nested-loop against ONE row, the legal degenerate case); the
+        dormancy check is an anti equi-join on the date-pruned orders scan
+        reading only (o_custkey, o_orderdate)."""
+        df = q.REGISTRY["q22_dormant_accounts"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        scans = scan_infos(plan)
+        orders = [s for s in scans if "orders" in s.location]
+        assert len(orders) == 1
+        assert orders[0].pushed_filters, "dormancy cutoff must push down"
+        assert set(orders[0].read_columns) <= {"o_custkey", "o_orderdate"}
+        for s in scans:
+            if "customer" in s.location:
+                assert set(s.read_columns) <= {
+                    "c_custkey", "c_nationkey", "c_acctbal"
+                }
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0

@@ -1181,3 +1181,132 @@ def test_funnel_requires_sequential_order(spark, tmp_path):
     assert out["view"]["conv_milli"] == (1000 * 3) // 4
     assert out["purchase"]["conv_milli"] == 500
     assert out["signup"]["conv_milli"] == 1000
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    d = str(tmp_path / name)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{d}/{name.split('_')[-1]}.parquet"
+    )
+    return d
+
+
+def test_q17_integer_threshold_boundary(spark, tmp_path):
+    """The Q17 correlated-average boundary in exact integers: a line whose
+    quantity is STRICTLY below 20% of its part's average counts; a line
+    landing exactly ON the boundary (5*qty*cnt == sum_qty) does not; other
+    brands never enter. Part A: quantities [1,10,10,19] (sum 40, cnt 4) —
+    only qty=1 qualifies (20 < 40). Part B: [2,18] (sum 20, cnt 2) —
+    qty=2 gives 5*2*2 == 20, excluded by the strict inequality."""
+    d = str(tmp_path / "q17")
+    spark.createDataFrame(
+        [(1, "Brand#23"), (2, "Brand#23"), (3, "Brand#9")],
+        "p_partkey long, p_brand string",
+    ).write.parquet(d + "/part.parquet")
+    lines = [
+        (1, 1.0, 700.0), (1, 10.0, 1.0), (1, 10.0, 1.0), (1, 19.0, 1.0),
+        (2, 2.0, 999.0), (2, 18.0, 1.0),
+        (3, 1.0, 123456.0),  # wrong brand: its tiny quantity must not leak
+        (3, 99.0, 1.0),
+    ]
+    spark.createDataFrame(
+        lines, "l_partkey long, l_quantity double, l_extendedprice double"
+    ).write.parquet(d + "/lineitem.parquet")
+    [row] = REGISTRY["q17_small_quantity_revenue"].fn(spark, d).collect()
+    assert row["n_lines"] == 1
+    assert row["avg_yearly"] == 700.0 / 7.0
+
+
+def test_q15_exact_tie_emits_all_winners(spark, tmp_path):
+    """Q15's max filter compares DECIMAL-exact revenues, so two suppliers
+    with identical quarterly revenue BOTH win (a double round-trip that
+    split the tie would emit one row and flip the gate hash); revenue
+    outside the date window never counts."""
+    from dblink_spark.queries import materialized
+
+    d = str(tmp_path / "q15")
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    ).write.parquet(d + "/supplier.parquet")
+    import datetime
+
+    inw = datetime.datetime(1996, 2, 1)
+    outw = datetime.datetime(1997, 2, 1)
+    lines = [
+        (1, 100.0, 0.10, inw),
+        (2, 90.0, 0.0, inw),    # 90.00 == 100*(1-0.10): exact tie
+        (3, 89.99, 0.0, inw),   # just below
+        (3, 5000.0, 0.0, outw),  # outside the quarter: ignored
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_suppkey long, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    with materialized(REGISTRY["q15_top_supplier"].fn(spark, d)) as out:
+        rows = sorted((r["name"], r["total_revenue"]) for r in out.collect())
+    assert rows == [("S1", 90.0), ("S2", 90.0)]
+
+
+def test_q21_sole_blame_semantics(spark, tmp_path):
+    """The Q21 EXISTS/NOT-EXISTS conjunction, pinned case by case: sole
+    flagged supplier on a multi-supplier finished order counts; an order
+    where TWO suppliers are flagged counts for neither (NOT EXISTS); a
+    single-supplier order counts for nobody (EXISTS); an open order never
+    counts (status filter)."""
+    d = str(tmp_path / "q21")
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    ).write.parquet(d + "/supplier.parquet")
+    spark.createDataFrame(
+        [(10, "F"), (20, "F"), (30, "F"), (40, "O"), (50, "F")],
+        "o_orderkey long, o_orderstatus string",
+    ).write.parquet(d + "/orders.parquet")
+    lines = [
+        (10, 1, "R"), (10, 2, "N"),              # S1 solely blamed
+        (20, 1, "R"), (20, 2, "R"),              # both flagged -> neither
+        (30, 1, "R"),                            # single-supplier -> nobody
+        (40, 1, "R"), (40, 2, "N"),              # open order -> nobody
+        (50, 2, "R"), (50, 1, "N"), (50, 3, "N"),  # S2 solely blamed
+    ]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long, l_returnflag string"
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {
+        r["name"]: r["numwait"]
+        for r in REGISTRY["q21_blamed_supplier"].fn(spark, d).collect()
+    }
+    assert out == {"S1": 1, "S2": 1}
+
+
+def test_q22_dormancy_and_threshold(spark, tmp_path):
+    """Q22 semantics: only nation-subset customers enter; the average is
+    over POSITIVE balances only; a dormant above-average customer counts,
+    a below-average dormant one does not, an above-average customer with
+    a recent order does not, and a customer with NO orders at all is
+    dormant (the anti join's vacuous case)."""
+    import datetime
+
+    d = str(tmp_path / "q22")
+    custs = [
+        (1, 0, 100.0),    # below avg
+        (2, 0, 900.0),    # above avg, dormant (old order only)
+        (3, 0, 1000.0),   # above avg, RECENT order -> excluded
+        (4, 0, -50.0),    # negative: excluded from the average
+        (5, 1, 99999.0),  # nation 1: outside the subset entirely
+        (6, 0, 800.0),    # above avg, NO orders at all -> dormant
+    ]
+    spark.createDataFrame(
+        custs, "c_custkey long, c_nationkey int, c_acctbal double"
+    ).write.parquet(d + "/customer.parquet")
+    old = datetime.datetime(1999, 1, 1)
+    recent = datetime.datetime(2001, 1, 1)
+    spark.createDataFrame(
+        [(2, old), (3, recent), (1, old)],
+        "o_custkey long, o_orderdate timestamp",
+    ).write.parquet(d + "/orders.parquet")
+    # avg over positive nation-0 balances: (100+900+1000+800)/4 = 700
+    [row] = REGISTRY["q22_dormant_accounts"].fn(spark, d).collect()
+    assert row["nationkey"] == 0
+    assert row["numcust"] == 2          # customers 2 and 6
+    assert row["totacctbal"] == 1700.0
