@@ -145,6 +145,9 @@ R11_QUERIES = [
     "q17_small_quantity_revenue",
     "q21_blamed_supplier",
     "q22_dormant_accounts",
+    "q7_nation_volume",
+    "q_orders_moving_revenue",
+    "q_events_retention",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

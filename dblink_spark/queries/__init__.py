@@ -402,6 +402,23 @@ _GATE_TAIL = [
     #   rule set is re-exercised end-to-end inside head-gated
     #   pipeline_corpus_prep (filter-first composition); benched since r5.
     "text_gopher_rules",
+    # r11: q7_nation_volume, q_orders_moving_revenue and q_events_retention
+    # (bidirectional nation-pair volume, RANGE-frame sliding window, cohort
+    # retention matrix) enter the head; three mature entries rotate out:
+    # - vector_random_projection: a zero-exchange narrow map whose plan is
+    #   pinned by tests/test_plan_audit.py and whose JL sign-matrix math is
+    #   pinned value-exactly in the edge suite; benched every round.
+    "vector_random_projection",
+    # - text_boilerplate_grams: the detection-only twin of head-gated
+    #   text_strip_boilerplate (they share the _gram_occurrences single
+    #   spec — the surgeon exercises the detector's gram relation
+    #   end-to-end); its plan + edge pins stay.
+    "text_boilerplate_grams",
+    # - q_events_value_quantiles_approx: the bounded-rank-error contract
+    #   booleans are in-band columns of a digest-covered result, and the
+    #   sketch family keeps q_events_user_distinct_approx's HLL contract
+    #   pattern under the same digest; exact twin already tail-digested.
+    "q_events_value_quantiles_approx",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -233,6 +233,19 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("mean_word_len", "f"), ("stop_hits", "i"), ("symbol_ratio", "f"),
         ("gopher_pass", "b"),
     ],
+    "vector_random_projection": [
+        ("vec_id", "i"), ("label", "i"), ("d0", "i"), ("d1", "i"),
+        ("d2", "i"), ("d3", "i"), ("d4", "i"), ("d5", "i"), ("d6", "i"),
+        ("d7", "i"),
+    ],
+    "text_boilerplate_grams": [
+        ("doc_id", "i"), ("n_grams", "i"), ("n_boiler", "i"),
+        ("boiler_frac", "f"),
+    ],
+    "q_events_value_quantiles_approx": [
+        ("event_type", "s"), ("n", "i"), ("p50_ok", "b"), ("p90_ok", "b"),
+        ("p99_ok", "b"),
+    ],
 }
 
 _NULL = "<NULL>"

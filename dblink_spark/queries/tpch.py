@@ -1070,3 +1070,211 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) GROUP BY supp_nation, cust_nation, l_year
+""",
+    survey_ref=(
+        "beyond-reference: bidirectional nation-pair volume, 6-table join "
+        "+ year rollup (TPC-H Q7)"
+    ),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year, both
+    directions kept as separate rows — the pair disjunction
+    ((supp=A AND cust=B) OR (supp=B AND cust=A)) can only be evaluated
+    after both nation joins, the property that makes Q7 a planner test.
+
+    100-TB shape: the 25-row nation dim broadcasts into supplier and
+    customer FIRST, and the name filter prunes each to the two named
+    nations — so the big joins (lineitem⋈orders on orderkey,
+    ⋈customer on custkey) see only pair-eligible rows; the residual
+    disjunction then drops the two same-nation combinations post-join.
+    Year extraction is row-local; the final rollup groups ~|2×2×years|
+    keys with map-side combine."""
+    pair = ["NATION_3", "NATION_7"]
+    n = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("nk1"),
+            F.col("n_name").alias("supp_nation"),
+        ).filter(F.col("supp_nation").isin(pair))
+    )
+    n2 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("nk2"),
+            F.col("n_name").alias("cust_nation"),
+        ).filter(F.col("cust_nation").isin(pair))
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        n1, F.col("s_nationkey") == F.col("nk1")
+    ).select("s_suppkey", "supp_nation")
+    c = load(spark, sf_dir, "customer").join(
+        n2, F.col("c_nationkey") == F.col("nk2")
+    ).select("c_custkey", "cust_nation")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_orders_moving_revenue",
+    oracle="""
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_idx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+FROM orders
+""",
+    survey_ref=(
+        "beyond-reference: RANGE-frame sliding window (30-day trailing "
+        "revenue per customer) — value-based frames, not row counts"
+    ),
+)
+def q_orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day trailing revenue per customer at every order: a RANGE-frame
+    window — the frame is defined by the DAY VALUE (day_idx-29 .. day_idx),
+    not a row count, so sparse customers and same-day peer orders (every
+    peer's amount counts in every peer's frame) behave correctly; a ROWS
+    frame would get both wrong. Sums stay DECIMAL inside the window and
+    cast to double once.
+
+    100-TB shape: exactly one exchange (hash on o_custkey) + an in-partition
+    sort on the integer day index — the minimum any per-key ordered window
+    pays; no join, no second pass, and the frame bound is an integer
+    comparison evaluated inside codegen. Day index = exact integer
+    datediff from the epoch (no timezone arithmetic, identical in both
+    engines)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("int")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_idx")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        o.withColumn("day_idx", day)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            "day_idx",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+        )
+    )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events
+),
+fst AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_day, ud.day - f.cohort_day AS offset_day,
+         COUNT(*) AS n_users
+  FROM ud JOIN fst f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(offset_day AS BIGINT) AS offset_day,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST((1000 * n_users) // MAX(CASE WHEN offset_day = 0 THEN n_users END)
+            OVER (PARTITION BY cohort_day) AS BIGINT) AS retention_milli
+FROM cells
+""",
+    survey_ref=(
+        "beyond-reference: cohort retention matrix — first-touch cohorts, "
+        "day offsets, exact integer milli retention"
+    ),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users are cohorted by their
+    FIRST active day, and cell (c, k) counts users of cohort c active
+    again k days later — the product-analytics companion to the funnel.
+    Retention rates are exact integer millis against the cohort's own
+    day-0 size (every cohort has an offset-0 cell by construction, so the
+    window max never NULLs).
+
+    100-TB shape: ONE corpus-sized exchange — per-user day sets collapse
+    under groupBy(user_id) (collect_set partial-aggregates map-side), the
+    cohort day is a row-local array_min, and the (cohort, offset) cells
+    explode from the per-user array into a map-side-combining aggregate
+    whose key domain is ~|days|² — tiny. The retention window then runs
+    over that tiny cell relation, never over events. Per-user state is
+    the distinct-day set: bounded by the calendar, not by event volume."""
+    e = load_events_us(spark, sf_dir)
+    per_user = (
+        e.withColumn("day", F.expr("ts_us DIV 86400000000"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+        .select(
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("day"),
+        )
+    )
+    cells = (
+        per_user.select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_day")
+        )
+        .groupBy("cohort_day", "offset_day")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_day")
+    base = F.max(
+        F.when(F.col("offset_day") == 0, F.col("n_users"))
+    ).over(w)
+    return cells.select(
+        F.col("cohort_day").cast("bigint").alias("cohort_day"),
+        F.col("offset_day").cast("bigint").alias("offset_day"),
+        "n_users",
+        base.alias("base_n"),
+    ).select(
+        "cohort_day",
+        "offset_day",
+        "n_users",
+        # exact integer division (no float quotient anywhere), mirroring
+        # the oracle's `//` — a double round-trip could disagree with
+        # exact floor past ~2^40 cohort sizes
+        F.expr("(1000 * n_users) DIV base_n").cast("bigint").alias(
+            "retention_milli"
+        ),
+    )

@@ -895,3 +895,51 @@ class TestR11SqlShapes:
                 }
         assert "CartesianProduct" not in plan
         assert a.python_ops == 0
+
+    def test_q7_nation_pruning_and_key_columns(self, spark):
+        """Q7: the nation broadcast + name filter prunes supplier and
+        customer to 2-column key slices BEFORE the big joins; lineitem
+        reads only its 5 needed columns out of 11; the pair disjunction
+        never degenerates into a product."""
+        df = q.REGISTRY["q7_nation_volume"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        scans = scan_infos(plan)
+        for s in scans:
+            if "lineitem" in s.location:
+                assert set(s.read_columns) <= {
+                    "l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount", "l_shipdate",
+                }
+            if "customer" in s.location:
+                assert set(s.read_columns) <= {"c_custkey", "c_nationkey"}
+            if "supplier" in s.location:
+                assert set(s.read_columns) <= {"s_suppkey", "s_nationkey"}
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0
+
+    def test_moving_revenue_single_exchange_window(self, spark):
+        """RANGE-frame window: exactly ONE exchange (hash on o_custkey) +
+        the in-partition sort — the minimum for any per-key ordered
+        window; one scan, 4 columns, no join anywhere."""
+        df = q.REGISTRY["q_orders_moving_revenue"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.n_scans == 1
+        assert a.exchanges == 1
+        assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+        assert a.python_ops == 0
+        assert a.total_read_columns <= 4
+
+    def test_retention_one_corpus_exchange(self, spark):
+        """Cohort retention: the only corpus-sized exchange is the
+        groupBy(user_id) day-set collapse — the cells aggregate and the
+        cohort-base window run over the ~|days|² cell relation. Events
+        scan reads exactly (ts, user_id)."""
+        df = q.REGISTRY["q_events_retention"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        plan = formatted_plan(df)
+        assert a.n_scans == 1
+        assert a.exchanges <= 3  # user collapse + cell agg + cell window
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert set(scans[0].read_columns) <= {"ts", "user_id"}

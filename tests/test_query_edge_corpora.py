@@ -1310,3 +1310,124 @@ def test_q22_dormancy_and_threshold(spark, tmp_path):
     assert row["nationkey"] == 0
     assert row["numcust"] == 2          # customers 2 and 6
     assert row["totacctbal"] == 1700.0
+
+
+def test_q7_direction_and_year_boundaries(spark, tmp_path):
+    """Q7 semantics: a NATION_3 supplier shipping to a NATION_7 customer
+    lands in the (3,7) row and never the (7,3) row; a same-nation pair
+    contributes nothing; Dec-31 vs Jan-1 shipments split across year
+    rows."""
+    import datetime
+
+    d = str(tmp_path / "q7")
+    spark.createDataFrame(
+        [(3, "NATION_3"), (7, "NATION_7"), (9, "NATION_9")],
+        "n_nationkey int, n_name string",
+    ).write.parquet(d + "/nation.parquet")
+    spark.createDataFrame(
+        [(1, 3), (2, 7), (3, 9)], "s_suppkey long, s_nationkey int"
+    ).write.parquet(d + "/supplier.parquet")
+    spark.createDataFrame(
+        [(10, 7), (20, 3), (30, 3)], "c_custkey long, c_nationkey int"
+    ).write.parquet(d + "/customer.parquet")
+    spark.createDataFrame(
+        [(100, 10), (200, 20), (300, 30)], "o_orderkey long, o_custkey long"
+    ).write.parquet(d + "/orders.parquet")
+    dec31 = datetime.datetime(1996, 12, 31)
+    jan1 = datetime.datetime(1997, 1, 1)
+    lines = [
+        (100, 1, 100.0, 0.0, dec31),  # s@3 -> c@7, 1996
+        (100, 1, 200.0, 0.0, jan1),   # s@3 -> c@7, 1997 (year split)
+        (200, 2, 400.0, 0.0, dec31),  # s@7 -> c@3, 1996 (reverse direction)
+        (300, 1, 999.0, 0.0, dec31),  # s@3 -> c@3: same nation, dropped
+        (100, 3, 999.0, 0.0, dec31),  # s@9 -> c@7: outside pair, dropped
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    rows = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in REGISTRY["q7_nation_volume"].fn(spark, d).collect()
+    }
+    assert rows == {
+        ("NATION_3", "NATION_7", 1996): 100.0,
+        ("NATION_3", "NATION_7", 1997): 200.0,
+        ("NATION_7", "NATION_3", 1996): 400.0,
+    }
+
+
+def test_moving_revenue_range_frame_semantics(spark, tmp_path):
+    """The properties that make it a RANGE frame: a value exactly 30 days
+    old falls OUT (frame is day-29..day), a 29-day-old one stays in,
+    same-day peer orders count in each other's frames (a ROWS frame would
+    order them arbitrarily), and customers never see each other."""
+    import datetime
+
+    d = str(tmp_path / "qmov")
+    base = datetime.datetime(2000, 1, 1)
+
+    def day(k):
+        return base + datetime.timedelta(days=k)
+
+    rows = [
+        (1, 101, 10.0, day(0)),
+        (2, 101, 20.0, day(29)),   # frame [0,29]: includes day 0
+        (3, 101, 40.0, day(30)),   # frame [1,30]: day 0 drops out
+        (4, 101, 80.0, day(30)),   # same-day peer: both rows sum both
+        (5, 202, 7.0, day(29)),    # other customer: isolated
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).write.parquet(d + "/orders.parquet")
+    out = {
+        r["orderkey"]: r["trailing_30d"]
+        for r in REGISTRY["q_orders_moving_revenue"].fn(spark, d).collect()
+    }
+    assert out == {1: 10.0, 2: 30.0, 3: 140.0, 4: 140.0, 5: 7.0}
+
+
+def test_retention_cohort_semantics(spark, tmp_path):
+    """Retention pins: the cohort is the FIRST active day (user B's later
+    events join their own cohort, not a fresh one), a same-day repeat
+    event does not double-count the user, a single-event user exists only
+    at offset 0, and milli rates divide by the cohort's own day-0 size."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def ev(eid, uid, day_off, sec=0):
+        return (
+            eid, base + datetime.timedelta(days=day_off, seconds=sec),
+            uid, "view", 0.0, "{}",
+        )
+
+    rows = [
+        # cohort day 0: users 1, 2, 3
+        ev(1, 1, 0), ev(2, 2, 0), ev(3, 3, 0),
+        ev(4, 1, 0, sec=60),   # same-day repeat: no double count
+        ev(5, 1, 2), ev(6, 2, 2),  # two of three return on day 2
+        ev(7, 1, 5),               # one returns on day 5
+        # cohort day 1: user 4 only, never returns
+        ev(8, 4, 1),
+    ]
+    d = str(tmp_path / "qret")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    res = REGISTRY["q_events_retention"].fn(spark, d).collect()
+    cohorts = {}
+    for r in res:
+        cohorts[(r["cohort_day"] - min(x["cohort_day"] for x in res),
+                 r["offset_day"])] = (r["n_users"], r["retention_milli"])
+    assert cohorts == {
+        (0, 0): (3, 1000),
+        (0, 2): (2, 666),
+        (0, 5): (1, 333),
+        (1, 0): (1, 1000),
+    }
