@@ -148,6 +148,8 @@ R11_QUERIES = [
     "q7_nation_volume",
     "q_orders_moving_revenue",
     "q_events_retention",
+    "q_docs_neyman_allocation",
+    "q_docs_inventory_cube",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -419,6 +419,19 @@ _GATE_TAIL = [
     #   sketch family keeps q_events_user_distinct_approx's HLL contract
     #   pattern under the same digest; exact twin already tail-digested.
     "q_events_value_quantiles_approx",
+    # r11: q_docs_neyman_allocation and q_docs_inventory_cube (eval-budget
+    # apportionment, CUBE drill-down inventory) enter the head; two mature
+    # entries rotate out:
+    # - dedup_embedding_cosine_scaled: benched every round since r6, its
+    #   width-scaled banding spec is shared with (and exercised through)
+    #   head-gated dedup_semantic's cosine verdicts and the ANN family
+    #   keeps ann_ivf_trained head-gated.
+    "dedup_embedding_cosine_scaled",
+    # - q_docs_lang_rebalance: the mixing-knob family keeps THREE head
+    #   entries (alpha_mixture, token_budget_mix, mixture_recipe) and the
+    #   hash-threshold sampling mechanism stays head-gated via
+    #   q_docs_sample_split's digest + the alpha mixture's hex thresholds.
+    "q_docs_lang_rebalance",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -246,6 +246,12 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "s"), ("n", "i"), ("p50_ok", "b"), ("p90_ok", "b"),
         ("p99_ok", "b"),
     ],
+    "dedup_embedding_cosine_scaled": [
+        ("v1", "i"), ("v2", "i"), ("cosine", "f"),
+    ],
+    "q_docs_lang_rebalance": [
+        ("doc_id", "i"), ("lang", "s"), ("sample_key", "s"),
+    ],
 }
 
 _NULL = "<NULL>"

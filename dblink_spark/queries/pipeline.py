@@ -1126,3 +1126,182 @@ def q_docs_mixture_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_docs_mixture_recipe.__doc__ = q_docs_mixture_recipe.__doc__.format(
     max_epochs=_RECIPE_MAX_EPOCHS
 )
+
+
+# --- r11: eval-budget allocation + drill-down inventory ---------------------
+
+
+@register(
+    "q_docs_neyman_allocation",
+    oracle=f"""
+WITH {{pts}},
+strata AS (
+  SELECT COALESCE(lang, 'und') AS stratum,
+         COUNT(*) AS n_docs,
+         SUM(CAST(pts AS BIGINT)) AS s1,
+         SUM(CAST(pts AS BIGINT) * CAST(pts AS BIGINT)) AS s2
+  FROM gscored GROUP BY 1
+),
+wts AS (
+  SELECT stratum, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS w
+  FROM strata
+),
+tot AS (SELECT SUM(w) AS tw FROM wts),
+base AS (
+  SELECT stratum, n_docs, w,
+         CASE WHEN tw > 0 THEN (1000 * w) // tw ELSE 0 END AS a0,
+         CASE WHEN tw > 0 THEN (1000 * w) % tw ELSE 0 END AS rem,
+         tw
+  FROM wts, tot
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+         CASE WHEN tw > 0 THEN 1000 - SUM(a0) OVER () ELSE 0 END AS leftover
+  FROM base
+)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, w AS sigma_w,
+       CAST(LEAST(a0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                  n_docs) AS BIGINT) AS alloc
+FROM ranked
+""".format(pts=_pts_cte_sql("lang")),
+    survey_ref=(
+        "beyond-reference: Neyman eval/labeling-budget allocation — "
+        "per-stratum n*sigma weights from exact integer moments, "
+        "largest-remainder integer apportionment"
+    ),
+)
+def q_docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a 1000-sample labeling/eval budget across
+    language strata: stratum l gets budget ∝ n_l·σ_l of its integer
+    quality points — the minimum-variance allocation for stratified
+    estimation, the budget knob an annotation or eval pipeline runs
+    before sampling. n_l·σ_l = sqrt(n·Σx² − (Σx)²) folds BOTH stats into
+    ONE square root of an exact BIGINT: the moments are exact integer
+    sums, the lone sqrt is IEEE-correctly-rounded in both engines (the
+    `q_docs_alpha_mixture` discipline — no exp/log ever runs), and
+    apportionment is pure integer largest-remainder with a deterministic
+    (remainder DESC, stratum ASC) tie-break. A zero-variance corpus
+    allocates nothing (w ≡ 0 ⇒ no stratum earns samples — pinned); a
+    stratum is capped at its own size with no reallocation (documented:
+    the cap binding means the budget exceeds the stratum, a config
+    smell surfaced by alloc < a0+carry in the result).
+
+    100-TB shape: one narrow map-stage scoring pass (the shared
+    `_pts_scored` spec — row-local, no UDF) into a partial-aggregating
+    groupBy on the language key: ONE corpus exchange producing L rows.
+    The total/rank/leftover windows run over those L rows only —
+    single-partition by construction and ~|languages| in size, never
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    scored = _pts_scored(load(spark, sf_dir, "documents"), "lang")
+    strata = (
+        scored.groupBy(
+            F.coalesce("lang", F.lit("und")).alias("stratum")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pts").cast("bigint")).alias("s1"),
+            F.sum(
+                F.col("pts").cast("bigint") * F.col("pts").cast("bigint")
+            ).alias("s2"),
+        )
+    )
+    wts = strata.select(
+        "stratum",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                (F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+            )
+        ).cast("bigint").alias("w"),
+    )
+    all_w = Window.partitionBy()
+    base = wts.select(
+        "stratum",
+        "n_docs",
+        "w",
+        F.sum("w").over(all_w).alias("tw"),
+    ).select(
+        "stratum",
+        "n_docs",
+        "w",
+        "tw",
+        F.when(F.col("tw") > 0, F.expr("(1000 * w) div tw"))
+        .otherwise(F.lit(0)).cast("bigint").alias("a0"),
+        F.when(F.col("tw") > 0, F.expr("(1000 * w) % tw"))
+        .otherwise(F.lit(0)).cast("bigint").alias("rem"),
+    )
+    rk_w = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    ranked = base.select(
+        "stratum",
+        "n_docs",
+        "w",
+        "a0",
+        F.row_number().over(rk_w).alias("rk"),
+        F.when(
+            F.col("tw") > 0, F.lit(1000) - F.sum("a0").over(all_w)
+        ).otherwise(F.lit(0)).alias("leftover"),
+    )
+    return ranked.select(
+        "stratum",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("w").alias("sigma_w"),
+        F.least(
+            F.col("a0")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0),
+            F.col("n_docs"),
+        ).cast("bigint").alias("alloc"),
+    )
+
+
+@register(
+    "q_docs_inventory_cube",
+    oracle="""
+SELECT CAST(GROUPING(stratum) * 2 + GROUPING(src) AS INTEGER) AS gid,
+       stratum, src,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM (
+  SELECT COALESCE(lang, 'und') AS stratum,
+         COALESCE(source, 'unk') AS src,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+GROUP BY CUBE (stratum, src)
+""",
+    survey_ref=(
+        "beyond-reference: CUBE drill-down inventory (grouping-sets "
+        "family; rollup's sibling q_orders_rollup)"
+    ),
+)
+def q_docs_inventory_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inventory at every drill-down level in one pass:
+    CUBE(lang, source) emits the (lang,source) cells, both marginals, and
+    the grand total — the report a mixture design reads before setting
+    rates. The grouping_id column disambiguates a data value that is
+    genuinely NULL from a CUBE subtotal row (and NULL data keys are
+    additionally coalesced to 'und'/'unk' first, so no ambiguity
+    survives either way).
+
+    100-TB shape: Spark expands the cube map-side and partial-aggregates
+    all 4 grouping sets in one exchange whose key domain is
+    |langs|·|sources| + |langs| + |sources| + 1 — bounded by metadata
+    cardinality, not corpus size; token counting is the shared
+    whitespace spec, row-local."""
+    d = load(spark, sf_dir, "documents").select(
+        F.coalesce("lang", F.lit("und")).alias("stratum"),
+        F.coalesce("source", F.lit("unk")).alias("src"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return (
+        d.cube("stratum", "src")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select("gid", "stratum", "src", "n_docs", "total_tokens")
+    )

@@ -943,3 +943,31 @@ class TestR11SqlShapes:
         assert a.python_ops == 0
         scans = scan_infos(plan)
         assert set(scans[0].read_columns) <= {"ts", "user_id"}
+
+    def test_neyman_one_corpus_exchange(self, spark):
+        """Eval-budget allocation: one narrow scoring pass (only
+        (text, lang) read — doc_id prunes away) into the per-language
+        aggregate; every window (total, rank, leftover) fuses onto ONE
+        single-partition exchange over the L-row stratum relation."""
+        df = q.REGISTRY["q_docs_neyman_allocation"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        plan = formatted_plan(df)
+        assert a.n_scans == 1
+        assert a.exchanges == 2  # corpus groupBy + one L-row window stage
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert set(scans[0].read_columns) <= {"text", "lang"}
+
+    def test_cube_single_exchange(self, spark):
+        """CUBE inventory: Spark expands the 4 grouping sets map-side and
+        partial-aggregates them through ONE exchange keyed on the bounded
+        metadata domain; only (text, lang, source) is read."""
+        df = q.REGISTRY["q_docs_inventory_cube"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        plan = formatted_plan(df)
+        assert a.n_scans == 1
+        assert a.exchanges == 1
+        assert a.python_ops == 0
+        assert "Expand" in plan
+        scans = scan_infos(plan)
+        assert set(scans[0].read_columns) <= {"text", "lang", "source"}

@@ -1431,3 +1431,108 @@ def test_retention_cohort_semantics(spark, tmp_path):
         (0, 5): (1, 333),
         (1, 0): (1, 1000),
     }
+
+
+_PTS0 = "xx yy"  # 2 tokens, no stopwords, mean len 2.5 -> 0 points
+_PTS10 = (
+    "the quick brown fox jumps over the lazy dog and then runs home"
+)  # 13 tokens, stopword-rich, mean len in [3,12] -> 10 points
+
+
+def test_neyman_allocation_laws(spark, tmp_path):
+    """The allocation laws, recomputed independently in exact integers:
+    a zero-variance stratum earns nothing; weights are
+    floor(sqrt(n*S2 - S1^2)) of exact integer moments; the budget splits
+    by largest remainder with the leftover going to the highest
+    remainder; with no cap binding the allocations sum to exactly 1000."""
+    import math
+
+    rows, did = [], 0
+
+    def add(lang, text, k):
+        nonlocal did
+        for _ in range(k):
+            rows.append((did, text, lang, "s", len(text)))
+            did += 1
+
+    add("aa", _PTS0, 5)                       # zero variance -> w = 0
+    add("bb", _PTS0, 300); add("bb", _PTS10, 300)
+    add("cc", _PTS0, 100); add("cc", _PTS10, 500)
+    d = str(tmp_path / "neyman")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {
+        r["stratum"]: (r["n_docs"], r["sigma_w"], r["alloc"])
+        for r in REGISTRY["q_docs_neyman_allocation"].fn(spark, d).collect()
+    }
+    # independent recomputation (isqrt == floor(ieee sqrt) at these
+    # magnitudes: the doubles are exact)
+    w_bb = math.isqrt(600 * 300 * 100 - 3000**2)
+    w_cc = math.isqrt(600 * 500 * 100 - 5000**2)
+    tw = w_bb + w_cc
+    a_bb, r_bb = divmod(1000 * w_bb, tw)
+    a_cc, r_cc = divmod(1000 * w_cc, tw)
+    leftover = 1000 - a_bb - a_cc
+    assert leftover in (0, 1)
+    if leftover:  # highest remainder (tie impossible here) takes it
+        if r_bb > r_cc:
+            a_bb += 1
+        else:
+            a_cc += 1
+    assert out == {
+        "aa": (5, 0, 0),
+        "bb": (600, w_bb, a_bb),
+        "cc": (600, w_cc, a_cc),
+    }
+    assert out["bb"][2] + out["cc"][2] == 1000
+
+
+def test_neyman_cap_binds_without_reallocation(spark, tmp_path):
+    """A stratum never receives more samples than it has docs: one
+    2-doc high-variance stratum against a zero-variance one gets capped
+    at 2 (not its uncapped 1000), and the lost budget is NOT
+    redistributed (documented config smell)."""
+    rows = [
+        (0, _PTS0, "aa", "s", 5), (1, _PTS0, "aa", "s", 5),
+        (2, _PTS0, "aa", "s", 5),
+        (3, _PTS0, "bb", "s", 5), (4, _PTS10, "bb", "s", 60),
+    ]
+    d = str(tmp_path / "neyman_cap")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {
+        r["stratum"]: (r["n_docs"], r["sigma_w"], r["alloc"])
+        for r in REGISTRY["q_docs_neyman_allocation"].fn(spark, d).collect()
+    }
+    # bb: n=2, S1=10, S2=100 -> w = isqrt(200-100) = 10; sole weight
+    assert out == {"aa": (3, 0, 0), "bb": (2, 10, 2)}
+
+
+def test_cube_disambiguates_null_lang_from_subtotal(spark, tmp_path):
+    """A document whose lang is NULL in the DATA lands in the 'und'
+    stratum with gid=0; CUBE's own subtotal rows carry gid>0 — the two
+    can never collide. Marginals and the grand total reconcile."""
+    rows = [
+        (0, "a b c", "en", "s1", 5),
+        (1, "d e", "en", "s2", 3),
+        (2, "f g h i", None, "s1", 7),
+    ]
+    d = str(tmp_path / "cube")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    res = REGISTRY["q_docs_inventory_cube"].fn(spark, d).collect()
+    cells = {(r["gid"], r["stratum"], r["src"]): (r["n_docs"], r["total_tokens"]) for r in res}
+    assert cells[(0, "und", "s1")] == (1, 4)
+    assert cells[(0, "en", "s1")] == (1, 3)
+    assert cells[(0, "en", "s2")] == (1, 2)
+    assert cells[(1, "en", None)] == (2, 5)      # lang marginal
+    assert cells[(1, "und", None)] == (1, 4)
+    assert cells[(2, None, "s1")] == (2, 7)      # source marginal
+    assert cells[(3, None, None)] == (3, 9)      # grand total
+    assert len(res) == 8
