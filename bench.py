@@ -150,6 +150,7 @@ R11_QUERIES = [
     "q_events_retention",
     "q_docs_neyman_allocation",
     "q_docs_inventory_cube",
+    "vector_semantic_decontaminate",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -432,6 +432,14 @@ _GATE_TAIL = [
     #   hash-threshold sampling mechanism stays head-gated via
     #   q_docs_sample_split's digest + the alpha mixture's hex thresholds.
     "q_docs_lang_rebalance",
+    # r11: vector_semantic_decontaminate (eval-suite embedding sweep)
+    # enters the head; text_pack_sequences rotates out — the FFD packer
+    # is pinned operator-level by tests/test_packing.py
+    # (budget/exactly-once/determinism/waste), its conservation laws stay
+    # digest-covered via text_pack_shard_totals, and its own full
+    # recursive-CTE-oracled result is digest-covered below +
+    # driver_sim-verified per round.
+    "text_pack_sequences",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

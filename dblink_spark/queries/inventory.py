@@ -252,6 +252,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "q_docs_lang_rebalance": [
         ("doc_id", "i"), ("lang", "s"), ("sample_key", "s"),
     ],
+    "text_pack_sequences": [
+        ("shard", "i"), ("bin_idx", "i"), ("chunk_key", "s"),
+        ("n_tokens", "i"), ("bin_fill", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -1845,3 +1845,125 @@ def vector_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev * dev > _OUT_K2 * var).alias("is_outlier"),
     )
     return owns_caches(out, base)
+
+
+# --- r11: semantic decontamination (eval-suite embedding sweep) -------------
+
+#: eval-suite membership: every 25th vec_id, CAPPED at the first 512 eval
+#: slots — the cap is inert on every gate corpus (max eval id here is well
+#: under 12800) but bounds the driver-side collect by a CONSTANT at any
+#: corpus size: an eval suite is a small external artifact by definition,
+#: and the cap is what keeps that assumption structural rather than hoped.
+_DECON_EVAL_MOD = 25
+_DECON_EVAL_CAP_ID = _DECON_EVAL_MOD * 512
+_DECON_TAU = 0.35
+_DECON_EVAL_SQL = (
+    f"(vec_id % {_DECON_EVAL_MOD} = 0 AND vec_id < {_DECON_EVAL_CAP_ID})"
+)
+
+
+@register(
+    "vector_semantic_decontaminate",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ee,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS csq
+  FROM embeddings WHERE {_DECON_EVAL_SQL}
+),
+corpus AS (
+  SELECT vec_id, label, embedding,
+    {_DOT_SQL.format(a="embedding", b="embedding")} AS sq
+  FROM embeddings WHERE NOT {_DECON_EVAL_SQL}
+),
+scored AS (
+  SELECT c.vec_id, c.label, e.eval_id,
+    {_IVF_COS.format(d=_DOT_SQL.format(a="c.embedding", b="e.ee"), sa="c.sq", sb="e.csq")} AS cos,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      {_IVF_COS.format(d=_DOT_SQL.format(a="c.embedding", b="e.ee"), sa="c.sq", sb="e.csq")} DESC,
+      e.eval_id ASC) AS rn
+  FROM corpus c CROSS JOIN ev e
+)
+SELECT vec_id, label, eval_id, cos AS cosine
+FROM scored WHERE rn = 1 AND cos >= {_DECON_TAU}
+""",
+    survey_ref=(
+        "beyond-reference: SEMANTIC decontamination — corpus embeddings "
+        "swept against a broadcast eval-suite, the embedding-space twin "
+        "of text_decontaminate"
+    ),
+)
+def vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: flag corpus vectors whose best
+    cosine against ANY eval-suite embedding reaches τ — the
+    embedding-space twin of the 8-gram `text_decontaminate` pass
+    (paraphrased leaks don't share grams but do share neighborhoods).
+    Emits only the flagged rows with their best-matching eval id and the
+    exact cosine (ties broken eval_id-ascending in both engines).
+
+    100-TB shape: the eval suite is a driver-side CONSTANT (bounded ≤512
+    by the membership rule, like trained centroids or classifier
+    weights), so the corpus never joins another corpus-sized relation.
+    Two value-exact arms share the quantized-cosine spec, dispatched on
+    suite size exactly like `ivf_assign_cells`: up to `_IVF_LITERAL_MAX_K`
+    (64) eval vectors bake into a zero-exchange greatest-over-structs
+    narrow expression (sf0.001/sf0.01 take this arm); above that, K
+    broadcast eval rows crossJoin the corpus and collapse under a
+    map-side-combining max(struct(cos, -eval_id)) — ONE vec_id exchange
+    total (sf0.1 takes this arm, so both plans stay gate-exercised). The
+    Δ-sized flagged output is the only thing downstream ever sees."""
+    e = load(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % _DECON_EVAL_MOD == 0) & (
+        F.col("vec_id") < _DECON_EVAL_CAP_ID
+    )
+    evals = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(is_eval).select("vec_id", "embedding").collect()
+    ]
+    evals.sort()
+    corpus = e.filter(~is_eval).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    if len(evals) <= _IVF_LITERAL_MAX_K:
+        structs = [
+            F.struct(
+                _cos_to_cent(F.col("embedding"), F.col("sq"), vec).alias("cos"),
+                F.lit(-eid).alias("neid"),
+            )
+            for eid, vec in evals
+        ]
+        best = corpus.select(
+            "vec_id", "label", F.greatest(*structs).alias("m")
+        )
+    else:
+        rows = [
+            (eid, vec, _quantized_dot_py(vec, vec)) for eid, vec in evals
+        ]
+        ev_df = spark.createDataFrame(
+            rows, "eval_id int, ee array<double>, csq bigint"
+        ).limit(len(rows))  # fixed cardinality documented for the hint
+        cos = _safe_cosine(
+            _dot_q(F.col("embedding"), F.col("ee")), F.col("sq"), F.col("csq")
+        )
+        best = (
+            corpus.crossJoin(F.broadcast(ev_df))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        cos.alias("cos"),
+                        (-F.col("eval_id")).cast("int").alias("neid"),
+                    )
+                ).alias("m"),
+                F.first("label").alias("label"),
+            )
+            .select("vec_id", "label", "m")
+        )
+    return best.filter(F.col("m.cos") >= F.lit(_DECON_TAU)).select(
+        "vec_id",
+        "label",
+        (-F.col("m.neid")).cast("bigint").alias("eval_id"),
+        F.col("m.cos").alias("cosine"),
+    )

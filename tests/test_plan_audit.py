@@ -971,3 +971,14 @@ class TestR11SqlShapes:
         assert "Expand" in plan
         scans = scan_infos(plan)
         assert set(scans[0].read_columns) <= {"text", "lang", "source"}
+
+    def test_semantic_decon_literal_arm_zero_exchange(self, spark):
+        """Semantic decontamination, literal arm (suite <= 64): the whole
+        sweep is a narrow greatest-over-structs expression — ZERO
+        exchanges, one embeddings scan, no join node, no Python."""
+        df = q.REGISTRY["vector_semantic_decontaminate"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.exchanges == 0
+        assert a.n_scans == 1
+        assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+        assert a.python_ops == 0

@@ -1536,3 +1536,80 @@ def test_cube_disambiguates_null_lang_from_subtotal(spark, tmp_path):
     assert cells[(2, None, "s1")] == (2, 7)      # source marginal
     assert cells[(3, None, None)] == (3, 9)      # grand total
     assert len(res) == 8
+
+
+def _decon_corpus(spark, tmp_path, name, eval_vecs, corpus_rows):
+    """eval_vecs: list of 64-dim lists placed at eval slots 0,25,50,...;
+    corpus_rows: list of (vec_id, label, vec) at NON-eval ids."""
+    rows = [
+        (25 * i, [float(x) for x in v], 0) for i, v in enumerate(eval_vecs)
+    ] + [(vid, [float(x) for x in v], lab) for vid, lab, v in corpus_rows]
+    d = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    return d
+
+
+def _basis(i, scale=1.0):
+    v = [0.0] * 64
+    v[i] = scale
+    return v
+
+
+def test_semantic_decon_literal_arm_semantics(spark, tmp_path):
+    """Literal-arm pins: an exact duplicate of an eval vector flags at
+    cosine ~1 against THAT eval id; a scaled copy (same direction) flags
+    identically (cosine is scale-free); an orthogonal vector never flags;
+    the all-zero vector (failed encoder) never flags (guarded cosine 0);
+    an exact tie between two eval vectors resolves to the LOWER eval id."""
+    evals = [_basis(0), _basis(1)]  # eval ids 0 and 25
+    sq2 = 1.0 / (2.0 ** 0.5)
+    corpus = [
+        (1, 7, _basis(0)),            # exact dup of eval 0
+        (2, 7, _basis(0, scale=3.0)),  # same direction, scaled
+        (3, 7, _basis(2)),            # orthogonal to both evals
+        (4, 7, [0.0] * 64),           # zero vector
+        # equal 45-degree angle to BOTH evals: cos = 1/sqrt(2) to each,
+        # tie -> eval 0 (lower id) must win
+        (6, 7, [sq2, sq2] + [0.0] * 62),
+    ]
+    d = _decon_corpus(spark, tmp_path, "decon_small", evals, corpus)
+    out = {
+        r["vec_id"]: (r["eval_id"], r["cosine"])
+        for r in REGISTRY["vector_semantic_decontaminate"].fn(spark, d).collect()
+    }
+    assert set(out) == {1, 2, 6}
+    assert out[1][0] == 0 and out[1][1] > 0.999
+    assert out[2][0] == 0 and out[2][1] > 0.999
+    assert out[6][0] == 0 and abs(out[6][1] - sq2) < 1e-6
+
+
+def test_semantic_decon_join_arm_matches_literal_semantics(spark, tmp_path):
+    """Above 64 eval vectors the broadcast-join arm dispatches; it must
+    reproduce the literal arm's verdicts exactly — pinned by planting the
+    same dup/orthogonal/tie probes among 70 eval slots and checking the
+    flagged set, best ids, and the join-arm plan (one vec_id exchange,
+    a broadcast join, no product)."""
+    from dblink_spark.plans.audit import audit_plan, formatted_plan
+
+    evals = [_basis(i % 60) for i in range(70)]  # ids 0,25,...,1725
+    sq2 = 1.0 / (2.0 ** 0.5)
+    corpus = [
+        (1, 7, _basis(0)),    # dup of eval 0 AND eval 60 (same direction):
+                              # tie -> eval id 0 wins
+        (3, 7, _basis(63)),   # no eval vector points at axis 63 -> unflagged
+        (4, 7, [0.0] * 64),   # zero vector
+        (6, 7, [sq2] + [0.0] * 62 + [0.0]),  # dup of eval 0 direction again
+    ]
+    d = _decon_corpus(spark, tmp_path, "decon_big", evals, corpus)
+    df = REGISTRY["vector_semantic_decontaminate"].fn(spark, d)
+    a = audit_plan(df)
+    assert a.broadcast_joins >= 1, "join arm must dispatch above 64 evals"
+    assert "CartesianProduct" not in formatted_plan(df)
+    out = {
+        r["vec_id"]: (r["eval_id"], r["cosine"]) for r in df.collect()
+    }
+    assert set(out) == {1, 6}
+    assert out[1][0] == 0 and out[1][1] > 0.999
+    assert out[6][0] == 0 and out[6][1] > 0.999
