@@ -151,6 +151,7 @@ R11_QUERIES = [
     "q_docs_neyman_allocation",
     "q_docs_inventory_cube",
     "vector_semantic_decontaminate",
+    "q_events_gap_fill",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

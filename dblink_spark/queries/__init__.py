@@ -440,6 +440,12 @@ _GATE_TAIL = [
     # recursive-CTE-oracled result is digest-covered below +
     # driver_sim-verified per round.
     "text_pack_sequences",
+    # r11: q_events_gap_fill (calendar-spine zero-filled rollup) enters
+    # the head; distinct_counts rotates out — the G5 distinct-iterations
+    # aggregate is a plain multi-distinct groupBy whose chain-analysis
+    # siblings (dataset_stats, cluster-size G4) are digest-covered and
+    # whose access pattern the RLdata parity suite exercises end-to-end.
+    "distinct_counts",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

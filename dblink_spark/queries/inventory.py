@@ -256,6 +256,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("shard", "i"), ("bin_idx", "i"), ("chunk_key", "s"),
         ("n_tokens", "i"), ("bin_fill", "i"),
     ],
+    "distinct_counts": [
+        ("n_customers", "i"), ("n_statuses", "i"), ("n_priorities", "i"),
+        ("n_orders", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

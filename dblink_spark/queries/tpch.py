@@ -1278,3 +1278,76 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_milli"
         ),
     )
+
+
+@register(
+    "q_events_gap_fill",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+agg AS (
+  SELECT event_type, hr, COUNT(*) AS n, SUM(v) AS sv FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM agg),
+spine AS (SELECT UNNEST(generate_series(h0, h1)) AS hr FROM bounds),
+types AS (SELECT DISTINCT event_type FROM agg)
+SELECT t.event_type, CAST(s.hr AS BIGINT) AS hr,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.sv, 0) AS DOUBLE) AS total_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN agg a ON a.event_type = t.event_type AND a.hr = s.hr
+""",
+    survey_ref=(
+        "beyond-reference: calendar-spine gap filling — generated hourly "
+        "sequence x observed types, zero-filled rollup (dense time series "
+        "from sparse events)"
+    ),
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series from sparse events: a generated calendar
+    spine (every hour between the corpus' first and last event) crossed
+    with the observed event types, left-joined against the hourly rollup
+    with explicit zero fill — the gap-filling pass every
+    monitoring/forecasting consumer needs, because a missing hour and a
+    zero hour are different facts only if the engine says so.
+
+    100-TB shape: events are scanned ONCE and crossed by exactly ONE
+    corpus-sized exchange (the map-side-combining (type, hour) rollup);
+    the spine bounds, the type list, the sequence-explode, and the
+    zero-fill join are all derived from the PERSISTED rollup — a
+    |hours|x|types| relation bounded by the calendar and the type
+    vocabulary, not by event volume. The sequence generation is
+    plan-side (F.sequence + explode), no driver loop, no UDF."""
+    e = load_events_us(spark, sf_dir)
+    ev = e.select(
+        "event_type",
+        F.expr("ts_us DIV 3600000000").alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    agg = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .persist()
+    )
+    spine = (
+        agg.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .limit(1)
+        .select(F.explode(F.sequence("h0", "h1")).alias("hr"))
+    )
+    types = agg.select("event_type").distinct()
+    out = (
+        spine.crossJoin(types)
+        .join(agg, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hr"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return owns_caches(out, agg)

@@ -49,6 +49,9 @@ _PERSISTING = [
     # persists the per-supplier revenue aggregate (max scalar + winner
     # filter both read the cache; lineitem is scanned exactly once)
     "q15_top_supplier",
+    # persists the tiny (type, hour) rollup (spine bounds, type list and
+    # zero-fill join all derive from it; events scans exactly once)
+    "q_events_gap_fill",
 ]
 
 

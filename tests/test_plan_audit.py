@@ -982,3 +982,20 @@ class TestR11SqlShapes:
         assert a.n_scans == 1
         assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
         assert a.python_ops == 0
+
+    def test_gap_fill_one_corpus_exchange_one_scan(self, spark):
+        """Calendar-spine gap fill: events scan exactly ONCE into the
+        persisted (type, hour) rollup — the spine bounds, type list and
+        zero-fill join all read the cache; the only corpus-sized exchange
+        is the rollup's map-side-combining groupBy."""
+        df = q.REGISTRY["q_events_gap_fill"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.n_scans == 1, "events must be scanned exactly once"
+        assert "InMemoryTableScan" in plan
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert set(scans[0].read_columns) <= {"ts", "event_type", "value"}
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

@@ -1613,3 +1613,41 @@ def test_semantic_decon_join_arm_matches_literal_semantics(spark, tmp_path):
     assert set(out) == {1, 6}
     assert out[1][0] == 0 and out[1][1] > 0.999
     assert out[6][0] == 0 and out[6][1] > 0.999
+
+
+def test_gap_fill_zero_rows_are_emitted(spark, tmp_path):
+    """The gap-filling contract: every (observed type, spine hour) cell
+    exists — a missing hour becomes an explicit (0, 0.0) row, value sums
+    stay exact, and the spine spans min..max hour inclusive. Type A is
+    active at hours 0 and 2 (gap at 1); type B only at hour 1 (zeros at
+    0 and 2)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, etype, val):
+        return (eid, base + datetime.timedelta(seconds=sec), 1, etype, val, "{}")
+
+    rows = [
+        ev(1, 0, "A", 1.5), ev(2, 60, "A", 2.5),        # hour 0: n=2, 4.0
+        ev(3, 2 * 3600, "A", 7.0),                      # hour 2
+        ev(4, 3600 + 10, "B", 3.25),                    # hour 1 only
+    ]
+    d = str(tmp_path / "gapfill")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(REGISTRY["q_events_gap_fill"].fn(spark, d)) as out:
+        cells = {
+            (r["event_type"], r["hr"] - 473352): (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+    # 2024-01-01T00 is hour 473352 since the epoch (pinned via the offset)
+    assert cells == {
+        ("A", 0): (2, 4.0), ("A", 1): (0, 0.0), ("A", 2): (1, 7.0),
+        ("B", 0): (0, 0.0), ("B", 1): (1, 3.25), ("B", 2): (0, 0.0),
+    }
