@@ -152,6 +152,7 @@ R11_QUERIES = [
     "q_docs_inventory_cube",
     "vector_semantic_decontaminate",
     "q_events_gap_fill",
+    "q_events_hourly_anomaly",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

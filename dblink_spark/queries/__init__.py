@@ -446,6 +446,12 @@ _GATE_TAIL = [
     # siblings (dataset_stats, cluster-size G4) are digest-covered and
     # whose access pattern the RLdata parity suite exercises end-to-end.
     "distinct_counts",
+    # r11: q_events_hourly_anomaly (exact integer z-squared monitor over
+    # the dense series) enters the head; dataset_stats rotates out — the
+    # A1 one-pass profile is a plain multi-aggregate whose numbers feed
+    # (and are re-derived by) the head-gated ER cache path and the
+    # RLdata parity suite; digest-covered below like every tail entry.
+    "dataset_stats",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -260,6 +260,11 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("n_customers", "i"), ("n_statuses", "i"), ("n_priorities", "i"),
         ("n_orders", "i"),
     ],
+    "dataset_stats": [
+        ("file_id", "s"), ("n_records", "i"), ("n_langs", "i"),
+        ("missing_text", "i"), ("total_chars", "i"), ("min_id", "i"),
+        ("max_id", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

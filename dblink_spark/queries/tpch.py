@@ -1280,10 +1280,11 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_events_gap_fill",
-    oracle="""
-WITH ev AS (
+# ONE dense-hourly spec shared by the gap-fill report and the anomaly
+# monitor (both oracles extend this CTE; the Spark twin is
+# `_dense_hourly`) — the two consumers cannot disagree on what "dense"
+# means: every (observed type, spine hour) cell exists, zero-filled.
+_DENSE_HOURLY_CTE = """ev AS (
   SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hr,
          CAST(value AS DECIMAL(18,6)) AS v
   FROM events
@@ -1293,12 +1294,57 @@ agg AS (
 ),
 bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM agg),
 spine AS (SELECT UNNEST(generate_series(h0, h1)) AS hr FROM bounds),
-types AS (SELECT DISTINCT event_type FROM agg)
-SELECT t.event_type, CAST(s.hr AS BIGINT) AS hr,
-       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
-       CAST(COALESCE(a.sv, 0) AS DOUBLE) AS total_value
-FROM spine s CROSS JOIN types t
-LEFT JOIN agg a ON a.event_type = t.event_type AND a.hr = s.hr
+types AS (SELECT DISTINCT event_type FROM agg),
+dense AS (
+  SELECT t.event_type, CAST(s.hr AS BIGINT) AS hr,
+         CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+         COALESCE(a.sv, 0) AS sv
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.event_type = t.event_type AND a.hr = s.hr
+)"""
+
+
+def _dense_hourly(spark: SparkSession, sf_dir: str):
+    """Spark twin of `_DENSE_HOURLY_CTE`: the zero-filled
+    (event_type, hr, n, sv) relation plus the persisted rollup it derives
+    from (caller attaches via `owns_caches`). Events scan ONCE; the spine
+    bounds, type list and zero-fill join all read the cache."""
+    e = load_events_us(spark, sf_dir)
+    ev = e.select(
+        "event_type",
+        F.expr("ts_us DIV 3600000000").alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    agg = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .persist()
+    )
+    spine = (
+        agg.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .limit(1)
+        .select(F.explode(F.sequence("h0", "h1")).alias("hr"))
+    )
+    types = agg.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(types)
+        .join(agg, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hr"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    return dense, agg
+
+
+@register(
+    "q_events_gap_fill",
+    oracle=f"""
+WITH {_DENSE_HOURLY_CTE}
+SELECT event_type, hr, n AS n_events, CAST(sv AS DOUBLE) AS total_value
+FROM dense
 """,
     survey_ref=(
         "beyond-reference: calendar-spine gap filling — generated hourly "
@@ -1321,33 +1367,88 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     |hours|x|types| relation bounded by the calendar and the type
     vocabulary, not by event volume. The sequence generation is
     plan-side (F.sequence + explode), no driver loop, no UDF."""
-    e = load_events_us(spark, sf_dir)
-    ev = e.select(
+    dense, agg = _dense_hourly(spark, sf_dir)
+    out = dense.select(
         "event_type",
-        F.expr("ts_us DIV 3600000000").alias("hr"),
-        F.col("value").cast("decimal(18,6)").alias("v"),
+        "hr",
+        F.col("n").alias("n_events"),
+        F.col("sv").cast("double").alias("total_value"),
     )
-    agg = (
-        ev.groupBy("event_type", "hr")
-        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
-        .persist()
+    return owns_caches(out, agg)
+
+
+@register(
+    "q_events_hourly_anomaly",
+    oracle=f"""
+WITH {_DENSE_HOURLY_CTE},
+win AS (
+  SELECT event_type, hr, n,
+    COUNT(*) OVER w AS win_n,
+    SUM(CAST(n AS DECIMAL(38,0))) OVER w AS s1,
+    SUM(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) OVER w AS s2
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hr, n AS n_events,
+  CAST(win_n AS BIGINT) AS win_n, CAST(s1 AS BIGINT) AS win_sum,
+  (win_n = 24 AND
+   (CAST(win_n AS DECIMAL(38,0)) * n - s1)
+     * (CAST(win_n AS DECIMAL(38,0)) * n - s1)
+   > 9 * (CAST(win_n AS DECIMAL(38,0)) * s2 - s1 * s1)) AS is_anomaly
+FROM win
+""",
+    survey_ref=(
+        "beyond-reference: windowed anomaly detection over the DENSE "
+        "hourly series — exact integer z-squared test, no sqrt, no float"
+    ),
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly monitor: for every (type, hour) of the DENSE
+    series, flag hours whose event count deviates more than 3 sigma from
+    the trailing 24-hour window — ON THE GAP-FILLED relation, because a
+    silent zero hour is precisely the anomaly a sparse rollup would never
+    show (the composition is why `q_events_gap_fill` exists). The z² > 9
+    test runs in EXACT integer arithmetic through an identical op
+    sequence in both engines: (win_n·c − S1)² > 9·(win_n·S2 − S1²) — the
+    `vector_outlier_filter` discipline, no sqrt, no float, no mean ever
+    divided. Moments are DECIMAL(38,0) BEFORE squaring (per-cell counts
+    safe to ~1e17; the r10 cast-order lesson), and only FULL 24-hour
+    windows flag — a half-window at series start has no calibrated
+    variance, so is_anomaly is defined false there (win_n rides along
+    for consumers that want their own rule).
+
+    100-TB shape: everything after the ONE corpus-sized rollup exchange
+    (shared with the gap fill via `_dense_hourly` — one spec, one scan,
+    persisted) runs over the calendar-bounded dense relation: the
+    trailing window is one partitionBy(type) exchange over
+    |hours|×|types| rows."""
+    dense, agg = _dense_hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-23, Window.currentRow)
     )
-    spine = (
-        agg.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
-        .limit(1)
-        .select(F.explode(F.sequence("h0", "h1")).alias("hr"))
+    nd = F.col("n").cast("decimal(38,0)")
+    win = dense.select(
+        "event_type",
+        "hr",
+        "n",
+        F.count("*").over(w).alias("win_n"),
+        F.sum(nd).over(w).alias("s1"),
+        F.sum(nd * nd).over(w).alias("s2"),
     )
-    types = agg.select("event_type").distinct()
-    out = (
-        spine.crossJoin(types)
-        .join(agg, ["event_type", "hr"], "left")
-        .select(
-            "event_type",
-            F.col("hr").cast("bigint").alias("hr"),
-            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
-            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        )
+    wnd = F.col("win_n").cast("decimal(38,0)")
+    dev = wnd * F.col("n") - F.col("s1")
+    var9 = F.lit(9).cast("decimal(38,0)") * (
+        wnd * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    out = win.select(
+        "event_type",
+        "hr",
+        F.col("n").alias("n_events"),
+        F.col("win_n").cast("bigint").alias("win_n"),
+        F.col("s1").cast("bigint").alias("win_sum"),
+        ((F.col("win_n") == 24) & (dev * dev > var9)).alias("is_anomaly"),
     )
     return owns_caches(out, agg)

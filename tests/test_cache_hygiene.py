@@ -52,6 +52,8 @@ _PERSISTING = [
     # persists the tiny (type, hour) rollup (spine bounds, type list and
     # zero-fill join all derive from it; events scans exactly once)
     "q_events_gap_fill",
+    # same shared _dense_hourly rollup cache as q_events_gap_fill
+    "q_events_hourly_anomaly",
 ]
 
 

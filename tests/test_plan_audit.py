@@ -999,3 +999,19 @@ class TestR11SqlShapes:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_hourly_anomaly_windows_over_dense_cache(self, spark):
+        """Anomaly monitor: shares the gap fill's ONE events scan (the
+        persisted dense-hourly rollup), and the trailing z² window adds
+        only calendar-bounded work — no second corpus pass, no Python,
+        no sqrt anywhere in the plan."""
+        df = q.REGISTRY["q_events_hourly_anomaly"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.n_scans == 1, "events must be scanned exactly once"
+        assert "InMemoryTableScan" in plan
+        assert a.python_ops == 0
+        assert "SQRT" not in plan.upper()
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

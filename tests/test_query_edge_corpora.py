@@ -1651,3 +1651,55 @@ def test_gap_fill_zero_rows_are_emitted(spark, tmp_path):
         ("A", 0): (2, 4.0), ("A", 1): (0, 0.0), ("A", 2): (1, 7.0),
         ("B", 0): (0, 0.0), ("B", 1): (1, 3.25), ("B", 2): (0, 0.0),
     }
+
+
+def test_hourly_anomaly_z2_semantics(spark, tmp_path):
+    """The monitor's defining cases on a crafted 26-hour series: a 4x
+    spike flags against a flat window; the NEXT hour's die-off to zero
+    does NOT flag for that type (the spike just inflated the window's
+    variance — exactly what sigma-based monitors do); the same die-off
+    DOES flag for a type whose window stayed flat — and that hour exists
+    ONLY because the series is gap-filled; no half-window hour
+    (win_n < 24) ever flags."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    counts = {"A": {h: 10 for h in range(26)}, "B": {h: 10 for h in range(26)}}
+    counts["A"][24] = 40   # spike
+    counts["A"][25] = 10
+    counts["B"][25] = 0    # silent hour -> only a zero-filled cell
+    for etype, per in counts.items():
+        for h, k in per.items():
+            for j in range(k):
+                eid += 1
+                rows.append(
+                    (eid, base + datetime.timedelta(hours=h, seconds=j),
+                     1, etype, 1.0, "{}")
+                )
+    d = str(tmp_path / "anomaly")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["q_events_hourly_anomaly"].fn(spark, d)
+    ) as out:
+        res = out.collect()
+    h0 = min(r["hr"] for r in res)
+    cells = {(r["event_type"], r["hr"] - h0): r for r in res}
+    assert len(res) == 52  # 2 types x 26 dense hours
+    flags = {k for k, r in cells.items() if r["is_anomaly"]}
+    assert flags == {("A", 24), ("B", 25)}
+    # B's flagged hour is a ZERO-FILLED cell (0 events) — the gap-fill
+    # composition is what makes the die-off visible at all
+    assert cells[("B", 25)]["n_events"] == 0
+    # the spike's aftermath: A's die-off... stays 10, and hour 25's
+    # window (containing the 40-spike) has inflated variance -> no flag
+    assert not cells[("A", 25)]["is_anomaly"]
+    # no half-window flags, and win_n ramps 1..24
+    assert all(not r["is_anomaly"] for k, r in cells.items() if r["win_n"] < 24)
+    assert cells[("A", 0)]["win_n"] == 1 and cells[("A", 23)]["win_n"] == 24
