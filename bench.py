@@ -153,6 +153,7 @@ R11_QUERIES = [
     "vector_semantic_decontaminate",
     "q_events_gap_fill",
     "q_events_hourly_anomaly",
+    "q_docs_ccnet_bucket",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -452,6 +452,12 @@ _GATE_TAIL = [
     # (and are re-derived by) the head-gated ER cache path and the
     # RLdata parity suite; digest-covered below like every tail entry.
     "dataset_stats",
+    # r11: q_docs_ccnet_bucket (head/middle/tail perplexity split) enters
+    # the head; near_match_blocking rotates out — the G10 near-cluster
+    # blocking is pinned by tests/test_er_analysis.py, its normalized-key
+    # construction feeds the RLdata-parity path, and like every tail
+    # entry it stays digest-covered + driver_sim-verified per round.
+    "near_match_blocking",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

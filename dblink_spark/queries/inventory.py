@@ -265,6 +265,7 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("missing_text", "i"), ("total_chars", "i"), ("min_id", "i"),
         ("max_id", "i"),
     ],
+    "near_match_blocking": [("block_key", "s"), ("n_members", "i")],
 }
 
 _NULL = "<NULL>"

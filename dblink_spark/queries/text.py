@@ -1448,10 +1448,12 @@ _LM_J_SQL = " + ".join(
 )
 
 
-@register(
-    "text_lm_bigram_nll",
-    oracle=f"""
-WITH tok AS (
+# The LM scoring pipeline as ONE shared CTE body: `lmscored` is the
+# per-doc (doc_id, n_bigrams, n_oov, sum_qlp16) relation every
+# LM-based consumer reads — the NLL report and the CCNet bucket
+# assignment extend the SAME spec, so they cannot disagree on the
+# model, the split, or the quantization. Spark twin: `_lm_scored`.
+_LM_SCORED_CTES = f"""tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 bg AS (
@@ -1484,25 +1486,23 @@ per_doc AS (
     SUM(COALESCE(m.qlp, {_LM_OOV_QLP})) AS sum_qlp16
   FROM bg LEFT JOIN model m USING (bigram)
   GROUP BY bg.doc_id
-)
-SELECT d.doc_id,
-  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
-  CAST(COALESCE(p.sum_qlp16, 0) AS BIGINT) AS sum_qlp16,
-  CASE WHEN p.n_bigrams > 0
-       THEN CAST(-p.sum_qlp16 AS DOUBLE) / CAST(16 * p.n_bigrams AS DOUBLE)
-  END AS nll_bits
-FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
-""",
-    survey_ref=(
-        "beyond-reference: n-gram LM quality scoring (CCNet-family) — "
-        "per-doc bigram negative log-likelihood under a train-split model, "
-        "integer-quantized log-probs so no transcendental is evaluated at "
-        "query time in either engine"
-    ),
-)
-def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality scoring, the most common signal after heuristics
+),
+lmscored AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+    CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+    CAST(COALESCE(p.sum_qlp16, 0) AS BIGINT) AS sum_qlp16
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+)"""
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_LM_SCORED_CTES` — the per-doc
+    (doc_id, n_bigrams, n_oov, sum_qlp16) LM-scoring relation shared by
+    the NLL report and the CCNet bucket assignment (one model, one split,
+    one quantization).
+
+    Model-based quality scoring, the most common signal after heuristics
     (CCNet's wikipedia-LM perplexity filter): train a bigram LM on the
     ``doc_id % 4 != 0`` split, score EVERY doc's mean negative
     log-likelihood in 1/16-bit units — ``nll_bits`` is bits-per-bigram
@@ -1587,13 +1587,44 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
             F.coalesce("sum_qlp16", F.lit(0)).cast("long").alias("sum_qlp16"),
-            F.when(
-                F.col("n_bigrams") > 0,
-                (-F.col("sum_qlp16")).cast("double")
-                / (16 * F.col("n_bigrams")).cast("double"),
-            ).alias("nll_bits"),
         )
     )
+
+
+@register(
+    "text_lm_bigram_nll",
+    oracle=f"""
+WITH {_LM_SCORED_CTES}
+SELECT doc_id, n_bigrams, n_oov, sum_qlp16,
+  CASE WHEN n_bigrams > 0
+       THEN CAST(-sum_qlp16 AS DOUBLE) / CAST(16 * n_bigrams AS DOUBLE)
+  END AS nll_bits
+FROM lmscored
+""",
+    survey_ref=(
+        "beyond-reference: n-gram LM quality scoring (CCNet-family) — "
+        "per-doc bigram negative log-likelihood under a train-split model, "
+        "integer-quantized log-probs so no transcendental is evaluated at "
+        "query time in either engine"
+    ),
+)
+def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered NLL report over the shared `_lm_scored` relation:
+    nll_bits = -sum_qlp16 / (16 * n_bigrams) — bits-per-bigram
+    (perplexity = 2^nll_bits), NULL for docs with < 2 tokens. See
+    `_lm_scored` for the model construction and the 100-TB shape."""
+    return _lm_scored(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "sum_qlp16",
+        F.when(
+            F.col("n_bigrams") > 0,
+            (-F.col("sum_qlp16")).cast("double")
+            / (16 * F.col("n_bigrams")).cast("double"),
+        ).alias("nll_bits"),
+    )
+
 
 
 # ---------------------------------------------------------------------------
@@ -1734,3 +1765,128 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_tfidf_topk.__doc__ = text_tfidf_topk.__doc__.format(k=_TFIDF_TOPK)
+
+
+# --- r11: CCNet head/middle/tail perplexity bucketing -----------------------
+#
+# The step CCNet actually ships after LM scoring: split the corpus into
+# HEAD (most fluent third), MIDDLE, TAIL by perplexity terciles, then
+# train preferentially on head+middle. The tercile thresholds come from a
+# histogram CDF over a BOUNDED integer key — never a global sort — and the
+# cut is bucket-granular (an entire tie key lands on one side).
+#
+# Key: ppl_key = ((-sum_qlp16) * 16) DIV n_bigrams — positive integers
+# (qlp16 <= 0 by construction), so integer division truncates identically
+# in both engines (floor-vs-truncate only diverges on negatives); the x16
+# keeps 1/256-bit granularity so tie buckets stay narrow. Low key = low
+# NLL = fluent = head. Docs with no bigrams cannot be scored and are
+# defined into the tail (NULL ppl_key rides along).
+
+
+@register(
+    "q_docs_ccnet_bucket",
+    oracle=f"""
+WITH {_LM_SCORED_CTES},
+keyed AS (
+  SELECT doc_id, n_bigrams,
+    CASE WHEN n_bigrams > 0
+         THEN ((-sum_qlp16) * 16) // n_bigrams END AS ppl_key
+  FROM lmscored
+),
+hist AS (
+  SELECT ppl_key, COUNT(*) AS cnt FROM keyed
+  WHERE ppl_key IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT ppl_key,
+    SUM(cnt) OVER (ORDER BY ppl_key ASC ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER () AS tot
+  FROM hist
+),
+thr AS (
+  SELECT MIN(CASE WHEN cum * 3 >= tot THEN ppl_key END) AS t1,
+         MIN(CASE WHEN cum * 3 >= 2 * tot THEN ppl_key END) AS t2
+  FROM cum
+)
+SELECT k.doc_id, k.n_bigrams,
+  CAST(k.ppl_key AS BIGINT) AS ppl_key,
+  CASE WHEN k.ppl_key IS NULL THEN 'tail'
+       WHEN k.ppl_key <= t.t1 THEN 'head'
+       WHEN k.ppl_key <= t.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM keyed k CROSS JOIN thr t
+""",
+    survey_ref=(
+        "beyond-reference: CCNet head/middle/tail perplexity bucketing — "
+        "tercile thresholds via histogram CDF over the integer NLL key, "
+        "no global sort, bucket-granular cuts"
+    ),
+)
+def q_docs_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus split: every document lands in HEAD (most fluent
+    tercile by LM perplexity), MIDDLE, or TAIL — the partition the
+    pipeline then samples preferentially from. Consumes the SAME
+    `_lm_scored` relation as `text_lm_bigram_nll` (one model, one split,
+    one quantization — the two queries cannot disagree on a doc's score),
+    keyed by the exact positive-integer ppl_key (see the module comment:
+    negatives never enter an integer division, so truncate-vs-floor
+    cannot split the engines). Unscorable docs (< 2 tokens) are defined
+    into the tail.
+
+    100-TB shape: the threshold never sorts the corpus — the
+    `q_docs_quality_quantile_gate` discipline: one partial-aggregating
+    groupBy over the bounded ppl_key domain (~8k buckets), a
+    single-partition window over the HISTOGRAM only, and a 1-row
+    threshold frame (``.limit(1)`` documents the cardinality) broadcast
+    back over the persisted keyed relation, which feeds the histogram
+    AND the verdict in one scan. The tercile rule is pure integer
+    (cum*3 >= tot — no division at all); cuts are bucket-granular, so a
+    tie key never splits across buckets (pinned: the laws are recomputed
+    from the query's own output in the edge suite)."""
+    keyed = (
+        _lm_scored(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("((-sum_qlp16) * 16) div n_bigrams"),
+            ).alias("ppl_key"),
+        )
+        .persist()
+    )
+    hist = (
+        keyed.filter(F.col("ppl_key").isNotNull())
+        .groupBy("ppl_key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = Window.orderBy(F.col("ppl_key").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "ppl_key",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    thr = F.broadcast(
+        cum.agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("tot"), F.col("ppl_key"))
+            ).alias("t1"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("tot"), F.col("ppl_key"))
+            ).alias("t2"),
+        ).limit(1)
+    )
+    out = keyed.crossJoin(thr).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("ppl_key").cast("bigint").alias("ppl_key"),
+        F.when(F.col("ppl_key").isNull(), F.lit("tail"))
+        .when(F.col("ppl_key") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_key") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return owns_caches(out, keyed)

@@ -54,6 +54,9 @@ _PERSISTING = [
     "q_events_gap_fill",
     # same shared _dense_hourly rollup cache as q_events_gap_fill
     "q_events_hourly_anomaly",
+    # persists the per-doc (doc_id, n_bigrams, ppl_key) relation (the LM
+    # pipeline is expensive — histogram and verdict must not replay it)
+    "q_docs_ccnet_bucket",
 ]
 
 

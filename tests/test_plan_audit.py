@@ -1015,3 +1015,19 @@ class TestR11SqlShapes:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_ccnet_bucket_histogram_never_sorts_corpus(self, spark):
+        """CCNet bucketing: the persisted keyed relation feeds histogram
+        AND verdict (the expensive LM pipeline runs once); thresholds
+        come from a window over the HISTOGRAM only and broadcast back —
+        no corpus-wide sort/row_number anywhere, no Python."""
+        df = q.REGISTRY["q_docs_ccnet_bucket"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert "InMemoryTableScan" in plan
+        assert a.python_ops == 0
+        assert "row_number" not in plan.lower()
+        assert a.broadcast_joins >= 1, "1-row threshold frame broadcasts"
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

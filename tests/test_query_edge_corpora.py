@@ -1703,3 +1703,42 @@ def test_hourly_anomaly_z2_semantics(spark, tmp_path):
     # no half-window flags, and win_n ramps 1..24
     assert all(not r["is_anomaly"] for k, r in cells.items() if r["win_n"] < 24)
     assert cells[("A", 0)]["win_n"] == 1 and cells[("A", 23)]["win_n"] == 24
+
+
+def test_ccnet_bucket_laws(spark):
+    """The tercile laws, recomputed independently from the query's OWN
+    (doc, key) output on the fixture corpus: buckets are monotone in the
+    key (every head key <= every middle key <= every tail key), the cuts
+    are exactly the histogram-CDF rule (t1 = min key with 3*cum >= N,
+    t2 = min key with 3*cum >= 2N), a tie key never splits across
+    buckets, and unscorable docs land in the tail with a NULL key."""
+    from collections import Counter
+
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["q_docs_ccnet_bucket"].fn(spark, "/root/testdata/sf0.001")
+    ) as out:
+        rows = out.collect()
+    scored = [(r["ppl_key"], r["bucket"]) for r in rows if r["ppl_key"] is not None]
+    assert all(r["bucket"] == "tail" for r in rows if r["ppl_key"] is None)
+    # independent recomputation of the thresholds
+    hist = Counter(k for k, _ in scored)
+    keys = sorted(hist)
+    n = len(scored)
+    cum = 0
+    t1 = t2 = None
+    for k in keys:
+        cum += hist[k]
+        if t1 is None and 3 * cum >= n:
+            t1 = k
+        if t2 is None and 3 * cum >= 2 * n:
+            t2 = k
+    expect = {
+        k: ("head" if k <= t1 else "middle" if k <= t2 else "tail")
+        for k in keys
+    }
+    # every doc matches the recomputed rule -> tie keys cannot split
+    assert all(b == expect[k] for k, b in scored)
+    # all three buckets are populated on the fixture corpus
+    assert {b for _, b in scored} == {"head", "middle", "tail"}
