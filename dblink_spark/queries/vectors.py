@@ -1862,6 +1862,25 @@ _DECON_EVAL_SQL = (
 )
 
 
+def decon_best_literal(evals: list):
+    """The literal-arm sweep as ONE shared Column: max (cosine, -eval_id)
+    struct over the baked eval-suite literals, evaluated against the
+    frame's `embedding`/`sq` columns. A pure narrow expression — zero
+    shuffle, zero state — which is exactly what makes the STREAMING twin
+    (`streaming.events.semantic_decon_stream`) legal in any output mode;
+    batch and stream consume this same spec so they cannot disagree on a
+    verdict."""
+    structs = [
+        F.struct(
+            _cos_to_cent(F.col("embedding"), F.col("sq"), vec).alias("cos"),
+            F.lit(-eid).alias("neid"),
+        )
+        for eid, vec in evals
+    ]
+    return F.greatest(*structs)
+
+
+
 @register(
     "vector_semantic_decontaminate",
     oracle=f"""
@@ -1927,15 +1946,8 @@ def vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
     )
     if len(evals) <= _IVF_LITERAL_MAX_K:
-        structs = [
-            F.struct(
-                _cos_to_cent(F.col("embedding"), F.col("sq"), vec).alias("cos"),
-                F.lit(-eid).alias("neid"),
-            )
-            for eid, vec in evals
-        ]
         best = corpus.select(
-            "vec_id", "label", F.greatest(*structs).alias("m")
+            "vec_id", "label", decon_best_literal(evals).alias("m")
         )
     else:
         rows = [

@@ -390,3 +390,37 @@ def url_dedup_doc_stream(
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["canon_url"])
     )
+
+
+def semantic_decon_stream(
+    vectors: DataFrame, evals: list, tau: "float | None" = None
+) -> DataFrame:
+    """Streaming twin of the batch
+    `queries.vectors.vector_semantic_decontaminate` literal arm — the
+    eval-suite sweep at INGEST time: every arriving embedding is scored
+    against the baked eval-suite literals (the SHARED
+    `decon_best_literal` spec, so stream and batch can never disagree on
+    a verdict) and only flagged rows pass downstream.
+
+    Entirely STATELESS — the eval suite is a driver-side constant and
+    the sweep is one narrow greatest-over-structs expression, no
+    watermark, no state store, no shuffle — so it composes with ANY
+    output mode and drops in ahead of the stateful dedup stages exactly
+    like the PII scrub: the cheapest irreversible filters run first.
+    `evals` is the [(eval_id, vector), ...] suite (bounded small by
+    definition — the batch query caps it at 512); `tau` defaults to the
+    batch `_DECON_TAU`."""
+    from dblink_spark.functions.vector import quantized_dot
+    from dblink_spark.queries.vectors import _DECON_TAU, decon_best_literal
+
+    if tau is None:
+        tau = _DECON_TAU
+    scored = vectors.withColumn(
+        "sq", quantized_dot(F.col("embedding"), F.col("embedding"))
+    ).withColumn("m", decon_best_literal(evals))
+    return (
+        scored.filter(F.col("m.cos") >= F.lit(tau))
+        .withColumn("eval_id", (-F.col("m.neid")).cast("bigint"))
+        .withColumn("cosine", F.col("m.cos"))
+        .drop("m", "sq")
+    )

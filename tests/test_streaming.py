@@ -526,3 +526,76 @@ class TestUrlDedupStream:
         )
         a = audit_plan(df)
         assert a.exchanges == 0 and a.python_ops == 0
+
+
+class TestSemanticDeconStream:
+    """The eval-suite sweep at ingest: stream flags == the batch query's
+    flags on the same corpus (the shared `decon_best_literal` spec), and
+    the sweep is provably stateless/shuffle-free — the property that
+    makes it legal in any output mode."""
+
+    def test_stream_flags_match_batch(self, spark, tmp_path):
+        from dblink_spark.queries import REGISTRY, materialized
+        from dblink_spark.streaming.events import (
+            run_to_memory_sink, semantic_decon_stream,
+        )
+        from pyspark.sql.types import (
+            ArrayType, FloatType, IntegerType, LongType, StructField,
+            StructType,
+        )
+
+        src = "/root/testdata/sf0.001"
+        emb = spark.read.parquet(f"{src}/embeddings.parquet")
+        # the SAME eval-membership rule the batch query uses
+        from dblink_spark.queries.vectors import (
+            _DECON_EVAL_CAP_ID, _DECON_EVAL_MOD,
+        )
+
+        is_eval = (F.col("vec_id") % _DECON_EVAL_MOD == 0) & (
+            F.col("vec_id") < _DECON_EVAL_CAP_ID
+        )
+        evals = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(is_eval).select("vec_id", "embedding").collect()
+        )
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ])
+        # the fixture is a single parquet FILE; file-stream sources need a
+        # directory, so replay it from a tmp copy
+        stream_dir = str(tmp_path / "emb_stream")
+        emb.coalesce(1).write.parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .filter(~is_eval)
+        )
+        run_to_memory_sink(
+            semantic_decon_stream(stream, evals), "decon_stream"
+        )
+        got = {
+            (r["vec_id"], r["eval_id"], r["cosine"])
+            for r in spark.table("decon_stream").collect()
+        }
+        with materialized(
+            REGISTRY["vector_semantic_decontaminate"].fn(spark, src)
+        ) as out:
+            want = {
+                (r["vec_id"], r["eval_id"], r["cosine"])
+                for r in out.collect()
+            }
+        assert got == want and len(got) > 0
+
+    def test_sweep_is_stateless_and_shuffle_free(self, spark):
+        from dblink_spark.plans.audit import audit_plan
+        from dblink_spark.streaming.events import semantic_decon_stream
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        evals = [(0, [1.0] + [0.0] * 63), (25, [0.0, 1.0] + [0.0] * 62)]
+        df = semantic_decon_stream(emb, evals)
+        a = audit_plan(df)
+        assert a.exchanges == 0 and a.python_ops == 0
