@@ -154,6 +154,7 @@ R11_QUERIES = [
     "q_events_gap_fill",
     "q_events_hourly_anomaly",
     "q_docs_ccnet_bucket",
+    "q_docs_source_overlap",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -458,6 +458,13 @@ _GATE_TAIL = [
     # construction feeds the RLdata-parity path, and like every tail
     # entry it stays digest-covered + driver_sim-verified per round.
     "near_match_blocking",
+    # r11: q_docs_source_overlap (mirror-detection audit) enters the
+    # head; adjusted_rand_index rotates out — the J2/E4-E5 contingency +
+    # ARI math is pinned by hand-computed goldens
+    # (tests/test_er_analysis.py) and the full-length RLdata10000 parity
+    # chain (ARI 0.7643 bit-identical per round); its sibling
+    # pairwise_metrics stays head-gated; digest-covered below.
+    "adjusted_rand_index",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

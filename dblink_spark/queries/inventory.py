@@ -266,6 +266,7 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("max_id", "i"),
     ],
     "near_match_blocking": [("block_key", "s"), ("n_members", "i")],
+    "adjusted_rand_index": [("ari", "f")],
 }
 
 _NULL = "<NULL>"

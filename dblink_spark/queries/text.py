@@ -1890,3 +1890,140 @@ def q_docs_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
     )
     return owns_caches(out, keyed)
+
+
+# --- r11: cross-source gram-overlap matrix ----------------------------------
+
+
+#: ubiquity cap for the overlap universe: a gram present in MORE distinct
+#: sources than this is template boilerplate ("all rights reserved"), not
+#: evidence two specific sources mirror each other — and it is also the
+#: quadratic blowup (a gram in S sources contributes S(S-1)/2 pairs, so
+#: an uncapped universe costs O(S²) per boilerplate gram at million-source
+#: scale). The cap bounds per-gram pair fan-out at C(8,2)=28 AND sharpens
+#: the signal; singletons (n_src=1) carry no overlap information either.
+_OVERLAP_MAX_SRC = 8
+
+
+@register(
+    "q_docs_source_overlap",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, COALESCE(source, 'unk') AS src,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT src, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+),
+pg AS (SELECT g, COUNT(*) AS n_src FROM grams GROUP BY g),
+uni AS (SELECT g FROM pg WHERE n_src BETWEEN 2 AND {_OVERLAP_MAX_SRC}),
+gs AS (SELECT g, src FROM grams JOIN uni USING (g)),
+per_src AS (SELECT src, COUNT(*) AS n_grams FROM gs GROUP BY src),
+shared AS (
+  SELECT a.src AS src1, b.src AS src2, COUNT(*) AS shared_grams
+  FROM gs a JOIN gs b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.src1, s.src2, CAST(s.shared_grams AS BIGINT) AS shared_grams,
+  CAST(p1.n_grams AS BIGINT) AS n_grams_1,
+  CAST(p2.n_grams AS BIGINT) AS n_grams_2,
+  CAST((1000 * s.shared_grams) // LEAST(p1.n_grams, p2.n_grams) AS BIGINT)
+    AS overlap_milli
+FROM shared s
+JOIN per_src p1 ON p1.src = s.src1
+JOIN per_src p2 ON p2.src = s.src2
+""",
+    survey_ref=(
+        "beyond-reference: cross-source gram-overlap matrix — the "
+        "mirror-detection audit run before mixing, ubiquity-capped so "
+        "boilerplate grams can neither blow up the pair join nor fake "
+        "similarity"
+    ),
+)
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources mirror each other: for every source pair sharing at
+    least one DISCRIMINATIVE word-8-gram (present in 2..8 distinct
+    sources — see `_OVERLAP_MAX_SRC`), the shared-gram count, each side's
+    universe size, and an exact integer containment score
+    1000·shared / min(n1, n2) — the audit a mixture design runs before
+    setting per-source rates, because two near-mirror crawls double-count
+    everything downstream. Uses the SAME whitespace-8-gram/md5 spec as
+    the boilerplate and decontamination families.
+
+    100-TB shape: the gram build is row-local (higher-order transform,
+    the `_gram_occurrences` construction with the source carried along);
+    ONE corpus-sized exchange collapses it to per-gram sorted source
+    sets (collect_set partial-aggregates map-side and each set is
+    bounded by |sources|); pairs then EXPLODE ROW-LOCALLY from each
+    gram's own array — never a self-join on the gram relation — with
+    per-gram fan-out bounded at C(8,2)=28 by the ubiquity cap, so a
+    boilerplate gram in a million sources costs nothing (it leaves the
+    universe entirely). The per-source denominators and the pair rollup
+    aggregate the same persisted per-gram relation; everything after the
+    collapse is |pairs|-sized. The oracle reaches the identical result
+    through the textbook self-join formulation."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
+    )
+    gsrc = d.select(
+        F.coalesce("source", F.lit("unk")).alias("src"),
+        F.explode(grams).alias("g"),
+    )
+    per_gram = (
+        gsrc.groupBy("g")
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+        .filter(
+            (F.size("srcs") >= 2) & (F.size("srcs") <= _OVERLAP_MAX_SRC)
+        )
+        .persist()
+    )
+    per_src = (
+        per_gram.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda s1, i: F.transform(
+                F.slice(
+                    F.col("srcs"), i + 2, F.size("srcs") - i - 1
+                ),
+                lambda s2: F.struct(s1.alias("src1"), s2.alias("src2")),
+            ),
+        )
+    )
+    shared = (
+        per_gram.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src1").alias("src1"), F.col("p.src2").alias("src2"))
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    p1 = per_src.select(
+        F.col("src").alias("src1"), F.col("n_grams").alias("n_grams_1")
+    )
+    p2 = per_src.select(
+        F.col("src").alias("src2"), F.col("n_grams").alias("n_grams_2")
+    )
+    out = (
+        shared.join(p1, "src1")
+        .join(p2, "src2")
+        .select(
+            "src1",
+            "src2",
+            F.col("shared_grams").cast("bigint").alias("shared_grams"),
+            F.col("n_grams_1").cast("bigint").alias("n_grams_1"),
+            F.col("n_grams_2").cast("bigint").alias("n_grams_2"),
+            F.expr(
+                "(1000 * shared_grams) div least(n_grams_1, n_grams_2)"
+            ).cast("bigint").alias("overlap_milli"),
+        )
+    )
+    return owns_caches(out, per_gram)

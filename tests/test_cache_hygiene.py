@@ -57,6 +57,9 @@ _PERSISTING = [
     # persists the per-doc (doc_id, n_bigrams, ppl_key) relation (the LM
     # pipeline is expensive — histogram and verdict must not replay it)
     "q_docs_ccnet_bucket",
+    # persists the per-gram sorted source-set relation (pair explode +
+    # per-source denominators both consume it)
+    "q_docs_source_overlap",
 ]
 
 

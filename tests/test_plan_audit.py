@@ -1031,3 +1031,21 @@ class TestR11SqlShapes:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_source_overlap_pairs_explode_row_locally(self, spark):
+        """Mirror-detection audit: pairs come from each gram's OWN sorted
+        source array (bounded C(8,2) fan-out), never a self-join of the
+        gram relation — the persisted per-gram collapse is the one
+        corpus-sized exchange and feeds pairs AND denominators."""
+        df = q.REGISTRY["q_docs_source_overlap"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.n_scans == 1, "documents scanned exactly once"
+        assert "InMemoryTableScan" in plan
+        assert a.python_ops == 0
+        assert "CartesianProduct" not in plan
+        scans = scan_infos(plan)
+        assert set(scans[0].read_columns) <= {"text", "source"}
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

@@ -1742,3 +1742,53 @@ def test_ccnet_bucket_laws(spark):
     assert all(b == expect[k] for k, b in scored)
     # all three buckets are populated on the fixture corpus
     assert {b for _, b in scored} == {"head", "middle", "tail"}
+
+
+def test_source_overlap_cap_and_containment(spark, tmp_path):
+    """Overlap semantics on a crafted corpus: a gram shared by MORE than
+    `_OVERLAP_MAX_SRC` sources leaves the universe entirely (the
+    boilerplate/blowup cap — it must neither pair sources nor count in
+    denominators); singleton grams carry nothing; a source fully
+    contained in another scores exactly 1000; the pair is emitted once
+    in (lower, higher) order."""
+    from dblink_spark.queries.text import _OVERLAP_MAX_SRC
+
+    g = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # one 8-gram
+    rows = []
+    did = 0
+
+    def add(src, text):
+        nonlocal did
+        rows.append((did, text, "en", src, len(text)))
+        did += 1
+
+    # boilerplate gram in MAX_SRC+2 sources: must vanish from the universe
+    for k in range(_OVERLAP_MAX_SRC + 2):
+        add(f"s{k:02d}", g("boiler"))
+    # sa: grams A, B; sb: grams A, B, C(shared with sc) -> sa subset of sb
+    add("sa", g("aaa")); add("sa", g("bbb"))
+    add("sb", g("aaa")); add("sb", g("bbb")); add("sb", g("ccc"))
+    add("sc", g("ccc")); add("sc", g("unique"))  # 'unique' is a singleton
+    d = str(tmp_path / "overlap")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["q_docs_source_overlap"].fn(spark, d)
+    ) as out:
+        res = {
+            (r["src1"], r["src2"]): (
+                r["shared_grams"], r["n_grams_1"], r["n_grams_2"],
+                r["overlap_milli"],
+            )
+            for r in out.collect()
+        }
+    # the boiler sources share ONLY the capped gram -> no pair rows at all;
+    # sa⊂sb scores 1000; sb-sc share one gram; singleton never counts
+    assert res == {
+        ("sa", "sb"): (2, 2, 3, 1000),
+        ("sb", "sc"): (1, 3, 1, 1000),
+    }
