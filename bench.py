@@ -155,6 +155,7 @@ R11_QUERIES = [
     "q_events_hourly_anomaly",
     "q_docs_ccnet_bucket",
     "q_docs_source_overlap",
+    "q_docs_quality_weighted_sample",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

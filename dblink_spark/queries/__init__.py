@@ -465,6 +465,12 @@ _GATE_TAIL = [
     # chain (ARI 0.7643 bit-identical per round); its sibling
     # pairwise_metrics stays head-gated; digest-covered below.
     "adjusted_rand_index",
+    # r11: q_docs_quality_weighted_sample (quality-proportional sampling)
+    # enters the head; text_vocab_topk rotates out — the tokenize +
+    # WindowGroupLimit surface stays head-gated via text_tfidf_topk
+    # (which shares the tokenizer) and the vocab ranking is pinned by
+    # tests/test_plan_audit.py + the edge corpus; digest-covered below.
+    "text_vocab_topk",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -267,6 +267,9 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     ],
     "near_match_blocking": [("block_key", "s"), ("n_members", "i")],
     "adjusted_rand_index": [("ari", "f")],
+    "text_vocab_topk": [
+        ("lang", "s"), ("rnk", "i"), ("token", "s"), ("doc_freq", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -1305,3 +1305,81 @@ def q_docs_inventory_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("gid", "stratum", "src", "n_docs", "total_tokens")
     )
+
+
+# --- r11: quality-proportional deterministic sampling -----------------------
+
+#: keep-probability per integer quality score: p = pts²/100 (quadratic
+#: up-weighting of high-quality docs, the DSIR-flavoured knob), rendered
+#: once in Python as the exact floor(p * 2^32) 8-hex-digit thresholds BOTH
+#: engines compare against — the `q_docs_alpha_mixture` discipline. pts=10
+#: (p=1) keeps unconditionally via an explicit branch so the top stratum
+#: is exactly-all, not all-but-2^-32.
+_QWS_SALT = "qws|"
+_QWS_PTS = [0, 2, 3, 5, 7, 8, 10]
+_QWS_THRESHOLDS = {
+    p: format((p * p * (1 << 32)) // 100, "08x") for p in _QWS_PTS if p < 10
+}
+
+
+def _qws_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN pts = {p} THEN sample_key < '{t}'"
+        for p, t in sorted(_QWS_THRESHOLDS.items())
+    )
+    return f"CASE WHEN pts = 10 THEN TRUE {arms} ELSE FALSE END"
+
+
+@register(
+    "q_docs_quality_weighted_sample",
+    oracle=f"""
+WITH {_pts_cte_sql("lang")},
+keyed AS (
+  SELECT doc_id, lang, pts,
+    substr(md5('{_QWS_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+  FROM gscored
+)
+SELECT doc_id, lang, CAST(pts AS INTEGER) AS pts, sample_key
+FROM keyed
+WHERE {_qws_case_sql()}
+""",
+    survey_ref=(
+        "beyond-reference: quality-proportional deterministic sampling — "
+        "keep probability pts²/100 via exact hex hash thresholds, "
+        "zero-exchange row-local membership"
+    ),
+)
+def q_docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PROPORTIONAL sampling (the DSIR-flavoured knob): instead
+    of a hard quality cutoff, every document keeps a chance proportional
+    to pts² — high-quality docs dominate the sample while mid-quality
+    mass still contributes diversity. Membership is the hash-threshold
+    discipline (`q_docs_sample_split`): doc-keyed md5 under a
+    domain-separated salt, compared against per-score thresholds
+    rendered ONCE in Python as exact floor(pts²/100 · 2^32) hex literals
+    baked into BOTH engines — reproducible under any partitioning,
+    retry, cluster size, or engine; pts=0 can never enter, pts=10
+    always does (an explicit branch, so the top stratum is exactly-all).
+
+    100-TB shape: ZERO exchanges — the score is the shared row-local
+    `_pts_scored` spec, the key is one md5, membership one string
+    compare; the pass composes map-side with any downstream consumer,
+    exactly like the rebalance/split knobs. Plan-pinned narrow."""
+    scored = _pts_scored(load(spark, sf_dir, "documents"), "lang")
+    sample_key = F.substring(
+        F.md5(F.concat(F.lit(_QWS_SALT), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    keep = F.when(F.col("pts") == 10, F.lit(True))
+    for p, t in sorted(_QWS_THRESHOLDS.items()):
+        keep = keep.when(F.col("pts") == p, F.col("sample_key") < F.lit(t))
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            F.col("pts").cast("int").alias("pts"),
+            sample_key.alias("sample_key"),
+        )
+        .filter(keep.otherwise(F.lit(False)))
+    )

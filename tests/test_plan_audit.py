@@ -1049,3 +1049,14 @@ class TestR11SqlShapes:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_quality_weighted_sample_is_zero_exchange(self, spark):
+        """Quality-proportional sampling: score, key and membership are
+        all row-local — ZERO exchanges, one scan, no join, no Python;
+        the pass composes map-side with any downstream consumer."""
+        df = q.REGISTRY["q_docs_quality_weighted_sample"].fn(spark, SF_DIR)
+        a = audit_plan(df)
+        assert a.exchanges == 0
+        assert a.n_scans == 1
+        assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+        assert a.python_ops == 0

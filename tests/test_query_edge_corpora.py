@@ -1792,3 +1792,44 @@ def test_source_overlap_cap_and_containment(spark, tmp_path):
         ("sa", "sb"): (2, 2, 3, 1000),
         ("sb", "sc"): (1, 3, 1, 1000),
     }
+
+
+def test_quality_weighted_sample_thresholds(spark, tmp_path):
+    """The probability law, pinned deterministically: pts=0 docs can
+    NEVER enter (p=0) whatever their key; pts=10 docs ALWAYS enter
+    (p=1, the explicit branch); for pts=5 (p=0.25) membership follows
+    the exact hex threshold — verified by hand-picking doc_ids whose
+    md5 keys land on either side of it."""
+    import hashlib
+
+    from dblink_spark.queries.pipeline import _QWS_SALT, _QWS_THRESHOLDS
+
+    thr5 = _QWS_THRESHOLDS[5]
+
+    def key(doc_id):
+        return hashlib.md5(f"{_QWS_SALT}{doc_id}".encode()).hexdigest()[:8]
+
+    kept_id = next(i for i in range(1000, 5000) if key(i) < thr5)
+    drop_id = next(i for i in range(1000, 5000) if key(i) >= thr5)
+    # pts=10 text (>=10 tokens, stopwords, mean len in range); pts=5 text
+    # (>=10 tokens, no stopwords, mean len out of range); pts=0 (short)
+    t10 = "the quick brown fox jumps over the lazy dog and then runs home"
+    t5 = " ".join("zz" for _ in range(12))  # 12 tokens, mean len 2 -> 5 pts
+    t0 = "xx yy"
+    rows = [
+        (1, t0, "en", "s", 5),          # pts=0: never kept
+        (2, t10, "en", "s", 60),        # pts=10: always kept
+        (kept_id, t5, "en", "s", 30),   # pts=5, key below threshold
+        (drop_id, t5, "en", "s", 30),   # pts=5, key above threshold
+    ]
+    d = str(tmp_path / "qws")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r["pts"]
+        for r in REGISTRY["q_docs_quality_weighted_sample"].fn(spark, d).collect()
+    }
+    assert set(out) == {2, kept_id}
+    assert out[2] == 10 and out[kept_id] == 5
