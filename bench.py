@@ -156,6 +156,7 @@ R11_QUERIES = [
     "q_docs_ccnet_bucket",
     "q_docs_source_overlap",
     "q_docs_quality_weighted_sample",
+    "q10_returned_items",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -471,6 +471,13 @@ _GATE_TAIL = [
     # (which shares the tokenizer) and the vocab ranking is pinned by
     # tests/test_plan_audit.py + the edge corpus; digest-covered below.
     "text_vocab_topk",
+    # r11: q10_returned_items (global top-k via TakeOrderedAndProject)
+    # enters the head; dedup_components rotates out — the
+    # large-star/small-star closure is pinned operator-level by
+    # tests/test_components.py and exercised end-to-end inside the
+    # still-head-gated dedup_survivors and pipeline_corpus_prep (both
+    # compose it); its recursive-CTE oracle stays digest-covered below.
+    "dedup_components",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

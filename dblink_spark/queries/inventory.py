@@ -270,6 +270,7 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
     "text_vocab_topk": [
         ("lang", "s"), ("rnk", "i"), ("token", "s"), ("doc_freq", "i"),
     ],
+    "dedup_components": [("doc_id", "i"), ("component", "i")],
 }
 
 _NULL = "<NULL>"

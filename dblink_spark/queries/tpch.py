@@ -1452,3 +1452,73 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("win_n") == 24) & (dev * dev > var9)).alias("is_anomaly"),
     )
     return owns_caches(out, agg)
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+         CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT custkey, name, nation, CAST(revenue AS DOUBLE) AS revenue, acctbal
+FROM rev ORDER BY revenue DESC, custkey ASC LIMIT 20
+""",
+    survey_ref=(
+        "beyond-reference: global top-k without a global sort — "
+        "TakeOrderedAndProject (TPC-H Q10)"
+    ),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue in
+    a quarter — the global-top-k report. Revenue stays DECIMAL through
+    the ORDER BY so the cut is exact, and the tie-break (custkey
+    ascending) is explicit in BOTH engines — without it, two customers
+    tying at rank 20 would make the result set engine-dependent and flip
+    the gate hash.
+
+    100-TB shape: ``orderBy(...).limit(k)`` plans as
+    TakeOrderedAndProject (plan-pinned) — every task keeps a k-row heap
+    and only k rows per partition reach the driver-side merge, so the
+    global ranking costs NO sort exchange at all; the date-pruned orders
+    scan drives the join order and the nation dim broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            c.c_custkey.alias("custkey"),
+            c.c_name.alias("name"),
+            n.n_name.alias("nation"),
+            c.c_acctbal.cast("double").alias("acctbal"),
+        )
+        .agg(F.sum(disc_price()).alias("rev_dec"))
+    )
+    return (
+        rev.orderBy(F.col("rev_dec").desc(), F.col("custkey").asc())
+        .limit(20)
+        .select(
+            "custkey",
+            "name",
+            "nation",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "acctbal",
+        )
+    )

@@ -1060,3 +1060,19 @@ class TestR11SqlShapes:
         assert a.n_scans == 1
         assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
         assert a.python_ops == 0
+
+    def test_q10_top_k_is_take_ordered_not_global_sort(self, spark):
+        """Q10: the global ranking must plan as TakeOrderedAndProject —
+        a per-task k-row heap + driver merge — never a full sort
+        exchange of the aggregate."""
+        df = q.REGISTRY["q10_returned_items"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        for s in scans:
+            if "orders" in s.location:
+                assert s.pushed_filters, "date window must push down"
+            if "lineitem" in s.location:
+                assert s.pushed_filters, "returnflag must push down"
