@@ -157,6 +157,7 @@ R11_QUERIES = [
     "q_docs_source_overlap",
     "q_docs_quality_weighted_sample",
     "q10_returned_items",
+    "q_docs_dedup_bias_audit",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -478,6 +478,13 @@ _GATE_TAIL = [
     # still-head-gated dedup_survivors and pipeline_corpus_prep (both
     # compose it); its recursive-CTE oracle stays digest-covered below.
     "dedup_components",
+    # r11: q_docs_dedup_bias_audit (kept-vs-dropped quality audit) enters
+    # the head; dedup_survivors rotates out — the audit head-gates the
+    # SAME pairs -> closure -> survivor machinery end-to-end (same pair
+    # spec, same survivor rule) plus the quality join on top, it is
+    # benched every round, and its recursive-CTE-oracled result stays
+    # digest-covered below.
+    "dedup_survivors",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

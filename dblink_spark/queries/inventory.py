@@ -271,6 +271,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("lang", "s"), ("rnk", "i"), ("token", "s"), ("doc_freq", "i"),
     ],
     "dedup_components": [("doc_id", "i"), ("component", "i")],
+    "dedup_survivors": [
+        ("component", "i"), ("n_members", "i"), ("survivor", "i"),
+        ("max_len", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

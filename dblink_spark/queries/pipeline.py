@@ -1383,3 +1383,108 @@ def q_docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(keep.otherwise(F.lit(False)))
     )
+
+
+# --- r11: dedup survivorship-bias audit -------------------------------------
+
+
+@register(
+    "q_docs_dedup_bias_audit",
+    oracle=f"""
+WITH RECURSIVE {{pairs}},
+surv AS (
+  SELECT g.component,
+    (ARRAY_AGG(g.doc_id ORDER BY COALESCE(d.n_chars, 0) DESC,
+               g.doc_id ASC))[1] AS survivor
+  FROM grp g JOIN documents d ON d.doc_id = g.doc_id
+  GROUP BY g.component
+),
+verdicts AS (
+  SELECT g.doc_id,
+    CASE WHEN g.doc_id = s.survivor THEN 'kept' ELSE 'dropped' END AS verdict
+  FROM grp g JOIN surv s USING (component)
+),
+{{pts}},
+classed AS (
+  SELECT sc.doc_id, COALESCE(sc.lang, 'und') AS stratum, sc.pts,
+    COALESCE(v.verdict, 'unique') AS verdict
+  FROM gscored sc LEFT JOIN verdicts v USING (doc_id)
+)
+SELECT stratum, verdict,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(pts AS BIGINT)) AS BIGINT) AS sum_pts,
+  CAST((1000 * SUM(CAST(pts AS BIGINT))) // COUNT(*) AS BIGINT)
+    AS mean_pts_milli
+FROM classed
+GROUP BY stratum, verdict
+""".format(
+        pairs=_BOTTOMK_PAIRS_CTE.format(src="documents"),
+        pts=_pts_cte_sql("lang"),
+    ),
+    survey_ref=(
+        "beyond-reference: dedup survivorship-bias audit — per-stratum "
+        "quality of kept vs dropped vs unique docs; composes the closure "
+        "pipeline with the shared quality spec"
+    ),
+)
+def q_docs_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is dedup deleting the good copies? Near-dup survivor selection
+    keeps the LONGEST document — a heuristic, not a quality judgement —
+    so this audit reports, per language stratum, the exact mean quality
+    (integer milli-points) of the docs dedup KEPT, the near-duplicates it
+    DROPPED, and the UNIQUE remainder. A kept-mean materially below the
+    dropped-mean is the signal to flip the survivor rule (e.g. to the
+    `q_docs_quality_quantile_gate` points the audit itself uses — one
+    shared `_pts_scored` spec, so the audit and the gate agree on what
+    quality means). The edge suite constructs exactly that pathology: a
+    longer-but-lower-quality duplicate wins, and the audit exposes it.
+
+    100-TB shape: verdicts live on the Δ-sized dup-group relation (pairs
+    from banded equi-joins, O(log n) closure rounds — the
+    `dedup_survivors` machinery, same pair spec); quality is one
+    row-local scoring pass; the only corpus-sized exchanges are the pair
+    build and the final left join onto the scored corpus, and the report
+    itself collapses to |strata|×3 rows under map-side combine."""
+    from dblink_spark.operators.components import connected_components
+    from dblink_spark.queries import release_caches
+    from dblink_spark.queries.dedup import bottomk_sketch_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
+    comps = connected_components(pairs, "doc1", "doc2")
+    release_caches(pairs)
+    docs = d.select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len"),
+    )
+    surv = (
+        comps.join(docs, comps["node"] == docs["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("len")).alias("neg_len"),
+                    F.col("doc_id").alias("dd"),
+                )
+            ).getField("dd").alias("survivor")
+        )
+    )
+    verdicts = comps.join(surv, "component").select(
+        F.col("node").alias("doc_id"),
+        F.when(F.col("node") == F.col("survivor"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("verdict"),
+    )
+    scored = _pts_scored(d, "lang")
+    classed = scored.join(verdicts, "doc_id", "left").select(
+        F.coalesce("lang", F.lit("und")).alias("stratum"),
+        F.col("pts").cast("bigint").alias("pts"),
+        F.coalesce("verdict", F.lit("unique")).alias("verdict"),
+    )
+    return classed.groupBy("stratum", "verdict").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("pts").cast("bigint").alias("sum_pts"),
+        F.expr("(1000 * sum(pts)) div count(*)").cast("bigint").alias(
+            "mean_pts_milli"
+        ),
+    )

@@ -1833,3 +1833,36 @@ def test_quality_weighted_sample_thresholds(spark, tmp_path):
     }
     assert set(out) == {2, kept_id}
     assert out[2] == 10 and out[kept_id] == 5
+
+
+def test_dedup_bias_audit_exposes_length_bias(spark, tmp_path):
+    """The pathology the audit exists to expose: a near-duplicate pair
+    where the LONGER copy is the LOWER-quality one (padding with repeated
+    non-stop tokens keeps the token SET identical — sketch jaccard 1.0 —
+    while crushing the stopword ratio below the 3-point rule). The
+    length-based survivor rule keeps the bad copy, and the report shows
+    kept-mean < dropped-mean; an untouched doc lands in 'unique'."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs home"
+    )  # 13 tokens, stopword-rich -> 10 pts
+    pad = " ".join(["quick", "brown", "fox", "jumps"] * 20)
+    longer_worse = good + " " + pad  # same token SET; stop ratio < 0.05
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, longer_worse, "en", "s", len(longer_worse)),
+        (3, "totally unrelated words entirely " + " ".join(
+            f"u{i}" for i in range(20)), "en", "s", 200),
+    ]
+    d = str(tmp_path / "bias")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {
+        (r["stratum"], r["verdict"]): (r["n_docs"], r["mean_pts_milli"])
+        for r in REGISTRY["q_docs_dedup_bias_audit"].fn(spark, d).collect()
+    }
+    assert out[("en", "kept")] == (1, 7000)      # the long, bad copy
+    assert out[("en", "dropped")] == (1, 10000)  # the short, good copy
+    assert out[("en", "unique")][0] == 1
+    assert out[("en", "kept")][1] < out[("en", "dropped")][1]
