@@ -158,6 +158,7 @@ R11_QUERIES = [
     "q_docs_quality_weighted_sample",
     "q10_returned_items",
     "q_docs_dedup_bias_audit",
+    "q_events_rfm",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

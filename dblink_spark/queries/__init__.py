@@ -485,6 +485,13 @@ _GATE_TAIL = [
     # benched every round, and its recursive-CTE-oracled result stays
     # digest-covered below.
     "dedup_survivors",
+    # r11: q_events_rfm (three-dimension quintile segmentation) enters
+    # the head; text_pii_redact rotates out — the PII pattern set is
+    # pinned by direct expected-count tests + the adversarial edge corpus
+    # (engine agreement alone cannot bless a wrong pattern), the
+    # streaming twin shares _PII_PASSES verbatim, and the full result
+    # stays digest-covered below + driver_sim-verified per round.
+    "text_pii_redact",
     # r7: q_inventory_checksum enters the head — ONE slot that digests the
     # FULL result of every tail entry below (query, n_rows, md5 of sorted
     # canonical rows; oracle recomputes identically in DuckDB), so the

@@ -275,6 +275,11 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("component", "i"), ("n_members", "i"), ("survivor", "i"),
         ("max_len", "i"),
     ],
+    "text_pii_redact": [
+        ("doc_id", "i"), ("lang", "s"), ("n_emails", "i"),
+        ("n_phones", "i"), ("n_ipv4", "i"), ("n_longnums", "i"),
+        ("redacted_fp", "s"), ("chars_delta", "i"),
+    ],
 }
 
 _NULL = "<NULL>"

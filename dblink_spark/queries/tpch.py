@@ -1522,3 +1522,153 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal",
         )
     )
+
+
+# --- r11: RFM user segmentation ---------------------------------------------
+
+_RFM_CUT_SQL = (
+    "SELECT MIN(CASE WHEN 5*cum >= 1*tot THEN k END) AS t1,"
+    " MIN(CASE WHEN 5*cum >= 2*tot THEN k END) AS t2,"
+    " MIN(CASE WHEN 5*cum >= 3*tot THEN k END) AS t3,"
+    " MIN(CASE WHEN 5*cum >= 4*tot THEN k END) AS t4"
+)
+
+
+@register(
+    "q_events_rfm",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+    CAST((SELECT MAX(day) FROM ev) - MAX(day) AS BIGINT) AS r_key,
+    CAST(LEAST(COUNT(*), 99999) AS BIGINT) AS f_key,
+    CAST(LEAST(CAST(FLOOR(SUM(v)) AS BIGINT), 99999) AS BIGINT) AS m_key
+  FROM ev GROUP BY user_id
+),
+rh AS (SELECT r_key AS k, COUNT(*) AS c FROM per_user GROUP BY 1),
+rc AS (SELECT k, SUM(c) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER () AS tot FROM rh),
+rt AS ({_RFM_CUT_SQL} FROM rc),
+fh AS (SELECT f_key AS k, COUNT(*) AS c FROM per_user GROUP BY 1),
+fc AS (SELECT k, SUM(c) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER () AS tot FROM fh),
+ft AS ({_RFM_CUT_SQL} FROM fc),
+mh AS (SELECT m_key AS k, COUNT(*) AS c FROM per_user GROUP BY 1),
+mc AS (SELECT k, SUM(c) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER () AS tot FROM mh),
+mt AS ({_RFM_CUT_SQL} FROM mc)
+SELECT u.user_id, u.r_key, u.f_key, u.m_key,
+  CAST(6 - (1 + (u.r_key > rt.t1)::INT + (u.r_key > rt.t2)::INT
+              + (u.r_key > rt.t3)::INT + (u.r_key > rt.t4)::INT)
+       AS INTEGER) AS r_score,
+  CAST(1 + (u.f_key > ft.t1)::INT + (u.f_key > ft.t2)::INT
+         + (u.f_key > ft.t3)::INT + (u.f_key > ft.t4)::INT
+       AS INTEGER) AS f_score,
+  CAST(1 + (u.m_key > mt.t1)::INT + (u.m_key > mt.t2)::INT
+         + (u.m_key > mt.t3)::INT + (u.m_key > mt.t4)::INT
+       AS INTEGER) AS m_score
+FROM per_user u, rt, ft, mt
+""",
+    survey_ref=(
+        "beyond-reference: RFM user segmentation — three quintile codings "
+        "via histogram CDFs, exact integer keys, no corpus sort"
+    ),
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic user-value coding: every user gets
+    quintile scores for Recency (days since last event — LOWER is
+    better, so the ascending quintile index inverts), Frequency (event
+    count) and Monetary (exact DECIMAL value sum, floored to integer
+    units), each 1..5. The quintile cuts follow the histogram-CDF
+    discipline on EXACT integer keys (frequency and monetary capped at
+    99999 so the histogram domain stays bounded — the cap is inert on
+    any plausible per-user activity and documented here), with the pure
+    integer rule t_j = min key with 5·cum ≥ j·tot — no division, no
+    percentile function, no corpus sort; ties are bucket-granular, so
+    two users with identical behavior always share a score.
+
+    100-TB shape: ONE corpus-sized exchange (the per-user aggregate,
+    map-side combining); the reference day, all three histograms, their
+    single-partition CDF windows and the three 1-row threshold frames
+    (``.limit(1)`` documents the cardinality) all derive from the
+    PERSISTED user-cardinality relation; scoring is a narrow pass over
+    broadcast thresholds."""
+    e = load_events_us(spark, sf_dir)
+    ev = e.select(
+        "user_id",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.least(F.count("*"), F.lit(99999)).cast("bigint").alias("f_key"),
+            F.least(
+                F.floor(F.sum("v")).cast("bigint"), F.lit(99999)
+            ).cast("bigint").alias("m_key"),
+        )
+        .persist()
+    )
+    ref_day = F.broadcast(
+        base.agg(F.max("last_day").alias("max_day")).limit(1)
+    )
+    per_user = base.crossJoin(ref_day).select(
+        "user_id",
+        (F.col("max_day") - F.col("last_day")).cast("bigint").alias("r_key"),
+        "f_key",
+        "m_key",
+    )
+
+    def cuts(col):
+        h = per_user.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        w_cum = Window.orderBy("k").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.partitionBy()
+        c = h.select(
+            "k",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("tot"),
+        )
+        return F.broadcast(
+            c.agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum") * 5 >= j * F.col("tot"), F.col("k")
+                        )
+                    ).alias(f"{col}_t{j}")
+                    for j in range(1, 5)
+                ]
+            ).limit(1)
+        )
+
+    scored = (
+        per_user.crossJoin(cuts("r_key"))
+        .crossJoin(cuts("f_key"))
+        .crossJoin(cuts("m_key"))
+    )
+
+    def asc_score(col):
+        s = F.lit(1)
+        for j in range(1, 5):
+            s = s + F.when(F.col(col) > F.col(f"{col}_t{j}"), 1).otherwise(0)
+        return s
+
+    out = scored.select(
+        "user_id",
+        "r_key",
+        "f_key",
+        "m_key",
+        (F.lit(6) - asc_score("r_key")).cast("int").alias("r_score"),
+        asc_score("f_key").cast("int").alias("f_score"),
+        asc_score("m_key").cast("int").alias("m_score"),
+    )
+    return owns_caches(out, base)

@@ -60,6 +60,9 @@ _PERSISTING = [
     # persists the per-gram sorted source-set relation (pair explode +
     # per-source denominators both consume it)
     "q_docs_source_overlap",
+    # persists the per-user (last_day, f_key, m_key) relation (reference
+    # day + three histograms + scoring all derive from it)
+    "q_events_rfm",
 ]
 
 

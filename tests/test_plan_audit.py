@@ -1076,3 +1076,19 @@ class TestR11SqlShapes:
                 assert s.pushed_filters, "date window must push down"
             if "lineitem" in s.location:
                 assert s.pushed_filters, "returnflag must push down"
+
+    def test_rfm_one_corpus_exchange(self, spark):
+        """RFM: the per-user aggregate is the ONE corpus-sized exchange;
+        the reference day, all three histograms and their CDF windows
+        run over the persisted user-cardinality relation; scoring is a
+        narrow pass over broadcast 1-row threshold frames."""
+        df = q.REGISTRY["q_events_rfm"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert a.n_scans == 1, "events scanned exactly once"
+        assert "InMemoryTableScan" in plan
+        assert a.python_ops == 0
+        assert a.broadcast_joins >= 4, "ref day + 3 threshold frames"
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

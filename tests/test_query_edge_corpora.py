@@ -1866,3 +1866,52 @@ def test_dedup_bias_audit_exposes_length_bias(spark, tmp_path):
     assert out[("en", "dropped")] == (1, 10000)  # the short, good copy
     assert out[("en", "unique")][0] == 1
     assert out[("en", "kept")][1] < out[("en", "dropped")][1]
+
+
+def test_rfm_quintile_semantics(spark, tmp_path):
+    """RFM pins on a 5-user crafted corpus where each dimension has 5
+    distinct values: the best-recency user scores r=5 (inversion), the
+    highest spender m=5, the most frequent f=5; identical keys share a
+    score (bucket-granular ties); every score recomputes from the pure
+    integer rule."""
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1)
+    rows, eid = [], 0
+
+    def ev(uid, day, val):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(days=day), uid, "view", val, "{}")
+        )
+
+    # user k (1..5): k events, all on day k, 10.0 each — so last day,
+    # frequency and spend all increase with k
+    for k in range(1, 6):
+        for _ in range(k):
+            ev(k, k, 10.0)
+    d = str(tmp_path / "rfm")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(REGISTRY["q_events_rfm"].fn(spark, d)) as out:
+        res = {r["user_id"]: r for r in out.collect()}
+    # user 5: most recent (r_key 0 -> r=5), most frequent (f=5), top spend
+    assert (res[5]["r_score"], res[5]["f_score"], res[5]["m_score"]) == (5, 5, 5)
+    # user 1: stalest, least frequent, least spend -> all 1
+    assert (res[1]["r_score"], res[1]["f_score"], res[1]["m_score"]) == (1, 1, 1)
+    # keys: r_key = 5 - k; f_key = k; m_key = floor(10k)
+    for k in range(1, 6):
+        assert res[k]["r_key"] == 5 - k
+        assert res[k]["f_key"] == k
+        assert res[k]["m_key"] == 10 * k
+    # monotone: higher k -> scores never decrease in f/m, never in r
+    for k in range(1, 5):
+        assert res[k + 1]["f_score"] >= res[k]["f_score"]
+        assert res[k + 1]["m_score"] >= res[k]["m_score"]
+        assert res[k + 1]["r_score"] >= res[k]["r_score"]
