@@ -131,8 +131,12 @@ R10_QUERIES = [
     "vector_outlier_filter",
 ]
 
-# r11: queries added this round (maximal-span substring removal,
-# classifier holdout contract, URL canonical dedup).
+# r11: the 25-query round-11 family — TPC-H correlated-subquery shapes
+# (Q7/Q10/Q15/Q17/Q21/Q22 + RANGE-frame moving revenue), events analytics
+# (funnel/retention/gap-fill/anomaly/RFM), and the pipeline/curation
+# additions (maximal spans, classifier holdout, URL dedup, alpha mixture,
+# drift, bloom + semantic decontamination, CCNet buckets, Neyman/CUBE,
+# quality-weighted sampling, source overlap, dedup bias audit).
 R11_QUERIES = [
     "text_strip_maximal_spans",
     "vector_classifier_holdout",

@@ -1226,10 +1226,14 @@ def canonicalize_url(url) -> "F.Column":
     slash, sort surviving params. Pure string ops inside whole-stage
     codegen — streaming-legal (stateless) and shuffle-free."""
     base = F.regexp_replace(url, r"[?#].*$", "")
-    query = F.when(
-        F.instr(url, "?") > 0,
-        F.regexp_replace(F.substring_index(url, "?", -1), r"#.*$", ""),
-    ).otherwise(F.lit(""))
+    # everything after the FIRST '?' (RFC 3986 allows further literal '?'
+    # inside the query — substring_index(.., -1) took the LAST and
+    # silently disagreed with the oracle's strpos/substr; ADVICE r11).
+    # regexp_extract anchors at the first match, so `\?(.*)$` captures
+    # the full first-?-to-end span; then strip the fragment.
+    query = F.regexp_replace(
+        F.regexp_extract(url, r"\?(.*)$", 1), r"#.*$", ""
+    )
     kept = F.array_join(
         F.array_sort(
             F.filter(

@@ -1952,18 +1952,23 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream. Uses the SAME whitespace-8-gram/md5 spec as
     the boilerplate and decontamination families.
 
-    100-TB shape: the gram build is row-local (higher-order transform,
-    the `_gram_occurrences` construction with the source carried along);
-    ONE corpus-sized exchange collapses it to per-gram sorted source
-    sets (collect_set partial-aggregates map-side and each set is
-    bounded by |sources|); pairs then EXPLODE ROW-LOCALLY from each
-    gram's own array — never a self-join on the gram relation — with
-    per-gram fan-out bounded at C(8,2)=28 by the ubiquity cap, so a
-    boilerplate gram in a million sources costs nothing (it leaves the
-    universe entirely). The per-source denominators and the pair rollup
-    aggregate the same persisted per-gram relation; everything after the
-    collapse is |pairs|-sized. The oracle reaches the identical result
-    through the textbook self-join formulation."""
+    100-TB shape (two-pass universe build, VERDICT r11 task 1): the gram
+    build is row-local (higher-order transform, the `_gram_occurrences`
+    construction with the source carried along); ONE corpus-sized
+    exchange dedupes it to the distinct (gram, source) relation, which
+    persists and feeds everything downstream. The ubiquity filter runs
+    as a plain `count(*)` per gram over that relation — constant
+    aggregation state per key, so a template gram present in a MILLION
+    sources costs one counter, never a million-element set buffer — and
+    a left-semi join restricts the relation to the 2..8 universe BEFORE
+    any `collect_set` runs: every set the final aggregate materializes
+    is ≤ `_OVERLAP_MAX_SRC` elements by construction. Pairs then EXPLODE
+    ROW-LOCALLY from each gram's own ≤8-element array — never a
+    self-join on the gram relation — with per-gram fan-out bounded at
+    C(8,2)=28. The per-source denominators and the pair rollup aggregate
+    the same persisted universe relation; everything after the collapse
+    is |pairs|-sized. The oracle reaches the identical result through
+    the textbook count-filter-join formulation (same two-pass shape)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -1977,19 +1982,20 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("source", F.lit("unk")).alias("src"),
         F.explode(grams).alias("g"),
     )
-    per_gram = (
-        gsrc.groupBy("g")
-        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
-        .filter(
-            (F.size("srcs") >= 2) & (F.size("srcs") <= _OVERLAP_MAX_SRC)
-        )
-        .persist()
+    # Pass 1: distinct (gram, source) occurrences — the Δ-sized relation
+    # every downstream consumer reads (persisted; ONE corpus exchange).
+    gs = gsrc.distinct().persist()
+    # Pass 2: bounded-state ubiquity pre-count (a counter per gram, NOT a
+    # set), then semi-join so collect_set only ever sees 2..8-source
+    # grams — the hot-key aggregation-state fix for VERDICT r11 task 1.
+    ubiq = gs.groupBy("g").agg(F.count("*").alias("n_src")).filter(
+        (F.col("n_src") >= 2) & (F.col("n_src") <= _OVERLAP_MAX_SRC)
     )
-    per_src = (
-        per_gram.select(F.explode("srcs").alias("src"))
-        .groupBy("src")
-        .agg(F.count("*").alias("n_grams"))
+    uni = gs.join(ubiq.select("g"), "g", "left_semi").persist()
+    per_gram = uni.groupBy("g").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs")
     )
+    per_src = uni.groupBy("src").agg(F.count("*").alias("n_grams"))
     pair_structs = F.flatten(
         F.transform(
             "srcs",
@@ -2026,4 +2032,4 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("overlap_milli"),
         )
     )
-    return owns_caches(out, per_gram)
+    return owns_caches(out, gs, uni)

@@ -702,11 +702,14 @@ def q_events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The classic product-analytics shape on the events table: how many users
 # progress signup -> view -> click -> purchase IN ORDER (each stage's
 # timestamp at or after the previous stage's). The Spark side computes the
-# whole funnel in ONE exchange: per-user event lists collapse under a
-# groupBy, and the four chained stage times are row-local
-# array_min-over-filter expressions (NULL cascades: missing a stage nulls
-# every later stage). The oracle reaches the same RESULT through four
-# chained stage CTEs — formulation-independent because stage_k's time is
+# whole funnel in ONE exchange: four chained per-user WINDOW minima over
+# the same user partitioning (NULL cascades: missing a stage nulls every
+# later stage). r12 (VERDICT r11 task 4): windows, NOT collect_list — a
+# window buffers partition rows in a SPILLABLE array (disk-backed past
+# spark.sql.windowExec.buffer.in.memory.threshold), so a 100M-event bot user
+# costs disk, never one unbounded in-memory aggregation buffer. The
+# oracle reaches the same RESULT through four chained stage CTEs —
+# formulation-independent because stage_k's time is
 # MIN(ts of type_k >= t_{k-1}) either way.
 _FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
 
@@ -760,38 +763,35 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per stage with the user count and the exact integer milli
     conversion rate from the previous stage.
 
-    100-TB shape: ONE exchange — per-user event structs collapse under
-    groupBy(user_id) (partial collect_list map-side), and all four stage
-    times are row-local array_min-over-filter expressions over that list
-    (NULL cascades kill later stages for free); the stage counts then
-    fold to a single row, and the 4-row report is built by exploding a
-    literal array — no second pass over events, no join, no window over
-    anything corpus-sized. Per-user state is that user's event list —
-    bounded by per-user activity, the same state bound the sessionizer
-    carries. The oracle's 4-CTE formulation replays the identical result
-    through stage semi-joins."""
+    100-TB shape: ONE exchange — the events repartition by user_id once,
+    and all four stage times are chained unbounded-frame window minima
+    over that SAME partitioning (each stage's predicate reads the
+    previous stage's column; NULL cascades kill later stages for free);
+    the per-user dedup and the stage counts reuse the partitioning
+    (zero further exchanges), and the 4-row report is built by exploding
+    a literal array — no second pass over events, no join. Per-user
+    state is the window's SPILLABLE row buffer (disk-backed past
+    `spark.sql.windowExec.buffer.in.memory.threshold`) — a 100M-event bot
+    user spills instead of building one 100M-struct in-memory
+    aggregation buffer, which is what the r11 collect_list formulation
+    risked (VERDICT r11 task 4; the spill path is pinned by a 10⁵-event
+    single-user fixture in tests/test_query_edge_corpora.py). The
+    oracle's 4-CTE formulation replays the identical result through
+    stage semi-joins."""
     e = load_events_us(spark, sf_dir)
-    lst = e.groupBy("user_id").agg(
-        F.collect_list(F.struct("ts_us", "event_type")).alias("evs")
-    )
-
-    def stage_time(prev_t, stage):
-        cond = (
-            (lambda x: x["event_type"] == stage)
-            if prev_t is None
-            else (lambda x: (x["event_type"] == stage) & (x["ts_us"] >= prev_t))
+    w = Window.partitionBy("user_id")
+    d = e.select("user_id", "ts_us", "event_type")
+    prev = None
+    for i, stage in enumerate(_FUNNEL_STAGES):
+        hit = F.col("event_type") == stage
+        if prev is not None:
+            hit = hit & (F.col("ts_us") >= F.col(prev))
+        d = d.withColumn(
+            f"t{i+1}", F.min(F.when(hit, F.col("ts_us"))).over(w)
         )
-        return F.array_min(
-            F.transform(F.filter("evs", cond), lambda x: x["ts_us"])
-        )
-
-    t = None
-    times = []
-    for stage in _FUNNEL_STAGES:
-        t = stage_time(t, stage)
-        times.append(t)
-    per_user = lst.select(
-        *[tc.alias(f"t{i+1}") for i, tc in enumerate(times)]
+        prev = f"t{i+1}"
+    per_user = d.groupBy("user_id").agg(
+        *[F.first(f"t{i+1}").alias(f"t{i+1}") for i in range(4)]
     )
     one = per_user.agg(
         *[F.count(f"t{i+1}").alias(f"n{i+1}") for i in range(4)]

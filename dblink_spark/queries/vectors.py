@@ -1877,7 +1877,14 @@ def decon_best_literal(evals: list):
         )
         for eid, vec in evals
     ]
-    return F.greatest(*structs)
+    # F.greatest requires >= 2 args (ADVICE r11) — a 1-vector eval suite
+    # is legal (same guard as vector_centroid_classifier), an empty one
+    # is a caller error worth naming rather than a py4j arity blowup.
+    if not structs:
+        raise ValueError(
+            "decon_best_literal: empty eval suite — nothing to sweep"
+        )
+    return F.greatest(*structs) if len(structs) > 1 else structs[0]
 
 
 

@@ -1035,8 +1035,11 @@ class TestR11SqlShapes:
     def test_source_overlap_pairs_explode_row_locally(self, spark):
         """Mirror-detection audit: pairs come from each gram's OWN sorted
         source array (bounded C(8,2) fan-out), never a self-join of the
-        gram relation — the persisted per-gram collapse is the one
-        corpus-sized exchange and feeds pairs AND denominators."""
+        gram relation — the persisted (gram, source) relation is the one
+        corpus-sized exchange and feeds ubiquity count, universe, pairs
+        AND denominators. r12: the universe build is TWO-PASS — a
+        bounded-state count(*) pre-filter semi-joins the relation BEFORE
+        collect_set, so no set buffer ever exceeds the 8-source cap."""
         df = q.REGISTRY["q_docs_source_overlap"].fn(spark, SF_DIR)
         plan = formatted_plan(df)
         a = audit_plan(df)
@@ -1044,6 +1047,11 @@ class TestR11SqlShapes:
         assert "InMemoryTableScan" in plan
         assert a.python_ops == 0
         assert "CartesianProduct" not in plan
+        # two-pass pin: the ubiquity filter reaches collect_set through a
+        # LEFT SEMI join (count-filter-join), not a post-aggregation
+        # size() filter on unbounded sets
+        assert "LeftSemi" in plan
+        assert "collect_set" in plan and "count(1)" in plan
         scans = scan_infos(plan)
         assert set(scans[0].read_columns) <= {"text", "source"}
         from dblink_spark.queries import release_caches

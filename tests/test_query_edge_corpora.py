@@ -1091,6 +1091,71 @@ def test_url_canonical_collides_across_noise(spark, tmp_path):
     assert out[101]["n_crawls"] == 1 and out[101]["keep"]
 
 
+def test_url_canonical_double_question_mark(spark):
+    """ADVICE r11: RFC 3986 allows literal '?' INSIDE the query string.
+    The query must be everything after the FIRST '?' (the oracle's
+    strpos/substr semantics) — the old substring_index(url, '?', -1)
+    took the LAST '?' and silently mis-keyed such URLs. Pin Spark ==
+    DuckDB-oracle-expression on an adversarial corpus that the fixture
+    derivation can never emit (it only ever builds one '?')."""
+    import duckdb
+
+    urls = [
+        # second '?' inside the query: 'b=2?c=3' is ONE param value
+        "https://ex.com/p?a=1&b=2?c=3",
+        # '?' in query AND a fragment carrying its own '?'
+        "HTTP://WWW.Ex.com/p/?z=9?y=8&utm_source=x#frag?notquery",
+        # '?' only inside the fragment: query is empty
+        "https://ex.com/p#frag?x=1",
+        "https://ex.com/p??",  # empty-ish params, double '?' immediately
+        "https://ex.com/plain",
+    ]
+    from dblink_spark.queries.dedup import canonicalize_url
+
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    expect = [
+        r[0]
+        for r in con.execute("""
+            WITH parts AS (
+              SELECT url, regexp_replace(url, '[?#].*$', '') AS base,
+                CASE WHEN strpos(url, '?') > 0
+                  THEN regexp_replace(substr(url, strpos(url, '?') + 1),
+                                      '#.*$', '')
+                  ELSE '' END AS query
+              FROM u
+            )
+            SELECT rtrim(regexp_replace(regexp_replace(lower(base),
+                     '^https?://', ''), '^www\\.', ''), '/')
+              || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+            FROM (
+              SELECT url, base,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+                AS kept
+              FROM parts)
+            ORDER BY url
+        """).fetchall()
+    ]
+    assert sorted(got) == sorted(expect)
+    # and the first-'?' semantics explicitly: the whole tail is the query
+    by_url = dict(zip(urls, got))
+    assert by_url["https://ex.com/p?a=1&b=2?c=3"] == "ex.com/p?a=1&b=2?c=3"
+    # known shared quirk, pinned so it can't drift one-sided: a '?' that
+    # first appears INSIDE the fragment still starts the query span in
+    # BOTH engines (strpos/first-match doesn't know about '#'); the
+    # fragment marker itself is stripped afterwards on both sides
+    assert by_url["https://ex.com/p#frag?x=1"] == "ex.com/p?x=1"
+
+
 def test_maximal_span_length_gate(spark, tmp_path):
     """The Lee-et-al distinction the fixed-granularity surgeons can't
     make (VERDICT r10 'What's missing' #3): a 40-token block shared by
@@ -1181,6 +1246,64 @@ def test_funnel_requires_sequential_order(spark, tmp_path):
     assert out["view"]["conv_milli"] == (1000 * 3) // 4
     assert out["purchase"]["conv_milli"] == 500
     assert out["signup"]["conv_milli"] == 1000
+
+
+def test_funnel_bot_user_bounded_state(spark, tmp_path):
+    """VERDICT r11 task 4: one bot user with 10⁵ events must flow through
+    the funnel with BOUNDED memory. The r12 window formulation buffers
+    each user's rows in a spillable array — forced onto the
+    UnsafeExternalSorter path here by dropping
+    `spark.sql.windowExec.buffer.in.memory.threshold` to 1024 rows
+    (every row past 1024 goes through the disk-backed sorter; the
+    spill.threshold itself stays at its 4096 default — grinding it to
+    ~64 makes thousands of spill FILES per window, which is its own
+    pathology) — where the old collect_list built one 10⁵-struct
+    in-memory aggregation buffer with no spill path at all. Results must
+    be exact either way: the bot converts (its events interleave all
+    four stages in order), the one human converts, and the plan stays
+    window-based (no collect_list) with one corpus-sized exchange."""
+    from datetime import datetime, timedelta
+
+    from dblink_spark.plans.audit import audit_plan, formatted_plan
+
+    base = datetime(2024, 1, 1)
+    stages = ["signup", "view", "click", "purchase"]
+    rows = []
+    # bot user 7: 100k events cycling the four types in funnel order
+    for i in range(100_000):
+        rows.append(
+            (i, base + timedelta(seconds=i), 7, stages[i % 4], 0.0, "{}")
+        )
+    # one human control
+    for j, st in enumerate(stages):
+        rows.append(
+            (200_000 + j, base + timedelta(seconds=j), 8, st, 0.0, "{}")
+        )
+    d = str(tmp_path / "bot_events")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    key = "spark.sql.windowExec.buffer.in.memory.threshold"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "1024")
+    try:
+        df = REGISTRY["q_events_funnel"].fn(spark, d)
+        plan = formatted_plan(df)
+        assert "collect_list" not in plan, "funnel must not buffer structs"
+        assert plan.count("Window") >= 1
+        # exactly two exchanges: the ONE corpus-sized user_id hash (all
+        # four windows AND the per-user first() agg reuse it) plus the
+        # SinglePartition fold that moves 4 counters per partition
+        assert audit_plan(df).exchanges == 2
+        out = {r["stage"]: r["n_users"] for r in df.collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert out == {"signup": 2, "view": 2, "click": 2, "purchase": 2}
 
 
 def _write(spark, tmp_path, name, rows, schema):
@@ -1585,6 +1708,32 @@ def test_semantic_decon_literal_arm_semantics(spark, tmp_path):
     assert out[6][0] == 0 and abs(out[6][1] - sq2) < 1e-6
 
 
+def test_semantic_decon_one_vector_suite_and_empty_suite(spark, tmp_path):
+    """ADVICE r11: F.greatest needs >= 2 args, so a 1-vector eval suite
+    (a real shape — a single held-out benchmark) must dispatch through
+    the single-struct branch, and an EMPTY suite must raise a named
+    ValueError instead of a py4j arity blowup. Same guard discipline as
+    vector_centroid_classifier."""
+    import pytest as _pytest
+
+    from dblink_spark.queries.vectors import decon_best_literal
+
+    with _pytest.raises(ValueError, match="empty eval suite"):
+        decon_best_literal([])
+    evals = [_basis(0)]  # ONE eval vector, id 0
+    corpus = [
+        (1, 7, _basis(0)),   # dup of the only eval -> flagged
+        (3, 7, _basis(2)),   # orthogonal -> unflagged
+    ]
+    d = _decon_corpus(spark, tmp_path, "decon_one", evals, corpus)
+    out = {
+        r["vec_id"]: (r["eval_id"], r["cosine"])
+        for r in REGISTRY["vector_semantic_decontaminate"].fn(spark, d).collect()
+    }
+    assert set(out) == {1}
+    assert out[1][0] == 0 and out[1][1] > 0.999
+
+
 def test_semantic_decon_join_arm_matches_literal_semantics(spark, tmp_path):
     """Above 64 eval vectors the broadcast-join arm dispatches; it must
     reproduce the literal arm's verdicts exactly — pinned by planting the
@@ -1792,6 +1941,50 @@ def test_source_overlap_cap_and_containment(spark, tmp_path):
         ("sa", "sb"): (2, 2, 3, 1000),
         ("sb", "sc"): (1, 3, 1, 1000),
     }
+
+
+def test_source_overlap_hot_gram_bounded_state(spark, tmp_path):
+    """VERDICT r11 task 1 pathology: ONE template gram present in 500
+    distinct sources. Under the r11 single-pass build this put a
+    500-element source set into one aggregation buffer before the
+    ubiquity filter discarded it; the r12 two-pass build pre-counts with
+    a plain count(*) (constant state per gram), semi-joins, and only
+    then collects — so collect_set never sees the hot gram at all. The
+    pin: the hot gram contributes NO pairs and NO denominators (the two
+    planted mirror sources still score exactly), and the plan carries
+    the LeftSemi count-filter-join (structural bound, test_plan_audit
+    pins the same on the real corpus)."""
+    g = lambda tag: " ".join(f"{tag}{i}" for i in range(8))
+    rows = []
+    for k in range(500):  # the hot gram: one gram, 500 sources
+        rows.append((k, g("boiler"), "en", f"hot{k:03d}", 10))
+    # two mirrors sharing one discriminative gram each way
+    rows.append((9001, g("mir") + " " + g("boiler"), "en", "ma", 10))
+    rows.append((9002, g("mir"), "en", "mb", 10))
+    d = str(tmp_path / "hotgram")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["q_docs_source_overlap"].fn(spark, d)
+    ) as out:
+        from dblink_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(out)
+        rows_out = {
+            (r["src1"], r["src2"]): (
+                r["shared_grams"], r["n_grams_1"], r["n_grams_2"],
+                r["overlap_milli"],
+            )
+            for r in out.collect()
+        }
+    assert "LeftSemi" in plan
+    # ma's universe is ONLY the mir gram (boiler gram in 502 sources is
+    # way past the cap): a single (1,1,1,1000) mirror pair, nothing else
+    assert rows_out == {("ma", "mb"): (1, 1, 1, 1000)}
 
 
 def test_quality_weighted_sample_thresholds(spark, tmp_path):
