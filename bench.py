@@ -471,7 +471,11 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_paper_spark_4part_spread",
         "er_1m_8part_sec_per_iter",
         "er_1m_16part_sec_per_iter",
+        "er_1m_32part_sec_per_iter",
         "er_1m_max_partition_clusters",
+        "er_1m_8part_max_partition_clusters",
+        "er_1m_16part_max_partition_clusters",
+        "er_1m_32part_max_partition_clusters",
     ):
         if k in out:
             compact[k] = out[k]
@@ -764,8 +768,9 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
 
 
 def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3) -> dict:
-    """1M-record distributed chain at p=8 vs p=16 (VERDICT r6 task 7: does
-    the 300k ~1.6x p=8→16 gain hold at 1M?). Reports the MEDIAN sec/iter per
+    """1M-record distributed chain at p=8 vs p=16 vs p=32 (VERDICT r6
+    task 7, extended to 32 parts per VERDICT r11 task 7: 13→9.7 s/iter at
+    8→16 suggested headroom). Reports the MEDIAN sec/iter per
     point plus every iteration's own wall time (``..._iter_secs``) — the r7
     judge measured 2.2x same-code host drift between sessions, so a single
     committed number with no spread is unreadable (VERDICT r7 "what's
@@ -783,20 +788,24 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3)
     build_s = time.time() - t0
     s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=31)
     out = {"er_1m_n_records": n_records, "er_1m_cache_build_sec": round(build_s, 1)}
-    for p in (8, 16):
+    for p in (8, 16, 32):
         pf = KDTreePartitioner(
             num_levels=p.bit_length() - 1, attribute_ids=[3, 4, 0]
         )
         pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
         s = assign_partitions(s0, pf, pf.num_partitions)
-        if p == 16:
-            sizes = [
-                r["count"]
-                for r in s.df.filter("NOT is_summary")
-                .groupBy("partition_id")
-                .count()
-                .collect()
-            ]
+        # balance alongside every point (r11 task 7): the per-partition
+        # memory ceiling AND the straggler bound — speedup stalls when
+        # max/mean diverges, so the number must ride with the timing
+        sizes = [
+            r["count"]
+            for r in s.df.filter("NOT is_summary")
+            .groupBy("partition_id")
+            .count()
+            .collect()
+        ]
+        out[f"er_1m_{p}part_max_partition_clusters"] = int(max(sizes))
+        if p == 16:  # legacy key, kept so cross-round diffs line up
             out["er_1m_max_partition_clusters"] = int(max(sizes))
         s = transition(s, "PCG-I")  # warm
         iter_secs = []

@@ -1,0 +1,652 @@
+"""Pure-numpy baseline JFIF (JPEG) codec — the compressed-image leg of the
+multimodal family (VERDICT r11 task 2: make the JPEG path EXECUTE
+in-container; PIL is absent here, and real corpora are ~all JPEG).
+
+Same discipline as the BMP/WAV codecs (`operators/multimodal.py:80,142`):
+a REAL decoder for a public format, written against the published spec
+(ITU-T T.81 / ISO 10918-1 baseline sequential DCT + the JFIF container),
+with a strict sniff so arbitrary payloads can never be misrouted, shipped
+as nested functions from a factory so kernel closures capture it BY VALUE
+(module-path cloudpickle breaks on executors that loaded this package by
+file path).
+
+Decoder scope (baseline JFIF as found in the wild):
+- SOF0 (baseline sequential DCT, 8-bit), grayscale or 3-component YCbCr;
+- DQT (8-bit tables), DHT (any canonical tables — read from the stream,
+  never assumed), DRI/RSTn restart intervals, APPn/COM skipped;
+- single interleaved scan (the overwhelmingly common baseline layout) or
+  a single-component scan (how grayscale is written);
+- sampling factors 1..2 per axis (4:4:4, 4:2:2, 4:2:0), nearest-neighbor
+  chroma upsampling, JFIF YCbCr -> RGB.
+
+Progressive (SOF2), arithmetic coding, and 12-bit precision raise a
+named ValueError — a production cluster decodes those through
+PIL/libjpeg-turbo via the same ``decode_media`` seam; THIS decoder is
+what guarantees the seam executes for real in a numpy-only container.
+
+The fixture ENCODER (`jpeg_encode_baseline`) deliberately avoids the
+Annex-K sample tables: it emits flat quantization tables and builds its
+own one-length canonical Huffman table over exactly the symbols it uses
+(both are fully spec-legal — DQT/DHT carry the tables in-stream, which is
+also why the decoder must genuinely parse them to pass the round-trip
+tests). Per-pixel exactness is pinned two ways in
+tests/test_multimodal.py: bit-exact recovery of the quantized DCT
+coefficients through the whole entropy pipeline, and value-bound pixel
+reconstruction under the known quantization error envelope.
+
+Performance note: entropy decoding is per-bit Python — correct, bounded,
+and fine for test-scale payloads, but NOT a 100-TB hot path; at scale the
+dispatch in ``decode_media`` hands JPEG batches to a native codec when
+one is importable (PIL branch), and this decoder is the always-available
+fallback that keeps the pipeline executable and the contract testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: zig-zag scan order (spec Figure 5): position k in the scan -> (row, col)
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """The 8x8 type-II DCT basis with JPEG normalization: S = M B M^T is
+    the forward transform of spec A.3.3, B = M^T S M the inverse."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _jpeg_codec() -> tuple:
+    """Factory returning ``(jpeg_decode, looks_like_jpeg,
+    jpeg_decode_coeffs)`` as nested functions (pickle-by-value, the
+    `_bmp_codec` note)."""
+
+    zz = list(_ZIGZAG)
+    idct_m = _dct_matrix()
+
+    def _build_huff(bits, vals):
+        """Canonical Huffman decode tables from a DHT segment's
+        BITS/HUFFVAL (spec F.2.2.3 Decode_tables): per code length l,
+        (mincode, maxcode, valptr)."""
+        code, k = 0, 0
+        mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+        for l in range(1, 17):
+            if bits[l - 1] == 0:
+                maxcode[l] = -1
+            else:
+                valptr[l] = k
+                mincode[l] = code
+                code += bits[l - 1]
+                k += bits[l - 1]
+                maxcode[l] = code - 1
+            code <<= 1
+        return mincode, maxcode, valptr, list(vals)
+
+    class _BitReader:
+        """MSB-first bit reader over the entropy-coded segment with 0xFF00
+        byte-unstuffing; stops at any non-stuffing marker (RSTn handled by
+        the MCU loop via `at_restart`/`skip_restart`)."""
+
+        def __init__(self, buf: bytes, pos: int):
+            self.buf, self.pos, self.bit, self.cur = buf, pos, 0, 0
+
+        def _next_byte(self) -> int:
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                nxt = self.buf[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                    return 0xFF
+                raise _MarkerHit(nxt)
+            self.pos += 1
+            return b
+
+        def read_bit(self) -> int:
+            if self.bit == 0:
+                self.cur = self._next_byte()
+                self.bit = 8
+            self.bit -= 1
+            return (self.cur >> self.bit) & 1
+
+        def receive(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+        def align_and_skip_restart(self) -> None:
+            """Consume the RSTn marker at a restart boundary and resync."""
+            self.bit = 0
+            # the unstuffed reader stopped with pos AT the 0xFF of RSTn
+            assert self.buf[self.pos] == 0xFF
+            self.pos += 2
+
+    class _MarkerHit(Exception):
+        def __init__(self, marker: int):
+            self.marker = marker
+
+    def _decode_sym(br, table) -> int:
+        mincode, maxcode, valptr, vals = table
+        code = br.read_bit()
+        for l in range(1, 17):
+            if maxcode[l] != -1 and code <= maxcode[l]:
+                return vals[valptr[l] + code - mincode[l]]
+            code = (code << 1) | br.read_bit()
+        raise ValueError("invalid Huffman code in scan")
+
+    def _extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    def _parse(buf: bytes):
+        """Walk the marker stream; return (frame, scans-consumed coeff
+        planes). Coefficients come back DEQUANTIZED, one
+        ``(by, bx, 8, 8)`` int32 array per component."""
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (no SOI)")
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, tuple] = {}
+        huff_ac: dict[int, tuple] = {}
+        restart_interval = 0
+        frame = None
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError("marker desync")
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            body = buf[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    prec, tid = body[p] >> 4, body[p] & 0xF
+                    if prec != 0:
+                        raise ValueError("16-bit DQT unsupported (baseline)")
+                    tbl = np.zeros((8, 8), dtype=np.int32)
+                    for k in range(64):
+                        tbl[zz[k]] = body[p + 1 + k]
+                    qt[tid] = tbl
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(body):
+                    cls, tid = body[p] >> 4, body[p] & 0xF
+                    bits = list(body[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + n])
+                    (huff_dc if cls == 0 else huff_ac)[tid] = _build_huff(
+                        bits, vals
+                    )
+                    p += 17 + n
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-ish)
+                if body[0] != 8:
+                    raise ValueError("only 8-bit precision supported")
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                ncomp = body[5]
+                comps = []
+                for i in range(ncomp):
+                    cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    )
+                frame = {"w": w, "h": h, "comps": comps}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "non-baseline JPEG (progressive/arithmetic) unsupported"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                ns = body[0]
+                scan = []
+                for i in range(ns):
+                    cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                    comp = next(
+                        c for c in frame["comps"] if c["id"] == cs
+                    )
+                    scan.append((comp, tables >> 4, tables & 0xF))
+                data_pos = pos + 2 + seg_len
+                coeffs = _decode_scan(
+                    buf, data_pos, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                return frame, coeffs
+            # APPn / COM / anything else: skip
+            pos += 2 + seg_len
+        raise ValueError("no scan data found")
+
+    def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        w, h = frame["w"], frame["h"]
+        planes = {}
+        mcux_all = -(-w // (8 * hmax))
+        mcuy_all = -(-h // (8 * vmax))
+        for c in frame["comps"]:
+            if len(scan) == 1:
+                # non-interleaved: the scan covers exactly the component's
+                # own block grid
+                cw = -(-w * c["h"] // hmax)  # ceil
+                ch = -(-h * c["v"] // vmax)
+                bx, by = -(-cw // 8), -(-ch // 8)
+            else:
+                # interleaved: every MCU carries h*v blocks, so the grid
+                # is MCU-padded (mirrors the encoder's edge-block pad)
+                bx, by = mcux_all * c["h"], mcuy_all * c["v"]
+            planes[c["id"]] = np.zeros((by, bx, 8, 8), dtype=np.int32)
+
+        br = _BitReader(buf, pos)
+        pred = {c["id"]: 0 for c, _, _ in scan}
+
+        def one_block(comp, tdc, tac):
+            blk = np.zeros(64, dtype=np.int32)
+            t = _decode_sym(br, huff_dc[tdc])
+            diff = _extend(br.receive(t), t) if t else 0
+            pred[comp["id"]] += diff
+            blk[0] = pred[comp["id"]]
+            k = 1
+            while k < 64:
+                rs = _decode_sym(br, huff_ac[tac])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                blk[k] = _extend(br.receive(s), s)
+                k += 1
+            out = np.zeros((8, 8), dtype=np.int32)
+            for i in range(64):
+                out[zz[i]] = blk[i]
+            return out * qt[comp["tq"]]
+
+        if len(scan) == 1:
+            comp, tdc, tac = scan[0]
+            plane = planes[comp["id"]]
+            by, bx = plane.shape[0], plane.shape[1]
+            n_units, total = 0, by * bx
+            for yb in range(by):
+                for xb in range(bx):
+                    if dri and n_units and n_units % dri == 0:
+                        br.align_and_skip_restart()
+                        pred[comp["id"]] = 0
+                    plane[yb, xb] = one_block(comp, tdc, tac)
+                    n_units += 1
+        else:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        br.align_and_skip_restart()
+                        for c, _, _ in scan:
+                            pred[c["id"]] = 0
+                    for comp, tdc, tac in scan:
+                        for v_ in range(comp["v"]):
+                            for h_ in range(comp["h"]):
+                                yb = my * comp["v"] + v_
+                                xb = mx * comp["h"] + h_
+                                planes[comp["id"]][yb, xb] = one_block(
+                                    comp, tdc, tac
+                                )
+                    n_mcu += 1
+        return planes
+
+    def _idct_plane(plane: np.ndarray) -> np.ndarray:
+        """Inverse-DCT every block of a ``(by, bx, 8, 8)`` coefficient
+        plane at once (one einsum pair — the per-bit entropy loop is the
+        slow part, the math is vectorized), level-shift and clamp."""
+        by, bx = plane.shape[0], plane.shape[1]
+        s = plane.reshape(by * bx, 8, 8).astype(np.float64)
+        px = np.einsum("ui,nuv,vj->nij", idct_m, s, idct_m)
+        px = np.round(px + 128.0)
+        return np.clip(px, 0, 255).astype(np.uint8).reshape(by, bx, 8, 8)
+
+    def _assemble(frame, coeffs) -> np.ndarray:
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        w, h = frame["w"], frame["h"]
+        out_planes = []
+        for c in frame["comps"]:
+            blocks = _idct_plane(coeffs[c["id"]])
+            by, bx = blocks.shape[0], blocks.shape[1]
+            full = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            cw = -(-w * c["h"] // hmax)
+            ch = -(-h * c["v"] // vmax)
+            full = full[:ch, :cw]
+            if c["h"] != hmax or c["v"] != vmax:
+                full = np.repeat(
+                    np.repeat(full, vmax // c["v"], axis=0),
+                    hmax // c["h"],
+                    axis=1,
+                )
+            out_planes.append(full[:h, :w])
+        if len(out_planes) == 1:
+            return out_planes[0]
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    def jpeg_decode(buf: bytes) -> np.ndarray:
+        """Baseline JFIF -> (H, W) uint8 grayscale or (H, W, 3) uint8
+        RGB."""
+        frame, coeffs = _parse(bytes(buf))
+        return _assemble(frame, coeffs)
+
+    def jpeg_decode_coeffs(buf: bytes):
+        """Dequantized DCT coefficient planes per component id — the
+        bit-exact boundary the entropy-pipeline round-trip test pins."""
+        frame, coeffs = _parse(bytes(buf))
+        return frame, coeffs
+
+    def looks_like_jpeg(buf: bytes) -> bool:
+        """Strict sniff (mirrors `looks_like_bmp`): SOI+marker prefix,
+        EOI suffix — no text or other codec's payload can satisfy both."""
+        return (
+            len(buf) >= 4
+            and buf[:3] == b"\xff\xd8\xff"
+            and buf[-2:] == b"\xff\xd9"
+        )
+
+    return jpeg_decode, looks_like_jpeg, jpeg_decode_coeffs
+
+
+#: driver-side conveniences (tests, direct use); kernels must grab fresh
+#: copies via _jpeg_codec() so they pickle by value
+jpeg_decode, _looks_like_jpeg, jpeg_decode_coeffs = _jpeg_codec()
+
+
+# --- fixture encoder (driver-side only; never shipped into kernels) --------
+
+
+def _encode_huffman(symbol_stream):
+    """Build a one-length canonical Huffman table over exactly the symbols
+    used and encode the stream with it. Returns (bits16, huffvals, codes)
+    where codes maps symbol -> (code, length). All codes share length
+    L = ceil(log2(n+1)), keeping the all-ones codeword unused (the
+    canonical assignment 0..n-1 < 2^L - 1) — spec-legal and trivially
+    verifiable, and it forces the decoder to genuinely parse DHT."""
+    syms = sorted(set(symbol_stream))
+    n = len(syms)
+    L = max(1, (n + 1 - 1).bit_length())  # ceil(log2(n+1))
+    if n >= (1 << L):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s (spec)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nbits = 0, 0
+
+
+def _block_coeffs(plane: np.ndarray, q: np.ndarray):
+    """Forward-DCT + quantize every 8x8 block of an edge-padded plane;
+    yields (by, bx, 8, 8) int32 QUANTIZED coefficients."""
+    h, w = plane.shape
+    by, bx = -(-h // 8), -(-w // 8)
+    padded = np.pad(
+        plane.astype(np.float64) - 128.0,
+        ((0, by * 8 - h), (0, bx * 8 - w)),
+        mode="edge",
+    )
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    s = np.einsum("ui,nmij,vj->nmuv", _DCT_M, blocks, _DCT_M)
+    return np.round(s / q).astype(np.int32)
+
+
+def _mag_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def jpeg_encode_baseline(
+    img: np.ndarray,
+    luma_q: int = 16,
+    chroma_q: int = 24,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 image — (H, W) grayscale or (H, W, 3) RGB — as a
+    baseline JFIF with FLAT quantization tables (every entry ``luma_q`` /
+    ``chroma_q``) and self-built one-length Huffman tables. ``subsample``
+    selects 4:2:0 (box-filtered chroma); ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs. Driver/test-side fixture
+    generator — the decoder under test must read every table from the
+    stream it produces."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = np.full((8, 8), luma_q, dtype=np.int32)
+    qc = np.full((8, 8), chroma_q, dtype=np.int32)
+
+    if gray:
+        comps = [
+            {"id": 1, "h": 1, "v": 1, "tq": 0, "plane": img, "q": qy}
+        ]
+    else:
+        rgbf = img.astype(np.float64)
+        r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, cb, cr = (
+            np.clip(np.round(p), 0, 255).astype(np.uint8)
+            for p in (y, cb, cr)
+        )
+        if subsample:
+            he, we = h + (h & 1), w + (w & 1)
+            def box(p):
+                pp = np.pad(p, ((0, he - h), (0, we - w)), mode="edge")
+                q4 = pp.reshape(he // 2, 2, we // 2, 2).astype(np.uint32)
+                return ((q4.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+            comps = [
+                {"id": 1, "h": 2, "v": 2, "tq": 0, "plane": y, "q": qy},
+                {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": box(cb), "q": qc},
+                {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": box(cr), "q": qc},
+            ]
+        else:
+            comps = [
+                {"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y, "q": qy},
+                {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb, "q": qc},
+                {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr, "q": qc},
+            ]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["coef"] = _block_coeffs(c["plane"][:ch, :cw], c["q"])
+        # pad the block grid to full MCU coverage (edge blocks repeat)
+        need_bx = -(-w // (8 * hmax)) * c["h"]
+        need_by = -(-h // (8 * vmax)) * c["v"]
+        by, bx = c["coef"].shape[0], c["coef"].shape[1]
+        if bx < need_bx or by < need_by:
+            c["coef"] = np.pad(
+                c["coef"],
+                ((0, need_by - by), (0, need_bx - bx), (0, 0), (0, 0)),
+                mode="edge",
+            )
+
+    # serialize every block's (symbol, extra-bits) stream first so the
+    # Huffman tables can cover exactly the used symbols
+    def block_syms(blk, pred, dc_stream, ac_stream, extras):
+        seq = [int(blk[_ZIGZAG[i]]) for i in range(64)]
+        diff = seq[0] - pred
+        t = _mag_cat(diff)
+        dc_stream.append(t)
+        extras.append((t, _mag_bits(diff, t)))
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if seq[k]:
+                last_nz = k
+        k = 1
+        while k <= last_nz:
+            if seq[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                ac_stream.append(0xF0)
+                extras.append((0, 0))
+                run -= 16
+            s = _mag_cat(seq[k])
+            ac_stream.append((run << 4) | s)
+            extras.append((s, _mag_bits(seq[k], s)))
+            run = 0
+            k += 1
+        if last_nz < 63:
+            ac_stream.append(0x00)
+            extras.append((0, 0))
+        return seq[0]
+
+    # interleaved MCU walk (also used for grayscale: 1x1 MCus)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dc_syms = {0: [], 1: []}
+    ac_syms = {0: [], 1: []}
+    token_stream = []  # (kind, table_id, symbol) + extra bits inline
+    preds = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                token_stream.append(("RST", (n_mcu // restart_interval - 1) % 8, 0))
+                for c in comps:
+                    preds[c["id"]] = 0
+            for c in comps:
+                tid = 0 if c["tq"] == 0 else 1
+                for v_ in range(c["v"]):
+                    for h_ in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + v_, mx * c["h"] + h_]
+                        dcs, acs, extras = [], [], []
+                        preds[c["id"]] = block_syms(
+                            blk, preds[c["id"]], dcs, acs, extras
+                        )
+                        dc_syms[tid].extend(dcs)
+                        ac_syms[tid].extend(acs)
+                        token_stream.append(("BLK", tid, (dcs, acs, extras)))
+            n_mcu += 1
+
+    tables = {}
+    used_tids = sorted({0 if c["tq"] == 0 else 1 for c in comps})
+    for tid in used_tids:
+        tables[("dc", tid)] = _encode_huffman(dc_syms[tid] or [0])
+        tables[("ac", tid)] = _encode_huffman(ac_syms[tid] or [0])
+
+    bw = _BitWriter()
+    for kind, tid, payload in token_stream:
+        if kind == "RST":
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + tid])
+            continue
+        dcs, acs, extras = payload
+        ei = 0
+        _, _, dc_codes = tables[("dc", tid)]
+        _, _, ac_codes = tables[("ac", tid)]
+        for s in dcs:
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            t, v = extras[ei]
+            ei += 1
+            if t:
+                bw.write(v, t)
+        for s in acs:
+            code, ln = ac_codes[s]
+            bw.write(code, ln)
+            t, v = extras[ei]
+            ei += 1
+            if t:
+                bw.write(v, t)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qy), (1, qc)) if len(comps) > 1 else ((0, qy),):
+        body = bytes([tid]) + bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+        out += seg(0xDB, body)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, sof)
+    for (cls, tid), (bits, vals, _) in sorted(tables.items()):
+        body = bytes([(0 if cls == "dc" else 1) << 4 | tid])
+        body += bytes(bits) + bytes(vals)
+        out += seg(0xC4, body)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for c in comps:
+        tid = 0 if c["tq"] == 0 else 1
+        sos += bytes([c["id"], (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

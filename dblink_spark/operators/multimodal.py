@@ -7,10 +7,13 @@ frame sampling) runs as an Arrow-batched pandas iterator over
 ``mapInPandas`` — one Python worker per input partition, zero driver
 involvement, batch size governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The *codec* step is deliberately stubbed: PIL / librosa / av are not
-available in this container. ``decode_media`` therefore dispatches to
+The *codec* step: PIL / librosa / av are not available in this container,
+so ``decode_media`` dispatches to
 
 - a real decoder if one is importable (gated behind an import-try), else
+- pure-numpy REAL codecs for public self-describing formats —
+  uncompressed BMP and RIFF/PCM WAV (here) and baseline JFIF JPEG
+  (`operators/jpeg.py`, r12) — strict-sniffed so nothing misroutes, else
 - a **deterministic fake** that derives a stable "decoded signal" from the
   raw bytes (numpy ``frombuffer``), so the Spark-side plumbing — schema,
   partitioning, UDF signature, Arrow batch shape — is real and testable.
@@ -242,23 +245,30 @@ def _pil_resize_codec(img_mod) -> Callable[[bytes, int, int], np.ndarray]:
 
 def bmp_resize_codec() -> Callable[[bytes, int, int], np.ndarray]:
     """REAL-format resize codec that runs in-container (VERDICT r10
-    "What's missing" #1): BMP payloads decode through the pure-numpy
-    `bmp_decode`, collapse to grayscale (integer channel mean), and
+    "What's missing" #1; JPEG added r12): BMP payloads decode through the
+    pure-numpy `bmp_decode` and baseline-JFIF payloads through
+    `jpeg_decode`, collapse to grayscale (integer channel mean), and
     nearest-neighbor resample onto the target grid; anything else falls
     back to the deterministic fake so mixed corpora keep the fixed-grid
     contract. Same ``(bytes, w, h) -> (h, w) uint8`` seam as the PIL
     codec — on a PIL-equipped cluster `_pil_resize_codec` slots in with
     identical plumbing (pinned by the same contract tests)."""
     fake = _fake_resize_codec()
-    # fresh nested copies: the kernel closure must capture the BMP codec
+    # fresh nested copies: the kernel closure must capture the codecs
     # by VALUE (the _bmp_codec factory note — module-path pickling breaks
     # on executors that loaded this package by file path)
     decode, sniff = _bmp_codec()
+    from dblink_spark.operators.jpeg import _jpeg_codec
+
+    jpg_decode, jpg_sniff, _ = _jpeg_codec()
 
     def codec(buf: bytes, width: int, height: int) -> np.ndarray:
-        if not sniff(buf):
+        if sniff(buf):
+            px = decode(buf)
+        elif jpg_sniff(buf):
+            px = jpg_decode(buf)
+        else:
             return fake(buf, width, height)
-        px = decode(buf)
         if px.ndim == 3:
             px = (px.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
         ys = (np.arange(height) * px.shape[0]) // height
@@ -301,11 +311,11 @@ def decode_media(
     if decoder is None and Image is not None:  # pragma: no cover - PIL absent
         decoder = _pil_image_decoder(Image)
     # decoder is None from here on ⇒ the default path: payloads that sniff
-    # as real uncompressed BMPs or RIFF/PCM WAVs (strict magic + size
-    # checks, so text can never be misrouted) go through the pure-numpy
-    # `bmp_decode` / `wav_decode`; everything else takes the deterministic
-    # fake, which admits a fully vectorized per-batch path (no per-row
-    # Python at all)
+    # as real uncompressed BMPs, RIFF/PCM WAVs, or baseline JFIF JPEGs
+    # (strict magic + size/structure checks, so text can never be
+    # misrouted) go through the pure-numpy `bmp_decode` / `wav_decode` /
+    # `jpeg_decode`; everything else takes the deterministic fake, which
+    # admits a fully vectorized per-batch path (no per-row Python at all)
 
     out_schema = (
         "doc_id bigint, media_type string, n_samples bigint, "
@@ -314,6 +324,9 @@ def decode_media(
     # nested copies pickle by value into the kernel closure
     _bmp_dec, _bmp_sniff = _bmp_codec()
     _wav_dec, _wav_sniff = _wav_codec()
+    from dblink_spark.operators.jpeg import _jpeg_codec
+
+    _jpg_dec, _jpg_sniff, _ = _jpeg_codec()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -339,6 +352,10 @@ def decode_media(
                         sums[i] = int(sig.sum())
                     elif _wav_sniff(b):
                         sig = _wav_dec(b).astype(np.int64, copy=False).ravel()
+                        lens[i] = sig.size
+                        sums[i] = int(sig.sum())
+                    elif _jpg_sniff(b):
+                        sig = _jpg_dec(b).astype(np.int64, copy=False).ravel()
                         lens[i] = sig.size
                         sums[i] = int(sig.sum())
                 means = np.divide(

@@ -750,21 +750,38 @@ SELECT doc_id, component FROM grp
 """,
     survey_ref="beyond-reference: pair->cluster transitive closure (large-star/small-star); the clusters twin of G6/G7 (ref: analysis/package.scala:52-63)",
 )
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Transitive dedup GROUPS from the bottom-k near-dup pairs: every doc in
     a pair gets its connected component's minimum doc_id as the group label —
     the step every real dedup pipeline runs after pair emission (keep one
     survivor per component). Distributed alternating large-star/small-star
     (operators/components.py, O(log n) rounds); the oracle recomputes the
-    closure as a DuckDB recursive CTE over the same pair set."""
+    closure as a DuckDB recursive CTE over the same pair set.
+
+    Amortization seam (VERDICT r11 task 5): this, `dedup_survivors`, and
+    `q_docs_dedup_bias_audit` consume the SAME pair spec, and each
+    in-session build costs a full sketch+band+verify sweep — a production
+    snapshot materializes the pair relation once
+    (`sources.dedup_index.save_pair_table`) and passes the loaded table
+    as ``pairs``; all three then share one build (round-trip pinned in
+    tests/test_sources.py). The default ``None`` (gate path) rebuilds
+    in-session — deliberate duplication at gate scale, where each entry
+    must be a self-contained (spark, sf_dir) -> frame program."""
     from dblink_spark.operators.components import connected_components
     from dblink_spark.queries import release_caches
 
-    pairs = bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = bottomk_sketch_pairs(
+            load(spark, sf_dir, "documents"), k=8, threshold=0.99
+        )
     comps = connected_components(pairs, "doc1", "doc2")
     # the closure materialized eagerly (localCheckpoint) — the sketch cache
     # has served every consumer and can be freed before returning
-    release_caches(pairs)
+    if own_pairs:
+        release_caches(pairs)
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -782,7 +799,9 @@ GROUP BY g.component
 """,
     survey_ref="beyond-reference: end-to-end dedup pipeline (pairs -> components -> canonical survivor); composes G6/G7-style closure with survivor selection",
 )
-def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_survivors(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """The COMPLETE dedup pipeline a training-data build runs: near-dup
     pairs (bottom-k Jaccard) -> transitive groups (large-star/small-star
     closure) -> one canonical survivor per group (longest document,
@@ -794,13 +813,22 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: pairs from banded equi-joins (never all-pairs), O(log n)
     component rounds of two hash shuffles each, survivor selection is one
     groupBy with a struct-min (map-side combinable); the doc-length join
-    shuffles on doc_id."""
+    shuffles on doc_id. ``pairs`` is the amortization seam — pass a
+    persisted pair table (`sources.dedup_index.load_pair_table`) to share
+    one build across this, `dedup_components`, and the bias audit (see
+    `dedup_components` docstring; default rebuilds in-session for the
+    self-contained gate path)."""
     from dblink_spark.operators.components import connected_components
     from dblink_spark.queries import release_caches
 
-    pairs = bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = bottomk_sketch_pairs(
+            load(spark, sf_dir, "documents"), k=8, threshold=0.99
+        )
     comps = connected_components(pairs, "doc1", "doc2")
-    release_caches(pairs)  # closure materialized eagerly; cache served all consumers
+    if own_pairs:
+        release_caches(pairs)  # closure materialized; cache served all consumers
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len")
     )
@@ -874,12 +902,21 @@ LEFT JOIN grouped g ON g.new_id = d.doc_id
         "the reference is batch-only ER, Sampler.scala:51-124)"
     ),
 )
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_minhash(
+    spark: SparkSession, sf_dir: str, old_index: DataFrame | None = None
+) -> DataFrame:
     """Dedup a NEW batch against the EXISTING corpus's persisted MinHash
     index — the daily-crawl shape batch self-dedup (`dedup_minhash_lsh`)
     never exercises: candidates are new x old only (no new-new or old-old
     pairs), and the old side's signatures are READ from the index, never
-    recomputed from old text. Emits one row per new-batch doc:
+    recomputed from old text. ``old_index`` is the CROSS-SESSION seam
+    (VERDICT r11 task 3): pass a table loaded via
+    `sources.dedup_index.load_minhash_index` and the old side becomes a
+    pure parquet scan — no lineage to any tokenization exists, so the
+    99% re-read is structurally impossible, not merely cached away. With
+    the default ``None`` (the gate path), the old signatures build
+    in-session and persist, which stands in for the table with identical
+    verdicts (pinned by the round-trip test in tests/test_sources.py). Emits one row per new-batch doc:
     ``(doc_id, n_dups_prior, rep_doc, is_novel)`` — rep_doc is the
     smallest matching prior doc (itself when novel), so the caller can
     drop non-novel rows or remap them to the canonical prior copy.
@@ -903,8 +940,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       quiet day costs ~|batch| regardless of corpus size."""
     d = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 0
-    sigs_old = minhash_signatures(d.filter(~is_new)).persist()
+    owned = []
+    if old_index is None:
+        sigs_old = minhash_signatures(d.filter(~is_new)).persist()
+        owned.append(sigs_old)
+    else:
+        sigs_old = old_index  # cross-session table scan; caller owns it
     sigs_new = minhash_signatures(d.filter(is_new)).persist()
+    owned.append(sigs_new)
     cand = capped_incremental_candidates(
         minhash_bands(sigs_new), minhash_bands(sigs_old)
     )
@@ -945,7 +988,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_id").isNull().alias("is_novel"),
         )
     )
-    return owns_caches(out, sigs_old, sigs_new)
+    return owns_caches(out, *owned)
 
 
 # C4-style paragraph dedup: the fixtures' documents are single-line token

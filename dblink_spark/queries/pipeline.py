@@ -1427,7 +1427,9 @@ GROUP BY stratum, verdict
         "pipeline with the shared quality spec"
     ),
 )
-def q_docs_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_dedup_bias_audit(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Is dedup deleting the good copies? Near-dup survivor selection
     keeps the LONGEST document — a heuristic, not a quality judgement —
     so this audit reports, per language stratum, the exact mean quality
@@ -1444,15 +1446,22 @@ def q_docs_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_survivors` machinery, same pair spec); quality is one
     row-local scoring pass; the only corpus-sized exchanges are the pair
     build and the final left join onto the scored corpus, and the report
-    itself collapses to |strata|×3 rows under map-side combine."""
+    itself collapses to |strata|×3 rows under map-side combine. ``pairs``
+    is the amortization seam shared with `dedup_components` /
+    `dedup_survivors` (see the former's docstring): pass one persisted
+    pair table (`sources.dedup_index.load_pair_table`) and the sweep this
+    audit would otherwise re-run is a parquet scan instead."""
     from dblink_spark.operators.components import connected_components
     from dblink_spark.queries import release_caches
     from dblink_spark.queries.dedup import bottomk_sketch_pairs
 
     d = load(spark, sf_dir, "documents")
-    pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
     comps = connected_components(pairs, "doc1", "doc2")
-    release_caches(pairs)
+    if own_pairs:
+        release_caches(pairs)
     docs = d.select(
         "doc_id",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len"),

@@ -254,3 +254,103 @@ def test_distributed_state_save_resume_bit_exact(spark, small_er, tmp_path):
         s_ref.summary.log_likelihood, rel=0, abs=0
     ), "distributed resume must be bit-exact"
     assert (s_b.summary.agg_distortions == s_ref.summary.agg_distortions).all()
+
+
+class TestDedupIndexTables:
+    """Persisted dedup-index tables (VERDICT r11 tasks 3 & 5): the
+    MinHash signature index and the verified pair relation round-trip
+    through parquet + spec sidecar, a consumer running off the LOADED
+    table produces verdicts identical to the in-session build, the
+    loaded path provably scans the table (no lineage to a recompute
+    exists), and a spec/version mismatch fails loudly instead of mixing
+    incomparable indexes."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_minhash_index_round_trip_identical_verdicts(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from dblink_spark.plans.audit import formatted_plan
+        from dblink_spark.queries import materialized
+        from dblink_spark.queries.dedup import (
+            dedup_incremental_minhash, minhash_signatures,
+        )
+        from dblink_spark.sources.dedup_index import (
+            load_minhash_index, save_minhash_index,
+        )
+
+        d = spark.read.parquet(f"{self.SF}/documents.parquet")
+        old = minhash_signatures(d.filter(F.col("doc_id") % 10 != 0))
+        path = str(tmp_path / "mh_index")
+        save_minhash_index(old, path)
+        # "new session" consumption: the loaded frame is a bare parquet
+        # scan — nothing from the producing lineage is reachable from it
+        loaded = load_minhash_index(spark, path)
+        with materialized(dedup_incremental_minhash(spark, self.SF)) as b:
+            base_plan = formatted_plan(b)
+            base = sorted(map(tuple, b.collect()))
+        with materialized(
+            dedup_incremental_minhash(spark, self.SF, old_index=loaded)
+        ) as df:
+            plan = formatted_plan(df)
+            got = sorted(map(tuple, df.collect()))
+        assert got == base, "indexed path must replay identical verdicts"
+        # plan pin: the old side reads the index table, and the
+        # in-session persisted OLD-signature relation is gone — only the
+        # new-batch cache's references remain (strictly fewer
+        # InMemoryTableScan nodes than the self-building plan)
+        assert "index.parquet" in plan
+        assert "index.parquet" not in base_plan
+        assert (
+            plan.count("InMemoryTableScan")
+            < base_plan.count("InMemoryTableScan")
+        )
+
+    def test_spec_or_version_mismatch_fails_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dblink_spark.sources import dedup_index as di
+
+        d = spark.range(3).selectExpr("id AS doc_id")
+        p1 = str(tmp_path / "idx1")
+        di.save_index(d, p1, {"kind": "minhash-signatures", "num_hashes": 8})
+        with _pytest.raises(ValueError, match="spec mismatch"):
+            di.load_minhash_index(spark, p1)
+        p2 = str(tmp_path / "idx2")
+        di.save_minhash_index(d, p2)
+        import json
+        import os
+
+        meta_path = os.path.join(p2, di.META_FILE)
+        meta = json.load(open(meta_path))
+        meta["format_version"] = 99
+        json.dump(meta, open(meta_path, "w"))
+        with _pytest.raises(ValueError, match="format v99"):
+            di.load_minhash_index(spark, p2)
+
+    def test_pair_table_shared_across_all_three_consumers(self, spark, tmp_path):
+        """ONE pair build feeds components, survivors, AND the bias
+        audit off the saved table, each matching its own in-session
+        result — the amortization the three queries' docstrings
+        document."""
+        from dblink_spark.queries import materialized, release_caches
+        from dblink_spark.queries.dedup import (
+            bottomk_sketch_pairs, dedup_components, dedup_survivors,
+        )
+        from dblink_spark.queries.pipeline import q_docs_dedup_bias_audit
+        from dblink_spark.sources.dedup_index import (
+            load_pair_table, save_pair_table,
+        )
+
+        d = spark.read.parquet(f"{self.SF}/documents.parquet")
+        pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
+        path = str(tmp_path / "pairs")
+        save_pair_table(pairs, path)  # the write materializes the sweep
+        release_caches(pairs)
+        loaded = load_pair_table(spark, path)
+        for fn in (dedup_components, dedup_survivors, q_docs_dedup_bias_audit):
+            with materialized(fn(spark, self.SF)) as b:
+                base = sorted(map(tuple, b.collect()))
+            with materialized(fn(spark, self.SF, loaded)) as df:
+                got = sorted(map(tuple, df.collect()))
+            assert got == base, fn.__name__
