@@ -165,6 +165,18 @@ R11_QUERIES = [
     "q_events_rfm",
 ]
 
+# r12: the six shapes completing the classic TPC-H set (Q2/Q8/Q9/Q11/Q12/
+# Q20, adapted where the fixtures lack partsupp/shipmode — see each
+# docstring).
+R12_QUERIES = [
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q20_dominant_suppliers",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -257,7 +269,7 @@ def main() -> None:
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
         + R8_QUERIES + R9_QUERIES + R10_QUERIES + R11_QUERIES
-        + GATE_QUERIES
+        + R12_QUERIES + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -284,6 +296,7 @@ def main() -> None:
         "r9_total": round(sum(timings[n] for n in R9_QUERIES), 3),
         "r10_total": round(sum(timings[n] for n in R10_QUERIES), 3),
         "r11_total": round(sum(timings[n] for n in R11_QUERIES), 3),
+        "r12_total": round(sum(timings[n] for n in R12_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {

@@ -509,6 +509,18 @@ _GATE_TAIL = [
     "q_orders_rollup",
     "q_events_sessionize",
     "q_events_asof_attribution",
+    # r12: the six NEW classic shapes (Q2/Q8/Q9/Q11/Q12/Q20 — the set
+    # that completes all 22 TPC-H queries) enter the head for their
+    # first driver-gated round; the six MATURE r11 TPC-H shapes rotate
+    # out — each is benched every round, plan-pinned
+    # (tests/test_plan_audit.py), edge-corpus covered, and full-result
+    # digest-covered by q_inventory_checksum below.
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_blamed_supplier",
+    "q22_dormant_accounts",
+    "q_orders_moving_revenue",
 ]
 
 

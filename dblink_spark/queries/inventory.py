@@ -280,6 +280,26 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("n_phones", "i"), ("n_ipv4", "i"), ("n_longnums", "i"),
         ("redacted_fp", "s"), ("chars_delta", "i"),
     ],
+    # r12 rotations: the six mature r11 TPC-H shapes (the new
+    # Q2/Q8/Q9/Q11/Q12/Q20 family takes their head slots)
+    "q7_nation_volume": [
+        ("supp_nation", "s"), ("cust_nation", "s"), ("l_year", "i"),
+        ("revenue", "f"),
+    ],
+    "q15_top_supplier": [
+        ("suppkey", "i"), ("name", "s"), ("total_revenue", "f"),
+    ],
+    "q17_small_quantity_revenue": [
+        ("avg_yearly", "f"), ("n_lines", "i"),
+    ],
+    "q21_blamed_supplier": [("name", "s"), ("numwait", "i")],
+    "q22_dormant_accounts": [
+        ("nationkey", "i"), ("numcust", "i"), ("totacctbal", "f"),
+    ],
+    "q_orders_moving_revenue": [
+        ("orderkey", "i"), ("custkey", "i"), ("day_idx", "i"),
+        ("trailing_30d", "f"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -1672,3 +1672,536 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         asc_score("m_key").cast("int").alias("m_score"),
     )
     return owns_caches(out, base)
+
+
+# --- r12: completing the classic TPC-H shape set ---------------------------
+#
+# The inventory now carries all 22 classic decision-support shapes. The
+# fixture schema lacks partsupp and lineitem's shipmode/commit/receipt
+# columns, so Q2/Q9/Q11/Q12/Q20 are ADAPTED: the published query SHAPE
+# (correlated min-per-group, multi-dim market share, profit rollup,
+# scalar-fraction HAVING, CASE-sum bands, nested half-of-total semi-join)
+# is preserved exactly, with the missing relation replaced by the
+# equivalent derivation from lineitem (unit price observed on lines stands
+# in for ps_supplycost, shipped volume for ps_availqty, ship-vs-order
+# lateness for commit-vs-receipt lateness). Every adaptation is spelled
+# out in the docstring; the arithmetic is exact-integer throughout (the
+# repo's DECIMAL/DIV discipline) so the oracle gates are bit-exact.
+
+#: exact unit price in milli-currency: 1000 * cents / qty, all integer —
+#: cents from DECIMAL(18,2)*100 (exact), qty integral by construction
+_UNIT_MILLI_SQL = (
+    "(1000 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+    " // CAST(l_quantity AS BIGINT)"
+)
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH eu_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+offer AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+    MIN((1000 * CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        // CAST(l.l_quantity AS BIGINT)) AS unit_milli
+  FROM lineitem l JOIN eu_supp es ON es.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT p.p_partkey AS partkey, es.s_name AS supplier, es.n_name AS nation,
+  CAST(es.s_acctbal AS DOUBLE) AS s_acctbal,
+  CAST(o.unit_milli AS BIGINT) AS unit_milli
+FROM offer o
+JOIN part p ON p.p_partkey = o.pk AND p.p_type = 'STANDARD'
+JOIN eu_supp es ON es.s_suppkey = o.sk
+WHERE o.unit_milli = (
+  SELECT MIN(o2.unit_milli) FROM offer o2 WHERE o2.pk = o.pk
+)
+""",
+    survey_ref=(
+        "beyond-reference: correlated min-per-group supplier selection "
+        "(TPC-H Q2 shape; supply cost adapted to observed lineitem unit "
+        "price — the fixtures carry no partsupp)"
+    ),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every STANDARD part sourced from a EUROPE
+    supplier, the supplier(s) offering the REGION'S minimum unit price —
+    the correlated-min-subquery classic. Adaptation (no partsupp
+    fixture): an 'offer' is the minimum observed unit price on that
+    (part, supplier)'s lineitems, in exact milli-currency integers
+    (1000·cents DIV qty — no division of doubles anywhere, so the
+    min-equality correlation cannot flip between engines). Ties keep ALL
+    minimum-price suppliers, exactly like the published query before its
+    LIMIT (the global top-k physical shape is pinned separately by
+    q10's TakeOrderedAndProject).
+
+    100-TB shape: region→nation→supplier prunes via two broadcast joins
+    BEFORE lineitem is touched, so the offer aggregate runs over the
+    region's lines only; the correlated min decorrelates into a window
+    min over the Δ-sized offer relation (partitioned by part — no
+    self-join, no second aggregate over lines); the part-type filter
+    joins on the offer relation, not the corpus. The oracle keeps the
+    textbook correlated subquery."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        n.join(
+            F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+        ).select("n_nationkey", "n_name")
+    )
+    eu_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(eu_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = F.expr(_UNIT_MILLI_SQL.replace("//", "DIV"))
+    offer = (
+        l.join(
+            eu_supp.select("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit_milli"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offer.withColumn("best", F.min("unit_milli").over(w)).filter(
+        F.col("unit_milli") == F.col("best")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(eu_supp, best["l_suppkey"] == eu_supp["s_suppkey"])
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("unit_milli").cast("bigint").alias("unit_milli"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH market AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+    ns.n_name AS supp_nation,
+    CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+      AS volume
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+),
+by_year AS (
+  SELECT o_year,
+    CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+             ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+      AS nat_e4,
+    CAST(SUM(volume) * 10000 AS BIGINT) AS tot_e4
+  FROM market GROUP BY o_year
+)
+SELECT o_year, CAST((1000 * nat_e4) // tot_e4 AS BIGINT) AS mkt_share_milli,
+  CAST(CAST(nat_e4 AS DOUBLE) / 10000 AS DOUBLE) AS nation_volume,
+  CAST(CAST(tot_e4 AS DOUBLE) / 10000 AS DOUBLE) AS total_volume
+FROM by_year
+""",
+    survey_ref=(
+        "beyond-reference: national market share within a region's "
+        "market by year, 8-relation star join (TPC-H Q8)"
+    ),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of the ASIA market for ECONOMY
+    parts, by order year — the widest classic star join (lineitem at the
+    center; part, orders→customer→nation→region on the demand side,
+    supplier→nation on the supply side). The share is an exact integer
+    milli-rate: discounted volumes sum as DECIMAL, scale to integral
+    ten-thousandths (BIGINT, exact), and divide with integer DIV — the
+    0/total and tie boundaries cannot flip between engines; the raw
+    volumes ride along as DOUBLE casts of the same exact sums.
+
+    100-TB shape: part/nation/region prune via broadcast joins into the
+    lineitem scan FIRST (ECONOMY cuts the fact ~6x before any shuffle
+    join); the two big joins (orders on orderkey, customer on custkey)
+    run on the pruned fact; supplier-nation names broadcast. One
+    conditional aggregate produces numerator and denominator in the SAME
+    pass — the share needs no self-join and no second scan — and the
+    rollup is |years| rows under map-side combine."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    supp_nation = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("snk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(asia_nations, F.col("c_nationkey") == F.col("cnk"), "left_semi")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    fact = (
+        # part scales with SF — no broadcast hint (AQE decides at runtime;
+        # TestBroadcastHintDiscipline pins the rule)
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("snk"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    vol = disc_price()
+    by_year = (
+        fact.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol)
+                    .otherwise(zero)
+                )
+                * 10000
+            ).cast("bigint").alias("nat_e4"),
+            (F.sum(vol) * 10000).cast("bigint").alias("tot_e4"),
+        )
+    )
+    return by_year.select(
+        "o_year",
+        F.expr("(1000 * nat_e4) DIV tot_e4").cast("bigint").alias(
+            "mkt_share_milli"
+        ),
+        (F.col("nat_e4").cast("double") / F.lit(10000)).cast("double").alias(
+            "nation_volume"
+        ),
+        (F.col("tot_e4").cast("double") / F.lit(10000)).cast("double").alias(
+            "total_volume"
+        ),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(
+    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+      * 10000 AS BIGINT)
+    - CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+      * CAST(l.l_quantity AS BIGINT) * 10000 AS BIGINT)
+  ) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+    survey_ref=(
+        "beyond-reference: product-line profit by supplier nation and "
+        "year (TPC-H Q9 shape; supply cost adapted to p_retailprice x "
+        "quantity — the fixtures carry no partsupp)"
+    ),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on every 'gear' part, rolled up by the
+    supplier's nation and the order year. Adaptation (no partsupp
+    fixture): supply cost is the part's retail price times quantity —
+    same join graph, same LIKE-on-part-name pushdown, same
+    profit = revenue − cost arithmetic. Profit sums in exact integral
+    ten-thousandths (every term scales to BIGINT before the sum, so the
+    DECIMAL subtraction can never round differently across engines);
+    negative profit rows are real and kept.
+
+    100-TB shape: the name LIKE prunes part BEFORE the fact join
+    (semi-join on partkey; the retail price rides a separate inner join
+    on the pruned dim); orders joins on orderkey, supplier on suppkey —
+    all equi-joins AQE sizes at runtime; the 25-row nation dim
+    broadcasts. The rollup is |nations×years| keys, map-side
+    combining."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nn = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    rev_e4 = (disc_price() * 10000).cast("bigint")
+    cost_e4 = (
+        dec("p_retailprice") * F.col("l_quantity").cast("bigint") * 10000
+    ).cast("bigint")
+    fact = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nn, F.col("s_nationkey") == F.col("nk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        fact.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(rev_e4 - cost_e4).cast("bigint").alias("profit_e4"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH am_supp AS (
+  SELECT s.s_suppkey
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'AMERICA'
+),
+val AS (
+  SELECT l.l_partkey AS partkey,
+    SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      AS value_cents
+  FROM lineitem l JOIN am_supp a ON a.s_suppkey = l.l_suppkey
+  GROUP BY 1
+)
+SELECT partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM val
+WHERE 1500 * value_cents > (SELECT SUM(value_cents) FROM val)
+""",
+    survey_ref=(
+        "beyond-reference: scalar-fraction HAVING over a grouped "
+        "aggregate (TPC-H Q11 shape; stock value adapted to shipped "
+        "lineitem value — the fixtures carry no partsupp)"
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value (from one region's suppliers)
+    exceeds a FIXED FRACTION of the region's total — the
+    scalar-subquery-threshold classic. Adaptation (no partsupp fixture):
+    a part's value is the cent-exact sum of extended prices shipped by
+    AMERICA suppliers, and 'important' means value > total/1500,
+    evaluated as the cross-multiplied integer inequality
+    1500·value > total so the fraction never materializes as a float.
+
+    100-TB shape: region→nation→supplier prunes via broadcasts before
+    lineitem; ONE partial-aggregating exchange on partkey builds the
+    Δ-sized value relation; the scalar total folds from the SAME
+    relation (persisted — both the scalar fold and the filter read the
+    InMemoryRelation, a second pass over |parts| rows, not over lines)
+    and broadcasts back as a 1-row frame — no corpus self-join, no
+    second lineitem scan. The oracle keeps the textbook scalar
+    subquery."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    am_nations = F.broadcast(
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    am_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(am_nations, F.col("s_nationkey") == F.col("nk"), "left_semi")
+        .select("s_suppkey")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    val = (
+        l.join(am_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+        .persist()  # feeds the scalar fold AND the filter — one build
+    )
+    total = F.broadcast(
+        val.agg(F.sum("value_cents").alias("total_cents")).limit(1)
+    )
+    out = (
+        val.crossJoin(total)
+        .filter(F.lit(1500) * F.col("value_cents") > F.col("total_cents"))
+        .select("partkey", F.col("value_cents").cast("bigint").alias("value_cents"))
+    )
+    return owns_caches(out, val)
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+SELECT l.l_linestatus AS linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+    survey_ref=(
+        "beyond-reference: CASE-sum priority bands over late shipments "
+        "(TPC-H Q12 shape; lateness adapted to ship-vs-order +60d — the "
+        "fixtures carry no shipmode/commit/receipt columns)"
+    ),
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among LATE lineitems, how many belong to
+    high-priority orders vs low — the CASE-sum banding classic that
+    checks whether slow logistics are hitting the orders that matter.
+    Adaptation (no shipmode/commitdate/receiptdate columns): 'late'
+    means shipped more than 60 days after the order date, and the group
+    key is l_linestatus. Both CASE sums are exact integers.
+
+    100-TB shape: one orderkey equi-join (the lateness predicate needs
+    both sides, so it evaluates as a join residual — nothing else
+    shuffles); both bands come from ONE conditional aggregate pass over
+    the joined fact (never two scans), collapsing to |linestatus| rows
+    under map-side combine."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH small_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+shipped AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+    SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+  FROM lineitem l
+  JOIN small_parts sp ON sp.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+dominant AS (
+  SELECT sk, COUNT(*) AS n_dominated
+  FROM shipped s
+  WHERE 2 * s.qty > (SELECT SUM(s2.qty) FROM shipped s2 WHERE s2.pk = s.pk)
+  GROUP BY sk
+)
+SELECT sup.s_name AS supplier, n.n_name AS nation,
+  CAST(d.n_dominated AS BIGINT) AS n_dominated
+FROM dominant d
+JOIN supplier sup ON sup.s_suppkey = d.sk
+JOIN nation n ON n.n_nationkey = sup.s_nationkey
+""",
+    survey_ref=(
+        "beyond-reference: suppliers holding more than half a part's "
+        "volume (TPC-H Q20 shape; availqty adapted to shipped quantity "
+        "— the fixtures carry no partsupp)"
+    ),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: which suppliers DOMINATE a 'small%' part —
+    shipped more than HALF of that part's 1996 volume — and how many
+    parts each dominates. Adaptation (no partsupp fixture): the
+    published query compares ps_availqty against half the shipped
+    quantity; here the same more-than-half correlation runs between a
+    (part, supplier)'s shipped quantity and the part's total, as the
+    exact integer inequality 2·qty > total (the half never materializes
+    as a float, so an exactly-half supplier is excluded identically on
+    both engines). The nested-subquery chain (name-filtered parts →
+    per-pair quantities → correlated per-part total → supplier rollup)
+    is the Q20 signature.
+
+    100-TB shape: the name filter semi-joins the fact before its ONE
+    partial-aggregating exchange on (partkey, suppkey); the correlated
+    total decorrelates into a window sum over the Δ-sized shipped
+    relation (partitioned by part — no self-join, no second fact pass);
+    the supplier rollup and name joins touch |suppliers| rows; the
+    25-row nation dim broadcasts."""
+    sp = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        l.join(sp, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w = Window.partitionBy("pk")
+    dominant = (
+        shipped.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.lit(2) * F.col("qty") > F.col("part_total"))
+        .groupBy("sk")
+        .agg(F.count("*").cast("bigint").alias("n_dominated"))
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nn = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        dominant.join(sup, F.col("sk") == F.col("s_suppkey"))
+        .join(nn, F.col("s_nationkey") == F.col("nk"))
+        .select(
+            F.col("s_name").alias("supplier"),
+            "nation",
+            "n_dominated",
+        )
+    )

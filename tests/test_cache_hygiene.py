@@ -57,12 +57,16 @@ _PERSISTING = [
     # persists the per-doc (doc_id, n_bigrams, ppl_key) relation (the LM
     # pipeline is expensive — histogram and verdict must not replay it)
     "q_docs_ccnet_bucket",
-    # persists the per-gram sorted source-set relation (pair explode +
-    # per-source denominators both consume it)
+    # persists the distinct (gram, source) relation AND its semi-joined
+    # 2..8-source universe (r12 two-pass build: ubiquity count, pair
+    # explode and per-source denominators all consume them)
     "q_docs_source_overlap",
     # persists the per-user (last_day, f_key, m_key) relation (reference
     # day + three histograms + scoring all derive from it)
     "q_events_rfm",
+    # persists the Δ-sized per-part value aggregate (the scalar-total fold
+    # and the fraction filter both read it; lineitem scans exactly once)
+    "q11_important_parts",
 ]
 
 

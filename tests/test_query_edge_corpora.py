@@ -2108,3 +2108,196 @@ def test_rfm_quintile_semantics(spark, tmp_path):
         assert res[k + 1]["f_score"] >= res[k]["f_score"]
         assert res[k + 1]["m_score"] >= res[k]["m_score"]
         assert res[k + 1]["r_score"] >= res[k]["r_score"]
+
+
+# --- r12: boundary pins for the TPC-H-completing family --------------------
+
+
+def _pq(spark, d, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{d}/{table}.parquet"
+    )
+
+
+def test_q2_min_offer_ties_and_region_pruning(spark, tmp_path):
+    """Q2 boundaries: two EUROPE suppliers tied on the exact integer
+    minimum unit price are BOTH emitted (the pre-LIMIT published
+    semantics); a cheaper offer from a non-EUROPE supplier never enters
+    the correlation; non-STANDARD parts are excluded; the unit price is
+    exact milli (1000*cents DIV qty — 10.00/2 and 5.00/1 both collapse
+    to 500000)."""
+    d = str(tmp_path / "q2")
+    _pq(spark, d, "region", [(3, "EUROPE"), (1, "AMERICA")],
+        "r_regionkey long, r_name string")
+    _pq(spark, d, "nation",
+        [(3, "NATION_3", 3), (1, "NATION_1", 1)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    _pq(spark, d, "supplier",
+        [(1, "s_eu_a", 10.0, 3), (2, "s_eu_b", 20.0, 3),
+         (3, "s_am", 99.0, 1)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey long")
+    _pq(spark, d, "part", [(1, "STANDARD"), (2, "PROMO")],
+        "p_partkey long, p_type string")
+    _pq(spark, d, "lineitem",
+        [(1, 1, 10.0, 2.0), (1, 1, 30.0, 3.0),  # s1 best: 500000
+         (1, 2, 5.0, 1.0),                       # s2: exact tie 500000
+         (1, 3, 0.01, 100.0),                    # cheapest, wrong region
+         (2, 1, 0.01, 100.0)],                   # cheapest, wrong type
+        "l_partkey long, l_suppkey long, l_extendedprice double,"
+        " l_quantity double")
+    rows = {
+        (r["partkey"], r["supplier"]): r
+        for r in REGISTRY["q2_min_cost_supplier"].fn(spark, d).collect()
+    }
+    assert set(rows) == {(1, "s_eu_a"), (1, "s_eu_b")}
+    for r in rows.values():
+        assert r["unit_milli"] == 500000
+        assert r["nation"] == "NATION_3"
+
+
+def test_q8_share_zero_year_and_market_scoping(spark, tmp_path):
+    """Q8 boundaries: a year where the share nation shipped nothing
+    yields exactly 0 milli (never NULL, never a missing row); volume
+    from non-ASIA customers or non-ECONOMY parts never enters either
+    sum; the share is integer-exact (100/400 -> 250)."""
+    from datetime import datetime
+
+    d = str(tmp_path / "q8")
+    _pq(spark, d, "region", [(2, "ASIA"), (1, "AMERICA")],
+        "r_regionkey long, r_name string")
+    _pq(spark, d, "nation",
+        [(2, "NATION_2", 2), (7, "NATION_7", 2), (1, "NATION_1", 1)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    _pq(spark, d, "supplier", [(1, 2), (2, 7)],
+        "s_suppkey long, s_nationkey long")
+    _pq(spark, d, "customer", [(1, 2), (2, 1)],
+        "c_custkey long, c_nationkey long")
+    _pq(spark, d, "part", [(1, "ECONOMY"), (2, "PROMO")],
+        "p_partkey long, p_type string")
+    _pq(spark, d, "orders",
+        [(10, 1, datetime(1996, 5, 1)), (11, 1, datetime(1997, 5, 1)),
+         (12, 2, datetime(1996, 6, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    _pq(spark, d, "lineitem",
+        [(10, 1, 1, 100.0, 0.0),   # 1996, NATION_2
+         (10, 1, 2, 300.0, 0.0),   # 1996, NATION_7
+         (11, 1, 2, 50.0, 0.0),    # 1997, only NATION_7 -> share 0
+         (12, 1, 1, 9999.0, 0.0),  # AMERICA customer: out of market
+         (10, 2, 1, 9999.0, 0.0)], # non-ECONOMY part: out of market
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_extendedprice double, l_discount double")
+    out = {
+        r["o_year"]: r
+        for r in REGISTRY["q8_market_share"].fn(spark, d).collect()
+    }
+    assert set(out) == {1996, 1997}
+    assert out[1996]["mkt_share_milli"] == 250  # 1000*100 // 400
+    assert out[1996]["total_volume"] == 400.0
+    assert out[1997]["mkt_share_milli"] == 0
+    assert out[1997]["nation_volume"] == 0.0
+
+
+def test_q9_negative_profit_kept_exact(spark, tmp_path):
+    """Q9 boundaries: a line whose retail-cost exceeds its discounted
+    revenue contributes NEGATIVE exact ten-thousandths (100.00 at 10%
+    off vs 200.00 cost -> -110.0000); the %gear% LIKE excludes other
+    parts entirely; rollup is per (supplier nation, order year)."""
+    from datetime import datetime
+
+    d = str(tmp_path / "q9")
+    _pq(spark, d, "nation", [(0, "NATION_0", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    _pq(spark, d, "supplier", [(1, 0)], "s_suppkey long, s_nationkey long")
+    _pq(spark, d, "part",
+        [(1, "red gear", 20.0), (2, "red gear", 200.0),
+         (3, "red widget", 0.01)],
+        "p_partkey long, p_name string, p_retailprice double")
+    _pq(spark, d, "orders", [(10, datetime(1999, 1, 1))],
+        "o_orderkey long, o_orderdate timestamp")
+    _pq(spark, d, "lineitem",
+        [(10, 1, 1, 2.0, 100.0, 0.10),   # 90 - 40 = +50.0000
+         (10, 2, 1, 1.0, 100.0, 0.10),   # 90 - 200 = -110.0000
+         (10, 3, 1, 1.0, 1000.0, 0.0)],  # widget: excluded by LIKE
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_discount double")
+    [row] = REGISTRY["q9_product_profit"].fn(spark, d).collect()
+    assert (row["nation"], row["o_year"]) == ("NATION_0", 1999)
+    assert row["profit_e4"] == (500000 - 1100000)
+
+
+def test_q11_fraction_boundary_is_strict(spark, tmp_path):
+    """Q11 boundary: 1500*value == total lands exactly ON the threshold
+    and is excluded (strict >) — pinned with cent values chosen so the
+    cross-multiplied integers are exact: A=1499.00, B=1.00, total
+    150000 cents; 1500*100 == 150000 exactly."""
+    d = str(tmp_path / "q11")
+    _pq(spark, d, "region", [(1, "AMERICA")], "r_regionkey long, r_name string")
+    _pq(spark, d, "nation", [(1, "NATION_1", 1)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    _pq(spark, d, "supplier", [(1, 1)], "s_suppkey long, s_nationkey long")
+    _pq(spark, d, "lineitem",
+        [(1, 1, 1499.0), (2, 1, 1.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double")
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["q11_important_parts"].fn(spark, d)
+    ) as df:
+        rows = {r["partkey"]: r["value_cents"] for r in df.collect()}
+    assert rows == {1: 149900}  # B sits exactly on the line -> out
+
+
+def test_q12_sixty_day_lateness_boundary(spark, tmp_path):
+    """Q12 boundary: shipped exactly +60 days is NOT late (strict >);
+    +61 days is; priority banding splits 1-URGENT/2-HIGH from the rest
+    within each linestatus."""
+    from datetime import datetime
+
+    d = str(tmp_path / "q12")
+    _pq(spark, d, "orders",
+        [(1, datetime(2024, 1, 1), "1-URGENT"),
+         (2, datetime(2024, 1, 1), "5-LOW"),
+         (3, datetime(2024, 1, 1), "2-HIGH")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string")
+    _pq(spark, d, "lineitem",
+        [(1, "O", datetime(2024, 3, 1)),   # +60 exactly: on time
+         (1, "O", datetime(2024, 3, 2)),   # +61: late, high
+         (2, "O", datetime(2024, 6, 1)),   # late, low
+         (3, "F", datetime(2024, 3, 2))],  # late, high, other status
+        "l_orderkey long, l_linestatus string, l_shipdate timestamp")
+    out = {
+        r["linestatus"]: (r["high_line_count"], r["low_line_count"])
+        for r in REGISTRY["q12_priority_shipping"].fn(spark, d).collect()
+    }
+    assert out == {"O": (1, 1), "F": (1, 0)}
+
+
+def test_q20_exact_half_excluded_and_window_scoping(spark, tmp_path):
+    """Q20 boundaries: a supplier at EXACTLY half a part's volume
+    (2*qty == total) does not dominate; quantity shipped outside the
+    1996 window never counts; the name match is a PREFIX ('small%'),
+    not a substring."""
+    from datetime import datetime
+
+    in_win = datetime(1996, 6, 1)
+    out_win = datetime(1995, 6, 1)
+    d = str(tmp_path / "q20")
+    _pq(spark, d, "nation", [(0, "NATION_0", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    _pq(spark, d, "supplier", [(1, "s1", 0), (2, "s2", 0)],
+        "s_suppkey long, s_name string, s_nationkey long")
+    _pq(spark, d, "part",
+        [(1, "small bolt"), (2, "small gear"), (3, "big small")],
+        "p_partkey long, p_name string")
+    _pq(spark, d, "lineitem",
+        [(1, 1, 6.0, in_win), (1, 2, 4.0, in_win),    # s1: 12>10 dominates
+         (2, 1, 4.0, in_win), (2, 2, 4.0, in_win),    # exact half: neither
+         (2, 1, 50.0, out_win),                        # outside the window
+         (3, 1, 99.0, in_win)],                        # 'big small': prefix miss
+        "l_partkey long, l_suppkey long, l_quantity double,"
+        " l_shipdate timestamp")
+    rows = {
+        r["supplier"]: r["n_dominated"]
+        for r in REGISTRY["q20_dominant_suppliers"].fn(spark, d).collect()
+    }
+    assert rows == {"s1": 1}
