@@ -175,6 +175,7 @@ R12_QUERIES = [
     "q11_important_parts",
     "q12_priority_shipping",
     "q20_dominant_suppliers",
+    "text_strip_gapped_spans",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

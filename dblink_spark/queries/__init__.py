@@ -521,6 +521,11 @@ _GATE_TAIL = [
     "q21_blamed_supplier",
     "q22_dormant_accounts",
     "q_orders_moving_revenue",
+    # r12: text_strip_gapped_spans (gap-tolerant substring dedup) enters
+    # the head; q10_returned_items rotates out — benched every round
+    # since r11, its TakeOrderedAndProject global-top-k physical shape
+    # plan-pinned (test_plan_audit), full result digest-covered below.
+    "q10_returned_items",
 ]
 
 

@@ -300,6 +300,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("orderkey", "i"), ("custkey", "i"), ("day_idx", "i"),
         ("trailing_30d", "f"),
     ],
+    "q10_returned_items": [
+        ("custkey", "i"), ("name", "s"), ("nation", "s"),
+        ("revenue", "f"), ("acctbal", "f"),
+    ],
 }
 
 _NULL = "<NULL>"

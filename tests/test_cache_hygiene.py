@@ -46,6 +46,8 @@ _PERSISTING = [
     "vector_outlier_filter",
     # persists the gram-occurrence relation (boiler agg + hit probe)
     "text_strip_maximal_spans",
+    # same persisted gram skeleton, gap-tolerant run-merge variant
+    "text_strip_gapped_spans",
     # persists the per-supplier revenue aggregate (max scalar + winner
     # filter both read the cache; lineitem is scanned exactly once)
     "q15_top_supplier",

@@ -1218,3 +1218,30 @@ class TestR12TpchPlans:
         import re as _re
 
         assert _re.search(r"Window", plan)
+
+    def test_gapped_spans_reuses_one_window_sort(self, spark):
+        """Gap-tolerant surgeon: identical skeleton pins as the exact
+        surgeon (persisted gram relation, (doc_id, text)-only scans,
+        zero Python, no products) and the tolerance's TWO window passes
+        (lag + running sum) share ONE doc_id sort/exchange."""
+        df = q.REGISTRY["text_strip_gapped_spans"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan, "gram relation must be cached"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        assert a.n_scans <= 2
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        )
+        # lag + sum appear as Window nodes over the same ordering — the
+        # detail section lists each once; more than 2 means a re-sort
+        # slipped in between them
+        import re as _re
+
+        win_details = _re.findall(r"\(\d+\) Window", plan)
+        assert 1 <= len(win_details) <= 2
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

@@ -116,6 +116,12 @@ _QUERIES = [
     # floor and excise fully; doc 9's long shared w0.. prefix run-merges
     # into one island; isolated shared 8-grams stay below the floor
     "text_strip_maximal_spans",
+    # gap-tolerant twin on the same corpus: the edge docs' covered runs
+    # are either contiguous or separated by >7 fresh tokens, so here it
+    # must agree with the exact-island surgeon everywhere EXCEPT where a
+    # merged span crosses the floor (the dedicated pathology test pins
+    # the bridging behavior itself)
+    "text_strip_gapped_spans",
     # end-to-end composition: NULL-lang coalesce, mostly-failing quality
     # gate, and a passing identical pair driving a nonzero closure
     "pipeline_corpus_prep",
@@ -2301,3 +2307,78 @@ def test_q20_exact_half_excluded_and_window_scoping(spark, tmp_path):
         for r in REGISTRY["q20_dominant_suppliers"].fn(spark, d).collect()
     }
     assert rows == {"s1": 1}
+
+
+def test_gapped_spans_bridge_the_edited_block(spark, tmp_path):
+    """The exact pathology text_strip_maximal_spans documents as its
+    limit: a 41-token near-duplicate block with ONE edited token in the
+    middle. The edit splits the cover into two ~20-token islands — each
+    passes the 16 floor for the EXACT surgeon, but the point here is the
+    bridge: the gapped surgeon excises the edited token TOO (one merged
+    span), while the exact surgeon leaves the edit behind. A second doc
+    pair with a 9-token gap (> tolerance 7) must NOT bridge, and two
+    sub-floor islands that only clear the floor WHEN merged pin that the
+    gate runs after the merge."""
+    from dblink_spark.queries.text import (
+        _SPAN_GAP_TOLERANCE, _SPAN_MIN_TOKENS,
+    )
+
+    assert _SPAN_GAP_TOLERANCE == 7 and _SPAN_MIN_TOKENS == 16
+
+    block = [f"lic{j}" for j in range(41)]
+    edited = list(block)
+    edited[20] = "EDITED"  # one-token edit mid-block
+    # islands: positions 1..20 and 22..41 covered; gap = 1 <= 7 -> bridge
+    #
+    # second pair: two 16-token shared runs separated by 9 fresh tokens
+    # in doc 3 (gap 9 > 7 -> no bridge; each island >= 16 -> excised
+    # separately, the 9 fresh tokens survive)
+    run_a = [f"ra{j}" for j in range(16)]
+    run_b = [f"rb{j}" for j in range(16)]
+    fresh = [f"fr{j}" for j in range(9)]
+    # third pair: two 10-token shared runs, 3-token gap in doc 5 — each
+    # island is sub-floor (10 < 16) but the merged span is 23 >= 16:
+    # ONLY the gapped surgeon removes anything
+    run_c = [f"rc{j}" for j in range(10)]
+    run_d = [f"rd{j}" for j in range(10)]
+    mid = ["m1", "m2", "m3"]
+    rows = [
+        (1, " ".join(block), "en", "s1"),
+        (2, " ".join(edited), "en", "s2"),
+        (3, " ".join(run_a + fresh + run_b), "en", "s3"),
+        (4, " ".join(run_a + ["zz1", "zz2"] + run_b), "en", "s4"),
+        (5, " ".join(run_c + mid + run_d), "en", "s5"),
+        (6, " ".join(run_c + ["qq1", "qq2", "qq3", "qq4"] + run_d), "en", "s6"),
+    ]
+    d = str(tmp_path / "gapped")
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["text_strip_maximal_spans"].fn(spark, d)
+    ) as mdf:
+        exact = {r["doc_id"]: r for r in mdf.collect()}
+    with materialized(
+        REGISTRY["text_strip_gapped_spans"].fn(spark, d)
+    ) as gdf:
+        gapped = {r["doc_id"]: r for r in gdf.collect()}
+    # doc 2: the exact surgeon keeps the edit (two islands around it);
+    # the gapped surgeon bridges it — the WHOLE 41 tokens go
+    assert "EDITED" in exact[2]["clean_text"]
+    assert exact[2]["n_removed"] == 40
+    assert gapped[2]["n_removed"] == 41 and gapped[2]["clean_text"] == ""
+    # doc 3: 9-token gap never bridges — fresh tokens survive BOTH
+    assert gapped[3]["n_removed"] == 32
+    assert gapped[3]["clean_text"] == " ".join(fresh)
+    assert exact[3]["n_removed"] == 32
+    # doc 5: sub-floor islands — exact removes NOTHING, gapped merges
+    # 10+3+10 = 23 >= 16 and removes the whole span including the gap
+    assert exact[5]["n_removed"] == 0
+    assert gapped[5]["n_removed"] == 23 and gapped[5]["clean_text"] == ""
+    # conservation holds everywhere
+    for out in (exact, gapped):
+        for r in out.values():
+            assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
