@@ -176,6 +176,7 @@ R12_QUERIES = [
     "q12_priority_shipping",
     "q20_dominant_suppliers",
     "text_strip_gapped_spans",
+    "q_events_transition_matrix",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

@@ -526,6 +526,13 @@ _GATE_TAIL = [
     # since r11, its TakeOrderedAndProject global-top-k physical shape
     # plan-pinned (test_plan_audit), full result digest-covered below.
     "q10_returned_items",
+    # r12: q_events_transition_matrix (user-journey Markov matrix) enters
+    # the head; q_events_gap_fill rotates out — benched every round since
+    # r11, its explicit-zero-fill semantics edge-pinned, its plan pinned,
+    # and its shared _dense_hourly spec stays head-gated through
+    # q_events_hourly_anomaly (same cache, same scan); full result
+    # digest-covered below.
+    "q_events_gap_fill",
 ]
 
 

@@ -304,6 +304,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("custkey", "i"), ("name", "s"), ("nation", "s"),
         ("revenue", "f"), ("acctbal", "f"),
     ],
+    "q_events_gap_fill": [
+        ("event_type", "s"), ("hr", "i"), ("n_events", "i"),
+        ("total_value", "f"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -2205,3 +2205,73 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dominated",
         )
     )
+
+
+@register(
+    "q_events_transition_matrix",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type AS to_type,
+    LAG(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+    ) AS from_type
+  FROM ev
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+  CAST(n_transitions AS BIGINT) AS n_transitions,
+  CAST((1000 * n_transitions)
+       // SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+    AS prob_milli
+FROM pairs
+""",
+    survey_ref=(
+        "beyond-reference: user-journey Markov transition matrix — the "
+        "behavioral-model substrate funnels approximate; exact integer "
+        "milli transition probabilities"
+    ),
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: for every ordered pair
+    of event types, how many times a user's NEXT event followed it, and
+    the exact integer milli transition probability (row-normalized over
+    the from-type's outgoing total — 1000·n DIV total, so rows of the
+    matrix sum to ~1000 with deterministic truncation). Consecutiveness
+    is per user, ordered by (ts_us, event_id) — the event-id tie-break
+    makes same-microsecond pairs engine-deterministic. The first event
+    of every user has no predecessor and feeds nothing.
+
+    100-TB shape: ONE corpus-sized exchange — the LAG window partitions
+    by user_id (spillable row buffer, the funnel's bot-user discipline —
+    no per-user array ever materializes in an aggregation buffer) and
+    the pair rollup partial-aggregates map-side down to a |types|²-key
+    relation; the row-normalizing total is a window over THAT tiny
+    relation, never a second pass over events. The oracle replays the
+    identical LAG/rollup pipeline."""
+    e = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.expr(
+            "(1000 * n_transitions) DIV "
+            "(SUM(n_transitions) OVER (PARTITION BY from_type))"
+        ).cast("bigint").alias("prob_milli"),
+    )

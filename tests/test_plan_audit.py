@@ -1245,3 +1245,19 @@ class TestR12TpchPlans:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_transition_matrix_one_corpus_exchange(self, spark):
+        """Transition matrix: the LAG window is the ONE corpus-sized
+        exchange (spillable buffer — the funnel's bot-user discipline,
+        no collect_list anywhere); the pair rollup and its row-normalizing
+        window run over the |types|^2 relation."""
+        df = q.REGISTRY["q_events_transition_matrix"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "collect_list" not in plan
+        assert a.python_ops == 0
+        assert a.n_scans == 1
+        # user_id lag + (from,to) rollup + from_type window = 3 exchanges,
+        # only the first corpus-sized
+        assert a.exchanges <= 3

@@ -2382,3 +2382,50 @@ def test_gapped_spans_bridge_the_edited_block(spark, tmp_path):
     for out in (exact, gapped):
         for r in out.values():
             assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+
+
+def test_transition_matrix_order_ties_and_truncation(spark, tmp_path):
+    """Transition-matrix semantics pinned by hand: consecutiveness is per
+    user ordered by (ts_us, event_id) — a same-microsecond pair resolves
+    by event id, so the B-then-A tie is deterministic; a single-event
+    user contributes nothing; self-transitions count; row normalization
+    is integer-truncating (three equal 1/3 outcomes give 333+333+333,
+    NOT a rounded 334 anywhere)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+
+    def ev(eid, uid, us, etype):
+        return (eid, base + timedelta(microseconds=us), uid, etype, 0.0, "{}")
+
+    rows = [
+        # user 1: A(10), then the same-us tie at 20 -> B(e2) before A(e3)
+        ev(1, 1, 10, "A"), ev(2, 1, 20, "B"), ev(3, 1, 20, "A"),
+        ev(4, 1, 30, "C"),
+        ev(5, 2, 10, "A"),                      # single event: no pairs
+        ev(6, 3, 5, "B"), ev(7, 3, 6, "B"),     # self-transition
+        # user 4: from-C fan-out of three equal outcomes -> 333 each
+        ev(8, 4, 1, "C"), ev(9, 4, 2, "A"), ev(10, 4, 3, "C"),
+        ev(11, 4, 4, "B"), ev(12, 4, 5, "C"), ev(13, 4, 6, "C"),
+    ]
+    d = str(tmp_path / "trans_events")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob_milli"])
+        for r in REGISTRY["q_events_transition_matrix"].fn(spark, d).collect()
+    }
+    # user1: A->B, B->A, A->C; user3: B->B; user4: C->A, A->C, C->B,
+    # B->C, C->C
+    assert out[("A", "B")] == (1, 333)   # from-A total 3 (A->B + 2x A->C)
+    assert out[("A", "C")] == (2, 666)
+    assert out[("B", "A")] == (1, 333)   # from-B total 3
+    assert out[("B", "B")] == (1, 333)
+    assert out[("B", "C")] == (1, 333)
+    assert out[("C", "A")] == (1, 333)   # from-C total 3, truncated thirds
+    assert out[("C", "B")] == (1, 333)
+    assert out[("C", "C")] == (1, 333)
+    assert len(out) == 8
