@@ -177,6 +177,7 @@ R12_QUERIES = [
     "q20_dominant_suppliers",
     "text_strip_gapped_spans",
     "q_events_transition_matrix",
+    "q_events_engagement_gini",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

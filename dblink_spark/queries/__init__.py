@@ -533,6 +533,13 @@ _GATE_TAIL = [
     # q_events_hourly_anomaly (same cache, same scan); full result
     # digest-covered below.
     "q_events_gap_fill",
+    # r12: q_events_engagement_gini (concentration audit) enters the
+    # head; q_docs_snapshot_diff rotates out — benched every round since
+    # r10, plan-pinned (incl. the no-text-crosses-an-Exchange regex),
+    # edge-covered, and its r11 companion q_docs_snapshot_drift stays
+    # head-gated on the same snapshot spec; full result digest-covered
+    # below.
+    "q_docs_snapshot_diff",
 ]
 
 

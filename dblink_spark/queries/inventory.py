@@ -308,6 +308,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "s"), ("hr", "i"), ("n_events", "i"),
         ("total_value", "f"),
     ],
+    "q_docs_snapshot_diff": [
+        ("doc_id", "i"), ("status", "s"), ("old_fp", "s"),
+        ("new_fp", "s"),
+    ],
 }
 
 _NULL = "<NULL>"

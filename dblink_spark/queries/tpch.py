@@ -2275,3 +2275,119 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SUM(n_transitions) OVER (PARTITION BY from_type))"
         ).cast("bigint").alias("prob_milli"),
     )
+
+
+#: engagement-count cap (the RFM 99999 discipline): bounds the Gini
+#: histogram's key domain by the cap, not by user cardinality, so the
+#: single-partition CDF window runs over <= 99999 buckets at ANY scale.
+_GINI_CAP = 99999
+
+
+@register(
+    "q_events_engagement_gini",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, LEAST(COUNT(*), {_GINI_CAP}) AS x
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per_user
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS t, SUM(i * x) AS rs FROM ranked
+),
+top AS (
+  SELECT COALESCE(SUM(r.x), 0) AS s_top
+  FROM ranked r, s WHERE r.i > s.n - (s.n // 10)
+)
+SELECT CAST(s.n AS BIGINT) AS n_users,
+  CAST(s.t AS BIGINT) AS total_events,
+  CAST((1000 * (2 * s.rs - (s.n + 1) * s.t)) // (s.n * s.t) AS BIGINT)
+    AS gini_milli,
+  CAST((1000 * top.s_top) // s.t AS BIGINT) AS top_decile_share_milli
+FROM s, top
+""",
+    survey_ref=(
+        "beyond-reference: engagement-concentration audit — exact integer "
+        "Gini coefficient + top-decile share over per-user event counts; "
+        "the skew report a pipeline reads before per-user sampling"
+    ),
+)
+def q_events_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is the event stream: the exact integer milli Gini
+    coefficient of per-user event counts (0 = everyone equal, ->1000 =
+    one user is the corpus) plus the share of all events held by the top
+    decile of users — the audit that tells a sampling design whether
+    per-user caps matter at all. All arithmetic is exact BIGINT: with
+    counts ascending, Gini = (2·Σi·x_i − (N+1)·T) / (N·T), rendered in
+    millis with integer DIV; the rank sum is TIE-INVARIANT (equal counts
+    contribute the same regardless of within-tie order), which is what
+    licenses the two formulations below to agree bit-for-bit. Counts cap
+    at {cap} (the RFM discipline) so the histogram domain is bounded by
+    the cap, not the user base.
+
+    100-TB shape: ONE corpus-sized exchange collapses events to the
+    per-user relation; everything after runs on the COUNT HISTOGRAM
+    (<= {cap} buckets): a bucket holding cnt users of count x at
+    cumulative offset R contributes x·cnt·(2R + cnt + 1) DIV 2 to the
+    rank sum (exact — cnt and 2R+cnt+1 have opposite parity), the
+    top-decile take is a descending-CDF partial-bucket slice, and both
+    CDF windows are single-partition over the histogram ONLY — no
+    corpus sort, no rank over users, 1-row output. The oracle keeps the
+    textbook per-user ROW_NUMBER formulation; equality IS the
+    tie-invariance proof."""
+    e = load_events_us(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.least(F.count("*"), F.lit(_GINI_CAP)).alias("x")
+    )
+    hist = per_user.groupBy("x").agg(F.count("*").alias("cnt"))
+    asc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    desc = Window.orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = hist.select(
+        "x",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(asc), F.lit(0)).alias("r_before"),
+        F.coalesce(F.sum("cnt").over(desc), F.lit(0)).alias("d_before"),
+    )
+    # per-bucket exact rank-sum contribution and the (k - d_before)-bounded
+    # top-decile take; k depends on N, so fold N/T first from the SAME
+    # histogram and broadcast the 1-row frame back
+    tot = F.broadcast(
+        hist.agg(
+            F.sum("cnt").cast("bigint").alias("n_users"),
+            F.sum(F.col("x") * F.col("cnt")).cast("bigint").alias(
+                "total_events"
+            ),
+        ).limit(1)
+    )
+    taken = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.col("cnt").cast("bigint"),
+            F.expr("n_users DIV 10") - F.col("d_before"),
+        ),
+    )
+    contrib = b.crossJoin(tot).select(
+        "n_users",
+        "total_events",
+        F.expr("x * ((cnt * (2 * r_before + cnt + 1)) DIV 2)").alias(
+            "rank_sum"
+        ),
+        (F.col("x") * taken).alias("top_take"),
+    )
+    return contrib.groupBy("n_users", "total_events").agg(
+        F.expr(
+            "CAST((1000 * (2 * SUM(rank_sum) - (n_users + 1) * total_events))"
+            " DIV (n_users * total_events) AS BIGINT)"
+        ).alias("gini_milli"),
+        F.expr(
+            "CAST((1000 * SUM(top_take)) DIV total_events AS BIGINT)"
+        ).alias("top_decile_share_milli"),
+    )
+
+
+q_events_engagement_gini.__doc__ = q_events_engagement_gini.__doc__.format(
+    cap=_GINI_CAP
+)

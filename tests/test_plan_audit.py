@@ -1261,3 +1261,18 @@ class TestR12TpchPlans:
         # user_id lag + (from,to) rollup + from_type window = 3 exchanges,
         # only the first corpus-sized
         assert a.exchanges <= 3
+
+    def test_engagement_gini_histogram_only_windows(self, spark):
+        """Gini audit: one corpus exchange (user rollup); both CDF
+        windows and the rank-sum math run over the COUNT HISTOGRAM only
+        — no rank/row_number over users, no corpus sort, 1-row output
+        via a LIMIT-bounded scalar broadcast."""
+        df = q.REGISTRY["q_events_engagement_gini"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0
+        assert "row_number" not in plan.lower(), "no per-user ranking"
+        assert a.n_scans <= 2  # events feeds user rollup (+ scalar arm)
+        # the 1-row totals crossJoin prints twice in formatted plans
+        assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2

@@ -2429,3 +2429,47 @@ def test_transition_matrix_order_ties_and_truncation(spark, tmp_path):
     assert out[("C", "B")] == (1, 333)
     assert out[("C", "C")] == (1, 333)
     assert len(out) == 8
+
+
+def test_engagement_gini_hand_computed(spark, tmp_path):
+    """Gini semantics pinned by hand on two crafted populations: perfect
+    equality gives exactly 0 (and an empty top decile when N < 10 users
+    would make k=0 — share 0, not NULL); an extreme 91-vs-nine-1s
+    population gives Gini 810 and top-decile share 910, both recomputed
+    in the comment arithmetic: ascending ranks 1..9 hold x=1, rank 10
+    holds 91 -> sum(i*x) = 45 + 910 = 955; 1000*(2*955 - 11*100) DIV
+    (10*100) = 810; k = 10 DIV 10 = 1 -> s_top = 91 -> 910."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+
+    def events_for(counts, d):
+        rows, eid = [], 0
+        for uid, n in counts.items():
+            for j in range(n):
+                rows.append(
+                    (eid, base + timedelta(seconds=eid), uid, "view",
+                     0.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(d + "/events.parquet")
+
+    d1 = str(tmp_path / "equal")
+    events_for({u: 5 for u in range(4)}, d1)
+    [r] = REGISTRY["q_events_engagement_gini"].fn(spark, d1).collect()
+    assert (r["n_users"], r["total_events"]) == (4, 20)
+    assert r["gini_milli"] == 0
+    assert r["top_decile_share_milli"] == 0  # k = 4 DIV 10 = 0 users
+
+    d2 = str(tmp_path / "skewed")
+    counts = {u: 1 for u in range(9)}
+    counts[99] = 91
+    events_for(counts, d2)
+    [r] = REGISTRY["q_events_engagement_gini"].fn(spark, d2).collect()
+    assert (r["n_users"], r["total_events"]) == (10, 100)
+    assert r["gini_milli"] == 810
+    assert r["top_decile_share_milli"] == 910
