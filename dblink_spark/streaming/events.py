@@ -424,3 +424,80 @@ def semantic_decon_stream(
         .withColumn("cosine", F.col("m.cos"))
         .drop("m", "sq")
     )
+
+
+# --- r12: user-journey transition counting at ingest -----------------------
+
+_TRANS_OUT = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("n_transitions", LongType()),
+    ]
+)
+_TRANS_STATE = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+    ]
+)
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_events_transition_matrix``'s pair-counting
+    core: per-user consecutive (from_type, to_type) transitions counted
+    at ingest via ``applyInPandasWithState`` — state is ONE row per user
+    (the last seen (type, ts_us, event_id)), so a user's chain continues
+    seamlessly across micro-batches and a 100M-event bot costs the same
+    three state fields as anyone else. Each micro-batch emits that
+    batch's per-user pair increments (append mode); the matrix rollup
+    downstream is a stateless groupBy-sum, and row normalization stays a
+    batch-side read-time step (a running denominator per from-type would
+    be cross-user state — deliberately out of the ingest path).
+
+    Ordering contract (same assumption the batch query's (ts_us,
+    event_id) sort makes explicit): WITHIN a micro-batch rows sort by
+    (ts_us, event_id) before chaining, and an event older than the
+    user's stored last is counted FROM the stored last (its true
+    predecessor already emitted) — with in-order arrival per user across
+    batches (the parquet-replay and production-log case) the stream's
+    pair multiset equals the batch query's exactly, pinned by the
+    stream==batch test."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_type, last_us, last_eid = (
+            state.get if state.exists else (None, -1, -1)
+        )
+        counts: dict[tuple[str, str], int] = {}
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
+        for etype, us, eid in zip(
+            rows["event_type"], rows["ts_us"], rows["event_id"]
+        ):
+            if last_type is not None:
+                pair = (last_type, str(etype))
+                counts[pair] = counts.get(pair, 0) + 1
+            last_type, last_us, last_eid = str(etype), int(us), int(eid)
+        state.update((last_type, last_us, last_eid))
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in ks],
+                    "to_type": [k[1] for k in ks],
+                    "n_transitions": [counts[k] for k in ks],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TRANS_OUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

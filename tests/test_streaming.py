@@ -599,3 +599,94 @@ class TestSemanticDeconStream:
         df = semantic_decon_stream(emb, evals)
         a = audit_plan(df)
         assert a.exchanges == 0 and a.python_ops == 0
+
+
+class TestTransitionStream:
+    """Streaming twin of the transition matrix's pair-counting core:
+    one 3-field state row per user, per-batch pair increments, chains
+    continuing across micro-batches."""
+
+    def test_stream_pairs_match_batch(self, spark, tmp_path):
+        """Replay the sf0.001 events through the stateful counter and
+        roll up: the pair multiset must equal the batch query's
+        n_transitions exactly (probabilities are read-time math on the
+        same counts, so equality here is equality of the matrix)."""
+        from dblink_spark.queries import REGISTRY
+        from dblink_spark.streaming.events import (
+            read_event_stream, run_to_memory_sink, transition_stream,
+        )
+
+        src = "/root/testdata/sf0.001"
+        # the fixture is a single parquet FILE; the file stream source
+        # needs a directory — restage it (values untouched)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        staged = str(tmp_path / "events.parquet")
+        spark.read.parquet(f"{src}/events.parquet").write.parquet(staged)
+        run_to_memory_sink(
+            transition_stream(read_event_stream(spark, staged)),
+            "trans_stream",
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in spark.table("trans_stream")
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n_transitions").alias("n"))
+            .collect()
+        }
+        want = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in REGISTRY["q_events_transition_matrix"]
+            .fn(spark, src)
+            .collect()
+        }
+        assert got == want
+
+    def test_chain_continues_across_micro_batches(self, spark, tmp_path):
+        """With maxFilesPerTrigger=1 and two time-ordered files, the
+        bridging transition (last event of batch 1 -> first event of
+        batch 2) must be counted — the one pair a stateless per-batch
+        pass would miss."""
+        from datetime import datetime, timedelta
+
+        from dblink_spark.streaming.events import (
+            read_event_stream, run_to_memory_sink, transition_stream,
+        )
+
+        base = datetime(2024, 1, 1)
+        d = str(tmp_path / "events2.parquet")
+
+        def write_file(rows, name):
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string",
+            ).coalesce(1).write.mode("append").parquet(d)
+
+        # file 1: A then B for user 7
+        write_file(
+            [(1, base + timedelta(seconds=1), 7, "A", 0.0, "{}"),
+             (2, base + timedelta(seconds=2), 7, "B", 0.0, "{}")],
+            "f1",
+        )
+        # file 2 (later events): C then A
+        write_file(
+            [(3, base + timedelta(seconds=3), 7, "C", 0.0, "{}"),
+             (4, base + timedelta(seconds=4), 7, "A", 0.0, "{}")],
+            "f2",
+        )
+        run_to_memory_sink(
+            transition_stream(
+                read_event_stream(spark, d, max_files_per_trigger=1)
+            ),
+            "trans_stream_mb",
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in spark.table("trans_stream_mb")
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n_transitions").alias("n"))
+            .collect()
+        }
+        # A->B within a batch; B->C ONLY if state bridges the batch
+        # boundary; C->A within the second batch
+        assert got == {("A", "B"): 1, ("B", "C"): 1, ("C", "A"): 1}
