@@ -178,6 +178,7 @@ R12_QUERIES = [
     "text_strip_gapped_spans",
     "q_events_transition_matrix",
     "q_events_engagement_gini",
+    "text_cdc_chunks",
 ]
 
 # Gate infrastructure (NOT pipeline queries): timed and reported as

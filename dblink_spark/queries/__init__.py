@@ -540,6 +540,12 @@ _GATE_TAIL = [
     # head-gated on the same snapshot spec; full result digest-covered
     # below.
     "q_docs_snapshot_diff",
+    # r12: text_cdc_chunks (content-defined chunking) enters the head;
+    # q_docs_training_order rotates out — benched every round since r10,
+    # its partition-invariance pinned by the 13-way repartition test and
+    # its single-sorted-exchange plan pinned; full result digest-covered
+    # below.
+    "q_docs_training_order",
 ]
 
 

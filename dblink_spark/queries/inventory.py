@@ -312,6 +312,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("status", "s"), ("old_fp", "s"),
         ("new_fp", "s"),
     ],
+    "q_docs_training_order": [
+        ("shard_id", "i"), ("pos", "i"), ("doc_id", "i"),
+        ("ord_key", "s"),
+    ],
 }
 
 _NULL = "<NULL>"

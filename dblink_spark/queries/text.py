@@ -2155,3 +2155,198 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return owns_caches(out, gs, uni)
+
+
+# --- r12: content-defined chunking (shift-resistant dedup substrate) -------
+#
+# Fixed-grid chunking (text_chunk_windows) breaks on INSERTION: one token
+# prepended to a document shifts every window boundary, so two
+# 99%-identical documents share ~zero fixed chunks. Content-defined
+# chunking (the Rabin/LBFS/FastCDC family) cuts where a rolling hash of
+# the LOCAL window hits a pattern — boundaries are functions of nearby
+# content only, so an edit perturbs at most the chunks it touches and
+# everything downstream re-aligns. The polynomial hash over a 4-token
+# window is exact BIGINT (28-bit token ints, base 31 — max value ~2^45,
+# no modulus anywhere), and a position cuts when the hash is divisible by
+# 64 (expected chunk ~64 tokens).
+_CDC_WINDOW = 4
+_CDC_BASE = 31
+_CDC_MASK = 64
+
+
+@register(
+    "text_cdc_chunks",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+ints AS (
+  SELECT doc_id, t, len(t) AS n,
+    list_transform(t, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS c
+  FROM tok
+),
+cuts AS (
+  SELECT doc_id, t, n,
+    list_sort(list_distinct(
+      [0] || list_transform(
+        list_filter(
+          CASE WHEN n >= {_CDC_WINDOW}
+               THEN range(1, n - {_CDC_WINDOW} + 2) ELSE [] END,
+          i -> (c[i] * {_CDC_BASE ** 3} + c[i + 1] * {_CDC_BASE ** 2}
+                + c[i + 2] * {_CDC_BASE} + c[i + 3]) % {_CDC_MASK} = 0
+        ),
+        i -> i + {_CDC_WINDOW} - 1
+      ) || [n]
+    )) AS b
+  FROM ints
+),
+chunks AS (
+  SELECT doc_id, n,
+    md5(array_to_string(t[b[j] + 1 : b[j + 1]], ' ')) AS fp
+  FROM cuts, UNNEST(range(1, len(b))) AS u(j)
+),
+shared AS (
+  SELECT fp FROM chunks GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id, CAST(MAX(c.n) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  CAST((1000 * SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END))
+       // COUNT(*) AS BIGINT) AS dup_milli
+FROM chunks c LEFT JOIN shared s ON s.fp = c.fp
+GROUP BY c.doc_id
+""",
+    survey_ref=(
+        "beyond-reference: content-defined chunking (Rabin/FastCDC "
+        "family) — shift-resistant chunk fingerprints; the dedup "
+        "substrate fixed-grid windows (text_chunk_windows) cannot be"
+    ),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: each document splits at positions where
+    the exact polynomial hash of the local {w}-token window is divisible
+    by {mask} (expected chunk ~{mask} tokens), each chunk gets an md5
+    fingerprint, and the per-doc report counts chunks whose fingerprint
+    recurs in at least one OTHER document —
+    ``(doc_id, n_tokens, n_chunks, n_dup_chunks, dup_milli)``. Because
+    boundaries depend on nearby content only, an insertion re-aligns
+    instead of shifting every boundary: the edge suite pins that a
+    one-token prepend leaves most chunks shared where the fixed grid
+    shares none — the property that makes CDC the dedup substrate for
+    storage and crawl pipelines. Sub-{w}-token documents form one chunk.
+
+    100-TB shape: the whole chunk build is ROW-LOCAL higher-order-
+    function work (token ints from one md5 each, per-position hashes,
+    filter, slice — no explode before the chunk relation, no Python);
+    the only corpus-sized exchanges are the chunk-fingerprint rollup
+    (map-side combining on fp) and the verdict join back to the Δ-sized
+    per-doc chunk relation. The hash is pure BIGINT (max ~2^45 — no
+    modulus, no overflow, bit-identical across engines by
+    construction)."""
+    d = load(spark, sf_dir, "documents")
+    w, b3, b2, b1 = (
+        _CDC_WINDOW,
+        _CDC_BASE ** 3,
+        _CDC_BASE ** 2,
+        _CDC_BASE,
+    )
+    # STAGED columns: each array (tokens, token ints, boundaries) is
+    # computed ONCE per row and referenced by name — inlining the `c`
+    # transform into the four element_at calls per position would make
+    # the hash pass O(n^2) md5 work per document (measured: 50s vs ~2s
+    # at sf0.001)
+    staged = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn("c", F.transform("toks", lambda t: _cdc_tok_int(t)))
+    )
+    pos = F.when(
+        F.col("n") >= w, F.sequence(F.lit(1), F.col("n") - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cc = F.col("c")
+
+    def _h(i):
+        return (
+            F.element_at(cc, i) * b3
+            + F.element_at(cc, i + 1) * b2
+            + F.element_at(cc, i + 2) * b1
+            + F.element_at(cc, i + 3)
+        )
+
+    cut_after = F.transform(
+        F.filter(pos, lambda i: _h(i) % _CDC_MASK == 0),
+        lambda i: i + w - 1,
+    )
+    staged = staged.withColumn(
+        "b",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.lit(0)), cut_after.cast("array<int>"),
+                    F.array(F.col("n")),
+                )
+            )
+        ),
+    )
+    bounds = F.col("b")
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.element_at(bounds, j) + 1,
+                    F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                ),
+            )
+        ),
+    )
+    per_doc = (
+        staged.select(
+            "doc_id", F.col("n").alias("n_tokens"), F.explode(fps).alias("fp")
+        )
+        .persist()
+    )
+    shared = (
+        per_doc.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(True).alias("is_dup"))
+    )
+    out = (
+        per_doc.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("is_dup"), 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("(1000 * n_dup_chunks) DIV n_chunks").cast("bigint").alias(
+                "dup_milli"
+            ),
+        )
+    )
+    return owns_caches(out, per_doc)
+
+
+def _cdc_tok_int(t):
+    """28-bit integer per token from its md5's first 7 hex chars — small
+    enough that the 4-term base-31 polynomial stays ~2^45 (exact BIGINT,
+    no modulus)."""
+    return F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+
+
+text_cdc_chunks.__doc__ = text_cdc_chunks.__doc__.format(
+    w=_CDC_WINDOW, mask=_CDC_MASK
+)

@@ -69,6 +69,9 @@ _PERSISTING = [
     # persists the Δ-sized per-part value aggregate (the scalar-total fold
     # and the fraction filter both read it; lineitem scans exactly once)
     "q11_important_parts",
+    # persists the per-doc chunk-fingerprint relation (fp rollup + verdict
+    # join both read it; the row-local chunk build runs once)
+    "text_cdc_chunks",
 ]
 
 

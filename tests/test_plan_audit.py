@@ -1276,3 +1276,23 @@ class TestR12TpchPlans:
         assert a.n_scans <= 2  # events feeds user rollup (+ scalar arm)
         # the 1-row totals crossJoin prints twice in formatted plans
         assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_cdc_chunks_row_local_build(self, spark):
+        """CDC chunking: the whole boundary/fingerprint build is
+        row-local higher-order-function work over STAGED array columns
+        (no Python, no pre-chunk explode); the persisted chunk relation
+        feeds the fp rollup AND the verdict join (one build)."""
+        df = q.REGISTRY["text_cdc_chunks"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        a = audit_plan(df)
+        assert "CartesianProduct" not in plan
+        assert a.python_ops == 0
+        assert "InMemoryTableScan" in plan, "chunk relation must be cached"
+        assert a.n_scans <= 1
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        )
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

@@ -2473,3 +2473,53 @@ def test_engagement_gini_hand_computed(spark, tmp_path):
     assert (r["n_users"], r["total_events"]) == (10, 100)
     assert r["gini_milli"] == 810
     assert r["top_decile_share_milli"] == 910
+
+
+def test_cdc_chunks_shift_resistance(spark, tmp_path):
+    """THE content-defined-chunking property: doc B is doc A with one
+    token PREPENDED. Fixed-grid chunking shares nothing (every window
+    shifts by one), but CDC boundaries are functions of the local 4-token
+    window, so after the first cut the two docs produce IDENTICAL chunks
+    — the report must show both docs sharing most of their chunks. A
+    third, unrelated doc shares none; sub-4-token docs form exactly one
+    chunk; conservation n_dup_chunks <= n_chunks holds."""
+    import random
+
+    rng = random.Random(42)
+    base_tokens = [f"t{rng.randrange(10**6)}" for _ in range(600)]
+    a = " ".join(base_tokens)
+    b = "PREPENDED " + a
+    other = " ".join(f"z{j}" for j in range(50))
+    tiny = "x1 x2 x3"
+    rows = [(1, a, "en", "s1"), (2, b, "en", "s2"),
+            (3, other, "en", "s3"), (4, tiny, "en", "s4")]
+    d = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(REGISTRY["text_cdc_chunks"].fn(spark, d)) as df:
+        out = {r["doc_id"]: r for r in df.collect()}
+    # the 600-token doc should cut into several ~64-token chunks
+    assert out[1]["n_chunks"] >= 4
+    # shift resistance: all but the first chunk of each doc re-align ->
+    # both docs share the overwhelming majority of their chunks
+    for i in (1, 2):
+        assert out[i]["n_dup_chunks"] >= out[i]["n_chunks"] - 2, out[i]
+        assert out[i]["dup_milli"] >= 500
+    # and the CONTRAST: the fixed 128/96 grid on the same pair shares 0
+    # windows (every boundary shifted by the prepend)
+    grid = REGISTRY["text_chunk_windows"].fn(spark, d)
+    fps = (
+        grid.groupBy("chunk_text")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .count()
+    )
+    assert fps == 0, "fixed grid must NOT re-align (that's the point)"
+    assert out[3]["n_dup_chunks"] == 0
+    assert out[4]["n_chunks"] == 1 and out[4]["n_tokens"] == 3
+    for r in out.values():
+        assert r["n_dup_chunks"] <= r["n_chunks"]
