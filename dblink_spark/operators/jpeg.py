@@ -131,14 +131,38 @@ def _jpeg_codec() -> tuple:
             return v
 
         def align_and_skip_restart(self) -> None:
-            """Consume the RSTn marker at a restart boundary and resync."""
-            self.bit = 0
-            # the unstuffed reader stopped with pos AT the 0xFF of RSTn
-            assert self.buf[self.pos] == 0xFF
-            self.pos += 2
+            """Consume the RSTn marker at a restart boundary and resync.
 
-    class _MarkerHit(Exception):
+            Spec B.1.1.2 allows any number of 0xFF fill bytes before a
+            marker; scan past them, verify the marker byte is genuinely
+            RST0..RST7 (0xD0-0xD7), and raise a named ValueError on
+            anything else — never assert (asserts vanish under -O and
+            would turn a malformed stream into silent corruption)."""
+            self.bit = 0
+            pos = self.pos
+            if pos >= len(self.buf) or self.buf[pos] != 0xFF:
+                raise ValueError(
+                    "restart boundary desync: entropy data where RSTn "
+                    "marker expected"
+                )
+            while pos + 1 < len(self.buf) and self.buf[pos + 1] == 0xFF:
+                pos += 1  # fill byte (spec-legal padding before markers)
+            if pos + 1 >= len(self.buf) or not (
+                0xD0 <= self.buf[pos + 1] <= 0xD7
+            ):
+                raise ValueError(
+                    "restart boundary desync: marker is not RST0-RST7"
+                )
+            self.pos = pos + 2
+
+    class _MarkerHit(ValueError):
+        """Non-stuffing marker hit mid-entropy-decode. A ValueError
+        subclass so malformed streams surface through the same named
+        channel as every other decode failure (and can be caught by the
+        kernels' fake-codec fallback)."""
+
         def __init__(self, marker: int):
+            super().__init__(f"unexpected marker 0x{marker:02x} in scan")
             self.marker = marker
 
     def _decode_sym(br, table) -> int:
@@ -374,13 +398,40 @@ def _jpeg_codec() -> tuple:
         return frame, coeffs
 
     def looks_like_jpeg(buf: bytes) -> bool:
-        """Strict sniff (mirrors `looks_like_bmp`): SOI+marker prefix,
-        EOI suffix — no text or other codec's payload can satisfy both."""
-        return (
+        """Strict sniff (mirrors `looks_like_bmp`'s validate-don't-guess
+        discipline): SOI+marker prefix and EOI suffix, THEN a cheap
+        length-prefixed marker walk to the frame header — True only for
+        a baseline SOF0/SOF1 frame, the one shape `jpeg_decode` supports.
+        Progressive (SOF2), arithmetic (SOF9-SOFB), hierarchical, and
+        desynced streams sniff False so mixed corpora route them to the
+        deterministic fake instead of raising inside an executor
+        (ADVICE r12)."""
+        if not (
             len(buf) >= 4
             and buf[:3] == b"\xff\xd8\xff"
             and buf[-2:] == b"\xff\xd9"
-        )
+        ):
+            return False
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                return False  # marker desync
+            marker = buf[pos + 1]
+            if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+                pos += 1
+                continue
+            if marker in (0xC0, 0xC1):  # baseline / extended sequential
+                return True
+            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                          0xCB, 0xCD, 0xCE, 0xCF):
+                return False  # progressive/arithmetic/lossless frame
+            if marker in (0xDA, 0xD9):  # SOS/EOI before any SOF
+                return False
+            seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                return False
+            pos += 2 + seg_len
+        return False
 
     return jpeg_decode, looks_like_jpeg, jpeg_decode_coeffs
 

@@ -263,11 +263,19 @@ def bmp_resize_codec() -> Callable[[bytes, int, int], np.ndarray]:
     jpg_decode, jpg_sniff, _ = _jpeg_codec()
 
     def codec(buf: bytes, width: int, height: int) -> np.ndarray:
-        if sniff(buf):
-            px = decode(buf)
-        elif jpg_sniff(buf):
-            px = jpg_decode(buf)
-        else:
+        # defense-in-depth (ADVICE r12): the sniffs validate structure
+        # up front (BMP: bpp/compression; JPEG: baseline SOF marker walk),
+        # and any residual malformation that still raises a named
+        # ValueError inside the decoder falls back to the deterministic
+        # fake instead of failing the whole Spark job
+        try:
+            if sniff(buf):
+                px = decode(buf)
+            elif jpg_sniff(buf):
+                px = jpg_decode(buf)
+            else:
+                return fake(buf, width, height)
+        except ValueError:
             return fake(buf, width, height)
         if px.ndim == 3:
             px = (px.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
@@ -346,18 +354,24 @@ def decode_media(
                 ends = np.cumsum(lens)
                 sums = cs[ends] - cs[ends - lens]
                 for i, b in enumerate(bufs):
-                    if _bmp_sniff(b):
-                        sig = _bmp_dec(b).astype(np.int64, copy=False).ravel()
-                        lens[i] = sig.size
-                        sums[i] = int(sig.sum())
-                    elif _wav_sniff(b):
-                        sig = _wav_dec(b).astype(np.int64, copy=False).ravel()
-                        lens[i] = sig.size
-                        sums[i] = int(sig.sum())
-                    elif _jpg_sniff(b):
-                        sig = _jpg_dec(b).astype(np.int64, copy=False).ravel()
-                        lens[i] = sig.size
-                        sums[i] = int(sig.sum())
+                    # a payload whose sniff passes but whose decode still
+                    # raises a named ValueError keeps its already-computed
+                    # fake byte-stats (ADVICE r12: never fail the job on
+                    # one malformed payload)
+                    try:
+                        if _bmp_sniff(b):
+                            sig = _bmp_dec(b)
+                        elif _wav_sniff(b):
+                            sig = _wav_dec(b)
+                        elif _jpg_sniff(b):
+                            sig = _jpg_dec(b)
+                        else:
+                            continue
+                    except ValueError:
+                        continue
+                    sig = sig.astype(np.int64, copy=False).ravel()
+                    lens[i] = sig.size
+                    sums[i] = int(sig.sum())
                 means = np.divide(
                     sums, lens, out=np.zeros(len(bufs)), where=lens > 0
                 )

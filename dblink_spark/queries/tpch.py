@@ -2282,6 +2282,18 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: single-partition CDF window runs over <= 99999 buckets at ANY scale.
 _GINI_CAP = 99999
 
+#: per-bucket exact rank-sum contribution x·cnt·(2R+cnt+1)/2 in
+#: DECIMAL(38,0) (ADVICE r12: the BIGINT form wraps near 10^19). The /2
+#: is exact: cnt and 2R+cnt+1 have opposite parity, so halve whichever
+#: is even while still comfortably in BIGINT, then promote to decimal
+#: BEFORE the wide multiplies. Module-level so the overflow-regime test
+#: pins this exact production expression at 10^9-user magnitudes.
+_GINI_RANK_SUM_EXPR = (
+    "CAST(x AS DECIMAL(38,0)) * IF(cnt % 2 = 0,"
+    " CAST(cnt DIV 2 AS DECIMAL(38,0)) * (2 * r_before + cnt + 1),"
+    " CAST(cnt AS DECIMAL(38,0)) * ((2 * r_before + cnt + 1) DIV 2))"
+)
+
 
 @register(
     "q_events_engagement_gini",
@@ -2318,9 +2330,11 @@ def q_events_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient of per-user event counts (0 = everyone equal, ->1000 =
     one user is the corpus) plus the share of all events held by the top
     decile of users — the audit that tells a sampling design whether
-    per-user caps matter at all. All arithmetic is exact BIGINT: with
-    counts ascending, Gini = (2·Σi·x_i − (N+1)·T) / (N·T), rendered in
-    millis with integer DIV; the rank sum is TIE-INVARIANT (equal counts
+    per-user caps matter at all. All arithmetic is exact — BIGINT while
+    in range, DECIMAL(38,0) for the rank-sum products that pass ~10^19
+    (exact up to n_users·cap ~ 10^38): with counts ascending,
+    Gini = (2·Σi·x_i − (N+1)·T) / (N·T), rendered in millis with
+    integer DIV; the rank sum is TIE-INVARIANT (equal counts
     contribute the same regardless of within-tie order), which is what
     licenses the two formulations below to agree bit-for-bit. Counts cap
     at {cap} (the RFM discipline) so the histogram domain is bounded by
@@ -2369,18 +2383,25 @@ def q_events_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_users DIV 10") - F.col("d_before"),
         ),
     )
+    # The rank-sum contribution x·cnt·(2R+cnt+1)/2 reaches ~10^23 for
+    # 10^9 users near the count cap — past BIGINT (ADVICE r12). All
+    # wide products run in DECIMAL(38,0): the /2 stays EXACT by halving
+    # whichever of cnt / (2R+cnt+1) is even (they have opposite parity)
+    # while still in BIGINT range, and every overflow-capable multiply
+    # promotes to decimal first. The final DIVs are decimal-safe because
+    # their QUOTIENTS are millis (≤1000); exactness now holds for any
+    # n_users·cap product under 10^38.
     contrib = b.crossJoin(tot).select(
         "n_users",
         "total_events",
-        F.expr("x * ((cnt * (2 * r_before + cnt + 1)) DIV 2)").alias(
-            "rank_sum"
-        ),
-        (F.col("x") * taken).alias("top_take"),
+        F.expr(_GINI_RANK_SUM_EXPR).alias("rank_sum"),
+        (F.col("x").cast("decimal(38,0)") * taken).alias("top_take"),
     )
     return contrib.groupBy("n_users", "total_events").agg(
         F.expr(
-            "CAST((1000 * (2 * SUM(rank_sum) - (n_users + 1) * total_events))"
-            " DIV (n_users * total_events) AS BIGINT)"
+            "CAST((1000 * (2 * SUM(rank_sum)"
+            " - (CAST(n_users AS DECIMAL(38,0)) + 1) * total_events))"
+            " DIV (CAST(n_users AS DECIMAL(38,0)) * total_events) AS BIGINT)"
         ).alias("gini_milli"),
         F.expr(
             "CAST((1000 * SUM(top_take)) DIV total_events AS BIGINT)"

@@ -463,7 +463,18 @@ def transition_stream(events: DataFrame) -> DataFrame:
     predecessor already emitted) — with in-order arrival per user across
     batches (the parquet-replay and production-log case) the stream's
     pair multiset equals the batch query's exactly, pinned by the
-    stream==batch test."""
+    stream==batch test.
+
+    The stored (last_us, last_eid) make violations of that contract
+    OBSERVABLE (ADVICE r12): each micro-batch counts this user's events
+    that arrive strictly older than the stored last and, when nonzero,
+    emits one diagnostic row ``(NULL, NULL, n_violations)`` alongside
+    the pair increments — NULL can never collide with a real event type
+    (a transition always has both types), in-order streams emit no such
+    row (bit-identical output to the pre-diagnostic contract), and the
+    downstream groupBy-sum rollup keeps the diagnostic separate for
+    free. The adversarial cross-batch test pins both the diagnostic and
+    the documented count-from-stored-last chaining."""
 
     def update(
         key: tuple[Any, ...],
@@ -476,6 +487,16 @@ def transition_stream(events: DataFrame) -> DataFrame:
         counts: dict[tuple[str, str], int] = {}
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
+        n_ooo = 0
+        if last_type is not None:
+            us_v = rows["ts_us"].to_numpy()
+            eid_v = rows["event_id"].to_numpy()
+            n_ooo = int(
+                (
+                    (us_v < last_us)
+                    | ((us_v == last_us) & (eid_v < last_eid))
+                ).sum()
+            )
         for etype, us, eid in zip(
             rows["event_type"], rows["ts_us"], rows["event_id"]
         ):
@@ -484,15 +505,30 @@ def transition_stream(events: DataFrame) -> DataFrame:
                 counts[pair] = counts.get(pair, 0) + 1
             last_type, last_us, last_eid = str(etype), int(us), int(eid)
         state.update((last_type, last_us, last_eid))
-        if counts:
+        if counts or n_ooo:
             ks = sorted(counts)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "from_type": [k[0] for k in ks],
                     "to_type": [k[1] for k in ks],
                     "n_transitions": [counts[k] for k in ks],
                 }
             )
+            if n_ooo:
+                out = pd.concat(
+                    [
+                        out,
+                        pd.DataFrame(
+                            {
+                                "from_type": [None],
+                                "to_type": [None],
+                                "n_transitions": [n_ooo],
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

@@ -850,6 +850,73 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="progressive"):
             jpeg_decode(bytes(buf))
 
+    def test_sniff_rejects_unsupported_frames(self):
+        """ADVICE r12: the sniff itself walks to the SOF marker, so
+        progressive (SOF2) and arithmetic (SOF9) frames — which
+        jpeg_decode would reject with a ValueError — never sniff True in
+        the first place."""
+        from dblink_spark.operators.jpeg import (
+            _looks_like_jpeg, jpeg_encode_baseline,
+        )
+
+        base = bytearray(jpeg_encode_baseline(np.full((8, 8), 9, np.uint8)))
+        i = bytes(base).find(b"\xff\xc0")
+        assert _looks_like_jpeg(bytes(base))
+        for sof in (0xC2, 0xC9, 0xCA):  # progressive, arith-seq, arith-prog
+            mutated = bytearray(base)
+            mutated[i + 1] = sof
+            assert not _looks_like_jpeg(bytes(mutated))
+
+    def test_unsupported_jpeg_falls_back_in_kernels(self, spark):
+        """A sniffed-but-unsupported stream must NOT fail the Spark job:
+        a progressive payload routes to the deterministic fake in both
+        decode_media and the resize codec (ADVICE r12 medium)."""
+        from dblink_spark.operators.jpeg import jpeg_encode_baseline
+        from dblink_spark.operators.multimodal import (
+            _fake_resize_codec, bmp_resize_codec,
+        )
+
+        prog = bytearray(jpeg_encode_baseline(np.full((9, 9), 42, np.uint8)))
+        prog[bytes(prog).find(b"\xff\xc0") + 1] = 0xC2
+        prog = bytes(prog)
+
+        # resize codec: identical to the fake on the unsupported payload
+        assert (
+            bmp_resize_codec()(prog, 8, 8)
+            == _fake_resize_codec()(prog, 8, 8)
+        ).all()
+
+        df = spark.createDataFrame(
+            [(0, bytearray(prog), ("image",))],
+            "doc_id: long, media: binary, media_meta: struct<media_type: string>",
+        )
+        row = decode_media(df).collect()[0]
+        assert row["n_samples"] == len(prog)       # fake byte-stats
+        assert row["byte_sum"] == sum(prog)
+
+    def test_restart_fill_bytes_resync(self):
+        """Spec B.1.1.2 allows 0xFF fill bytes before any marker; a fill
+        byte injected before an RSTn must decode identically, and a
+        corrupted restart marker must raise a NAMED ValueError (never an
+        assert, which vanishes under -O)."""
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode, jpeg_encode_baseline,
+        )
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        buf = jpeg_encode_baseline(img, restart_interval=2)
+        sos = buf.find(b"\xff\xda")
+        rst = buf.find(b"\xff\xd0", sos)
+        assert rst > 0
+        padded = buf[:rst] + b"\xff" + buf[rst:]
+        assert (jpeg_decode(padded) == jpeg_decode(buf)).all()
+
+        broken = bytearray(buf)
+        broken[rst + 1] = 0x3A  # not a restart marker
+        with pytest.raises(ValueError, match="restart|marker"):
+            jpeg_decode(bytes(broken))
+
     def test_decode_media_routes_real_jpeg(self, spark):
         """End-to-end through the Spark mapInPandas kernel IN-CONTAINER —
         the executable replacement for the PIL-gated skip: JPEG payloads

@@ -2475,6 +2475,47 @@ def test_engagement_gini_hand_computed(spark, tmp_path):
     assert r["top_decile_share_milli"] == 910
 
 
+def test_engagement_gini_rank_sum_exact_past_bigint(spark):
+    """ADVICE r12: the per-bucket rank-sum x·cnt·(2R+cnt+1)/2 wraps
+    BIGINT (~9.2e18) around 10^9 users near the 99999 count cap. Pin the
+    PRODUCTION expression (imported, not copied) against Python bignum
+    arithmetic in exactly that regime — both parities of cnt, plus the
+    downstream milli-Gini DIV on the decimal aggregate."""
+    from dblink_spark.queries.tpch import _GINI_CAP, _GINI_RANK_SUM_EXPR
+
+    cases = [  # (x, cnt, r_before) — all products far past BIGINT
+        (_GINI_CAP, 10**9, 10**9),          # even cnt
+        (_GINI_CAP, 10**9 + 1, 10**9 - 1),  # odd cnt
+        (_GINI_CAP - 2, 3, 2 * 10**18),     # huge r_before, odd cnt
+        (1, 1, 0),                          # degenerate small bucket
+    ]
+    df = spark.createDataFrame(
+        cases, "x bigint, cnt bigint, r_before bigint"
+    ).selectExpr(f"{_GINI_RANK_SUM_EXPR} AS rank_sum")
+    got = [int(r["rank_sum"]) for r in df.collect()]
+    want = [x * (cnt * (2 * r + cnt + 1)) // 2 for x, cnt, r in cases]
+    assert got == want
+    assert max(want) > 2**63  # the regime genuinely exceeds BIGINT
+
+    # the final milli ratio: quotient fits BIGINT even though both
+    # operands are ~10^23-digit decimals
+    n_users, total = 10**9, 10**9 * _GINI_CAP
+    s = sum(want)
+    [row] = spark.createDataFrame(
+        [(str(s), n_users, str(total))], "s string, n bigint, t string"
+    ).selectExpr(
+        "CAST((1000 * (2 * CAST(s AS DECIMAL(38,0))"
+        " - (CAST(n AS DECIMAL(38,0)) + 1) * CAST(t AS DECIMAL(38,0))))"
+        " DIV (CAST(n AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))"
+        " AS BIGINT) AS g"
+    ).collect()
+    # DIV truncates toward zero; mirror that exactly in bignum space
+    num = 1000 * (2 * s - (n_users + 1) * total)
+    den = n_users * total
+    want_g = -((-num) // den) if num < 0 else num // den
+    assert int(row["g"]) == want_g
+
+
 def test_cdc_chunks_shift_resistance(spark, tmp_path):
     """THE content-defined-chunking property: doc B is doc A with one
     token PREPENDED. Fixed-grid chunking shares nothing (every window

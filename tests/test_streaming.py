@@ -690,3 +690,57 @@ class TestTransitionStream:
         # A->B within a batch; B->C ONLY if state bridges the batch
         # boundary; C->A within the second batch
         assert got == {("A", "B"): 1, ("B", "C"): 1, ("C", "A"): 1}
+
+    def test_cross_batch_out_of_order_is_observable(self, spark, tmp_path):
+        """VERDICT r12 task 7 + ADVICE: a user's event arriving in a
+        LATER micro-batch with an EARLIER timestamp than the stored last.
+        Pins BOTH documented behaviors: (a) the event chains from the
+        stored last (its true predecessor already emitted — count-from-
+        stored-last, so the pair multiset is (A,B) then (B,C) even though
+        C is temporally first), and (b) the contract violation is
+        OBSERVABLE as a (NULL, NULL, n) diagnostic row fed by the stored
+        (last_us, last_eid) — in-order streams never emit it (the
+        stream==batch equality test above would fail on any NULL key)."""
+        from datetime import datetime, timedelta
+
+        from dblink_spark.streaming.events import (
+            read_event_stream, run_to_memory_sink, transition_stream,
+        )
+
+        base = datetime(2024, 1, 1)
+        d = str(tmp_path / "events3.parquet")
+
+        def write_file(rows):
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string",
+            ).coalesce(1).write.mode("append").parquet(d)
+
+        # batch 1: A (t+10s) then B (t+20s) for user 7
+        write_file(
+            [(10, base + timedelta(seconds=10), 7, "A", 0.0, "{}"),
+             (11, base + timedelta(seconds=20), 7, "B", 0.0, "{}")],
+        )
+        # batch 2: C arrives LATE with ts t+5s — older than stored last
+        write_file(
+            [(12, base + timedelta(seconds=5), 7, "C", 0.0, "{}")],
+        )
+        run_to_memory_sink(
+            transition_stream(
+                read_event_stream(spark, d, max_files_per_trigger=1)
+            ),
+            "trans_stream_ooo",
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in spark.table("trans_stream_ooo")
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n_transitions").alias("n"))
+            .collect()
+        }
+        assert got == {
+            ("A", "B"): 1,
+            ("B", "C"): 1,           # chained from stored last (documented)
+            (None, None): 1,         # the violation, counted and visible
+        }
