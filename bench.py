@@ -324,6 +324,12 @@ def main() -> None:
         "from all query totals (it re-times 21 queries already timed "
         "individually); dedup_bottomk_jaccard / dedup_survivors baselines "
         "re-based to honest-cold r7 medians (rebased_baselines key)",
+        "r13: dedup_minhash_lsh isolated re-time (VERDICT r12 task 5): "
+        "warm median 1.202s raw / 1.006s canary-normalized over 5 reps in "
+        "an isolated session — the ~2x vs r1's 0.453s is REAL and is the "
+        "exact-Jaccard verify stage + hot-bucket occupancy caps r1 lacked "
+        "(bought correctness: r1 emitted unverified band-collision pairs); "
+        "plan re-read this round, no redundant exchange to recover",
     ]
     try:
         med, spread, windows = mcmc_iters_per_sec(spark)
@@ -350,6 +356,14 @@ def main() -> None:
         out.update(paper_scale_spark_path(spark))
     except Exception as e:
         print(f"# paper-scale bench skipped: {e}", file=sys.stderr)
+    try:
+        out.update(er_iteration_floor_breakdown(spark))
+    except Exception as e:
+        print(f"# iter-floor breakdown skipped: {e}", file=sys.stderr)
+    try:
+        out.update(pair_table_amortization(spark, sf_dir))
+    except Exception as e:
+        print(f"# pair-table amortization probe skipped: {e}", file=sys.stderr)
     try:
         out.update(er_1m_partition_scaling(spark))
     except Exception as e:
@@ -486,9 +500,18 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_paper_spark_4part_iters_per_sec",
         "er_paper_spark_1part_spread",
         "er_paper_spark_4part_spread",
+        "pairtable_build_save_sec",
+        "pairtable_consumers_total_sec",
+        "er_iterfloor_plan_sec",
+        "er_iterfloor_job_sec",
+        "er_iterfloor_python_job_floor_sec",
+        "er_iterfloor_jvm_job_floor_sec",
         "er_1m_8part_sec_per_iter",
         "er_1m_16part_sec_per_iter",
         "er_1m_32part_sec_per_iter",
+        "er_1m_8part_sec_per_iter_norm",
+        "er_1m_16part_sec_per_iter_norm",
+        "er_1m_32part_sec_per_iter_norm",
         "er_1m_max_partition_clusters",
         "er_1m_8part_max_partition_clusters",
         "er_1m_16part_max_partition_clusters",
@@ -499,6 +522,13 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
     # drop priority: first entry goes first (ADVICE r7: .pop() from the end
     # made the actual order the reverse of the documented one)
     droppable = [
+        "er_1m_8part_sec_per_iter_norm",
+        "er_1m_16part_sec_per_iter_norm",
+        "er_1m_32part_sec_per_iter_norm",
+        "pairtable_build_save_sec",
+        "pairtable_consumers_total_sec",
+        "er_iterfloor_jvm_job_floor_sec",
+        "er_iterfloor_python_job_floor_sec",
         "er_mcmc_spread",
         "er_paper_spark_1part_spread",
         "er_rl10k_spark_1part_spread",
@@ -784,6 +814,167 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
     return out
 
 
+def pair_table_amortization(spark, sf_dir: str) -> dict:
+    """VERDICT r12 task 2 / missing #1: MEASURE the shared-pairs seam.
+
+    The gate entries `dedup_components` / `dedup_survivors` /
+    `q_docs_dedup_bias_audit` each rebuild the same verified pair
+    relation in-session (~4.6-5.0s each at sf0.1 — deliberately, every
+    gate entry is a self-contained (spark, sf_dir) -> frame program).
+    A production snapshot builds the pair table ONCE, persists it
+    (`sources.dedup_index.save_pair_table`), and runs every consumer
+    off the parquet scan. This probe times exactly that: one
+    build+save, then each consumer against the loaded table — the
+    "second consumer ~free" claim as numbers in the payload, next to
+    the sweep's self-contained timings for the same three queries."""
+    import shutil
+    import tempfile
+
+    from dblink_spark.queries import REGISTRY, release_caches
+    from dblink_spark.queries.dedup import bottomk_sketch_pairs, load
+    from dblink_spark.sources.dedup_index import (
+        load_pair_table,
+        save_pair_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_pairtable_")
+    out: dict = {}
+    try:
+        t0 = time.time()
+        pairs = bottomk_sketch_pairs(
+            load(spark, sf_dir, "documents"), k=8, threshold=0.99
+        )
+        save_pair_table(pairs, tmp)
+        release_caches(pairs)
+        out["pairtable_build_save_sec"] = round(time.time() - t0, 3)
+        shared = load_pair_table(spark, tmp)
+        total = 0.0
+        for name in (
+            "dedup_components", "dedup_survivors", "q_docs_dedup_bias_audit"
+        ):
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir, pairs=shared).count()
+            dt = round(time.time() - t0, 3)
+            out[f"pairtable_{name}_sec"] = dt
+            total += dt
+        out["pairtable_consumers_total_sec"] = round(total, 3)
+        out["pairtable_note"] = (
+            "one persisted pair build feeds all three closure consumers; "
+            "compare each pairtable_*_sec against the same query's "
+            "self-contained sweep timing (which rebuilds the pair relation "
+            "per entry by design). The delta IS the amortized pair build; "
+            "the residual per-consumer cost is the large-star/small-star "
+            "closure + audit work itself, which each consumer genuinely "
+            "owns (a further comps-sharing seam would amortize that too "
+            "but couples consumers to a materialized closure table)"
+        )
+        print(
+            f"# pairtable: build+save {out['pairtable_build_save_sec']}s, "
+            f"3 consumers off the shared table {total:.3f}s total",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def er_iteration_floor_breakdown(spark) -> dict:
+    """VERDICT r12 task 1: decompose the distributed-ER per-iteration cost
+    into DRIVER PLAN (θ draw + salt column + kernel cloudpickle + lazy
+    localCheckpoint Catalyst planning) vs the ONE Spark JOB (scan →
+    shuffle → Python kernels → checkpoint materialization → summary
+    collect), alongside the two STRUCTURAL floors measured with the exact
+    same exec conf: a JVM-only two-stage job and a trivial
+    ``applyInPandas`` job (plan reused, identity kernel, 4 groups).
+
+    The structural story this makes adjudicable: before r13, a trivial
+    python job cost ~0.21s on this host because PySpark's worker loop
+    re-parses every sys.path zip's central directory on EVERY task
+    (``importlib.invalidate_caches`` → CPython 3.11's unguarded
+    ``zipimport``; ~140 ms of worker CPU per task, profiled). The
+    stat-guard backport (``operators/workerboot.py``) cuts the trivial
+    python job to ~0.09s, and the ER iteration's job phase rides the
+    same floor — the residual gap between ``job`` and
+    ``python_job_floor`` is Arrow serde + kernel compute + checkpoint
+    materialization, and the gap between plan and ~0 is Catalyst+py4j,
+    the same 1-job-per-iteration cadence the reference pays
+    (State.scala:78-99)."""
+    import statistics as _st
+
+    from pyspark.sql import functions as F
+
+    from dblink_spark.er import state as st
+    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
+    from dblink_spark.er.state import assign_partitions, init_state, transition
+
+    records, attrs, cache = _make_er_problem(spark, 10_000, seed=11)
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=99)
+    pf = KDTreePartitioner(num_levels=2, attribute_ids=[3, 4, 0])
+    pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+    s = assign_partitions(s0, pf, pf.num_partitions)
+    s = transition(s, "PCG-I")
+    s = transition(s, "PCG-I")
+    plans, jobs = [], []
+    for _ in range(7):
+        sink: dict[str, float] = {}
+        s = transition(s, "PCG-I", phase_sink=sink)
+        plans.append(sink["plan"])
+        jobs.append(sink["job"])
+
+    # structural floors under the iteration's exact exec conf (width 4,
+    # AQE coalescing off); the python identity kernel applies the same
+    # workerboot guard the real kernels do, so this measures the floor
+    # the iteration actually rides
+    from dblink_spark.operators.workerboot import make_worker_boot
+
+    boot = make_worker_boot()
+
+    def _identity(pdf):
+        boot()
+        return pdf
+
+    out: dict = {}
+    with st._kernel_exec_conf(spark, shuffle_partitions=4):
+        df4 = spark.range(0, 4, 1, 4).withColumn("k", F.col("id") % 4)
+        jvm_plan = df4.groupBy("k").agg(F.count("*"))
+        py_plan = df4.groupBy("k").applyInPandas(_identity, "id long, k long")
+        for _ in range(3):  # warm pool workers through the boot guard
+            jvm_plan.collect()
+            py_plan.collect()
+
+        def _med(fn, n=7):
+            ts = []
+            for _ in range(n):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            return _st.median(ts)
+
+        out["er_iterfloor_jvm_job_floor_sec"] = round(
+            _med(lambda: jvm_plan.collect()), 3
+        )
+        out["er_iterfloor_python_job_floor_sec"] = round(
+            _med(lambda: py_plan.collect()), 3
+        )
+    out["er_iterfloor_plan_sec"] = round(_st.median(plans), 3)
+    out["er_iterfloor_job_sec"] = round(_st.median(jobs), 3)
+    out["er_iterfloor_plan_secs"] = [round(x, 3) for x in plans]
+    out["er_iterfloor_job_secs"] = [round(x, 3) for x in jobs]
+    out["er_iterfloor_note"] = (
+        "rl10k 4-part transition split driver-plan vs job; floors share "
+        "the exec conf; job ~ python_job_floor + serde/kernels/ckpt — "
+        "1 python job per iteration is the structural cadence "
+        "(workerboot.py halved the pre-r13 floor)"
+    )
+    print(
+        f"# er_iterfloor: plan {out['er_iterfloor_plan_sec']}s + job "
+        f"{out['er_iterfloor_job_sec']}s per iter; floors jvm "
+        f"{out['er_iterfloor_jvm_job_floor_sec']}s / python "
+        f"{out['er_iterfloor_python_job_floor_sec']}s", file=sys.stderr,
+    )
+    return out
+
+
 def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3) -> dict:
     """1M-record distributed chain at p=8 vs p=16 vs p=32 (VERDICT r6
     task 7, extended to 32 parts per VERDICT r11 task 7: 13→9.7 s/iter at
@@ -825,6 +1016,14 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3)
         if p == 16:  # legacy key, kept so cross-round diffs line up
             out["er_1m_max_partition_clusters"] = int(max(sizes))
         s = transition(s, "PCG-I")  # warm
+        # Per-point host-load bracket (VERDICT r12 task 4 / "wrong" #3: two
+        # rounds of 16p medians inflated by host stalls needed hand
+        # adjudication): the SAME constant-work canary the sweep uses,
+        # timed immediately before each point's iterations, plus a
+        # canary-normalized median — a stalled slot now carries its own
+        # evidence (inflated canary => inflated median is load, not code).
+        point_canary = _canary(spark)
+        out[f"er_1m_{p}part_canary_sec"] = point_canary
         iter_secs = []
         for _ in range(n_iters):
             t0 = time.time()
@@ -832,10 +1031,15 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3)
             iter_secs.append(round(time.time() - t0, 2))
         spi = statistics.median(iter_secs)
         out[f"er_1m_{p}part_sec_per_iter"] = round(spi, 2)
+        out[f"er_1m_{p}part_sec_per_iter_norm"] = round(
+            spi * CANARY_REF_SEC / point_canary, 2
+        )
         out[f"er_1m_{p}part_iter_secs"] = iter_secs
         print(
             f"# er_1m: {spi:.2f} s/iter at {p} partitions "
-            f"(median of {iter_secs})", file=sys.stderr,
+            f"(median of {iter_secs}; point canary {point_canary:.2f}s, "
+            f"norm {out[f'er_1m_{p}part_sec_per_iter_norm']:.2f})",
+            file=sys.stderr,
         )
     return out
 

@@ -62,6 +62,7 @@ from pyspark.sql.types import (
 )
 
 from dblink_spark.er.cache import RecordsCache, encode_records
+from dblink_spark.operators.workerboot import make_worker_boot
 from dblink_spark.er.model import (
     PartitionState,
     canonicalize_partition_state,
@@ -649,7 +650,10 @@ def _blocks_df_to_cluster_df(block_df: DataFrame, num_attrs: int) -> DataFrame:
     """Narrow mapInArrow unpack of BLOCK rows into cluster rows
     (STATE_SCHEMA) — no shuffle; summary rows pass through re-shaped."""
 
+    boot = make_worker_boot()
+
     def unpack(batches):
+        boot()  # stat-guard zipimport invalidation (operators/workerboot.py)
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             import pyarrow.compute as pc
@@ -742,6 +746,13 @@ def _murmur3_int(x: int, seed: int = 42) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+#: memoized salt Column expressions keyed by (num_partitions, num_buckets)
+#: — Column objects are immutable and plan-independent, so one expression
+#: serves every iteration of every chain at that width. Unbounded growth
+#: impossible in practice (a session uses a handful of widths).
+_SALT_EXPR_CACHE: dict = {}
+
+
 def _kernel_salts(num_partitions: int, num_buckets: int) -> list[int] | None:
     """Per-partition salt values making ``pmod(hash(pid, salt), num_buckets)``
     pairwise distinct — each kernel group gets its OWN shuffle bucket, hence
@@ -799,9 +810,18 @@ def _salted_group(
     salts = _kernel_salts(num_partitions, m)
     if salts is None:
         return df, ["partition_id"]
-    arr = F.array(*[F.lit(s) for s in salts])
+    # Column expressions are plan-independent; memoize per (p, m) so the
+    # per-iteration driver cost is one withColumn, not p+3 py4j
+    # expression-construction round-trips (the transition loop calls this
+    # every iteration — measured ~17 ms/iter at p=4 rebuilt fresh)
+    key = (num_partitions, m)
+    expr = _SALT_EXPR_CACHE.get(key)
+    if expr is None:
+        arr = F.array(*[F.lit(s) for s in salts])
+        expr = F.element_at(arr, F.col("partition_id") + 1)
+        _SALT_EXPR_CACHE[key] = expr
     return (
-        df.withColumn("__kernel_salt", F.element_at(arr, F.col("partition_id") + 1)),
+        df.withColumn("__kernel_salt", expr),
         ["partition_id", "__kernel_salt"],
     )
 
@@ -877,8 +897,10 @@ def make_transition_kernel(
     would give iteration ``j``."""
     cache_ref = cache
     num_attrs = _resolve_cache(cache_ref).num_attributes
+    boot = make_worker_boot()
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        boot()  # stat-guard zipimport invalidation (operators/workerboot.py)
         cache = _resolve_cache(cache_ref)
         pid = int(key[0])
         pdf = pdf[~pdf["is_summary"]]
@@ -913,10 +935,12 @@ def make_transition_kernel_arrow(
     boundary from O(clusters) rows into O(p) per kernel."""
     cache_ref = cache
     num_attrs = _resolve_cache(cache_ref).num_attributes
+    boot = make_worker_boot()
 
     def kernel(key: tuple, tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        boot()  # stat-guard zipimport invalidation (operators/workerboot.py)
         cache = _resolve_cache(cache_ref)
         k0 = key[0]
         pid = int(k0.as_py() if hasattr(k0, "as_py") else k0)
@@ -995,10 +1019,22 @@ def _cache_ref(state: State, df: DataFrame):
     return handle if handle else state.cache
 
 
-def transition(state: State, mode: str) -> State:
+def transition(
+    state: State, mode: str, phase_sink: dict[str, float] | None = None
+) -> State:
     """One Markov transition (ref: State.scala:78-99 `nextState`):
     θ update (driver Beta draws) → partition kernels (one shuffle) →
-    in-band summary collection."""
+    in-band summary collection.
+
+    ``phase_sink`` (bench/profiling only): when given, receives
+    ``{"plan": s, "job": s}`` — the driver-side cost (θ draw, salt
+    column, kernel plan build + cloudpickle, lazy-checkpoint Catalyst
+    planning) vs the one Spark job (scan → shuffle → Python kernels →
+    checkpoint materialization → summary collect). Zero overhead when
+    None (two branch checks)."""
+    import time as _time
+
+    t0 = _time.time() if phase_sink is not None else 0.0
     cache = state.cache
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
 
@@ -1022,7 +1058,12 @@ def transition(state: State, mode: str) -> State:
         # collect right below materializes the checkpoint, so each transition
         # costs ONE job instead of two.
         new_df = new_df.localCheckpoint(eager=False)
+        if phase_sink is not None:
+            t1 = _time.time()
+            phase_sink["plan"] = t1 - t0
         summary = collect_summary(new_df, cache)
+        if phase_sink is not None:
+            phase_sink["job"] = _time.time() - t1
     old_dfs = [state._df, state.block_df]
     new_state = replace(
         state,
@@ -1414,7 +1455,10 @@ def assign_partitions(
     model has (each partition is materialized whole in one grouped-Arrow
     task; the reference shares it, SURVEY §4 "spill is not handled").
     """
+    boot = make_worker_boot()
+
     def assign_pid(batches):
+        boot()  # stat-guard zipimport invalidation (operators/workerboot.py)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1591,7 +1635,10 @@ def init_state(
         # depend on input partitioning.
         import zlib
 
+        boot = make_worker_boot()
+
         def init_map(batches):
+            boot()  # operators/workerboot.py
             for pdf in batches:
                 rows = []
                 for i in range(len(pdf)):
@@ -1638,7 +1685,10 @@ def init_state(
 
         ridx_schema = ordered.withColumn("__ridx", F.lit(0).cast("long")).schema
 
+        boot = make_worker_boot()
+
         def stamp_ridx(batches):
+            boot()  # operators/workerboot.py
             seen = 0  # mapInPandas runs once per partition: counter is local
             for pdf in batches:
                 if len(pdf) == 0:
@@ -1653,7 +1703,10 @@ def init_state(
             "__ent", (F.col("__ridx") % pop).cast("long")
         )
 
+        boot = make_worker_boot()
+
         def init_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            boot()  # operators/workerboot.py
             rng = np.random.default_rng((seed, int(key[0])))
             pdf = pdf.sort_values("__ridx")
             vals = np.stack([np.asarray(v, dtype=np.int32) for v in pdf["values"]])
@@ -1678,7 +1731,10 @@ def init_state(
     # assign entity-space partitions via the fitted partition function
     # (mapInPandas: narrow, no shuffle — the first groupBy in transition()
     # does the co-location shuffle)
+    boot = make_worker_boot()
+
     def assign_pid(batches):
+        boot()  # operators/workerboot.py
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1696,7 +1752,10 @@ def init_state(
     # (loglik is reported from iteration 1; θ only needs agg_dist)
     A, Fn = num_attrs, len(cache.file_ids)
 
+    boot = make_worker_boot()
+
     def dist_counts(batches):
+        boot()  # operators/workerboot.py
         for pdf in batches:
             if len(pdf) == 0:
                 continue

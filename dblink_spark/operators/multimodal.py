@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from dblink_spark.operators.workerboot import make_worker_boot
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # type: ignore
@@ -336,7 +337,10 @@ def decode_media(
 
     _jpg_dec, _jpg_sniff, _ = _jpeg_codec()
 
+    boot = make_worker_boot()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        boot()  # operators/workerboot.py
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(dtype=np.int64, copy=False)
             mts = [m["media_type"] for m in pdf["media_meta"]]
@@ -415,7 +419,10 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """
     out_schema = "doc_id bigint, media_type string, features array<float>"
 
+    boot = make_worker_boot()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        boot()  # operators/workerboot.py
         for pdf in batches:
             # vectorized: ONE bincount over (row_idx * dim + byte % dim)
             # for the whole Arrow batch, reshaped to (n_rows, dim)
@@ -458,7 +465,10 @@ def frame_sample(df: DataFrame, frame_size: int = 256, stride: int = 256) -> Dat
         raise ValueError("stride must be positive")
     out_schema = "doc_id bigint, frames array<binary>, n_frames int"
 
+    boot = make_worker_boot()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        boot()  # operators/workerboot.py
         for pdf in batches:
             ids, frames_col, counts = [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
@@ -504,7 +514,10 @@ def resize_image(
         )
     out_schema = "doc_id bigint, pixels binary, width int, height int"
 
+    boot = make_worker_boot()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        boot()  # operators/workerboot.py
         for pdf in batches:
             ids, pix = [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):

@@ -29,6 +29,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from dblink_spark.operators.workerboot import make_worker_boot
+
 PACK_SCHEMA = StructType(
     [
         StructField("shard", LongType()),
@@ -118,7 +120,10 @@ def pack_sequences(
 
     _ffd = ffd_pack  # closure capture -> pickled by value into the kernel
 
+    boot = make_worker_boot()
+
     def ffd(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        boot()  # operators/workerboot.py
         # NULL key/tokens guard (public operator; r5 ADVICE): a NULL key
         # makes the shard NULL and None entries crash the lexsort with an
         # opaque TypeError; a NULL token count corrupts the FFD order.

@@ -546,6 +546,15 @@ _GATE_TAIL = [
     # its single-sorted-exchange plan pinned; full result digest-covered
     # below.
     "q_docs_training_order",
+    # r13: text_strip_confirmed_spans (4-gram-confirmed span removal —
+    # closes the edit-every-<=7-tokens miss class) enters the head;
+    # text_strip_boilerplate rotates out — its fixed-granularity surgery
+    # is the degenerate case of the three richer span surgeons still
+    # head-gated (maximal/gapped/confirmed share its detector, cover,
+    # and excision helpers verbatim), its conservation invariant is
+    # edge-corpus pinned, and its full result is digest-covered below +
+    # driver_sim-verified per round.
+    "text_strip_boilerplate",
 ]
 
 

@@ -316,6 +316,10 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("shard_id", "i"), ("pos", "i"), ("doc_id", "i"),
         ("ord_key", "s"),
     ],
+    "text_strip_boilerplate": [
+        ("doc_id", "i"), ("n_tokens", "i"), ("n_kept", "i"),
+        ("n_removed", "i"), ("clean_text", "s"),
+    ],
 }
 
 _NULL = "<NULL>"

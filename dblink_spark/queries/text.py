@@ -452,18 +452,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # excise the covered token positions. Both build from this helper so a
 # gram-width or hashing change cannot drift between the two (the
 # _CHUNK_TOK_CTE single-spec discipline).
-def _gram_occurrences(d: DataFrame) -> DataFrame:
-    """Row-local word-8-gram build: ``(doc_id, i, g)`` with i the 1-based
+def _gram_occurrences(d: DataFrame, width: int = 8) -> DataFrame:
+    """Row-local word-n-gram build: ``(doc_id, i, g)`` with i the 1-based
     start token position and g the md5 of the space-joined gram. No UDF,
     no shuffle — higher-order transform over a sequence of offsets, then
-    one posexplode."""
+    one posexplode. Default width 8 (the detector spec every consumer
+    shares); the confirmation pass (`text_strip_confirmed_spans`) probes
+    at width 4."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+    idx = F.when(n >= width, F.sequence(F.lit(1), n - (width - 1))).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8)))
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
     )
     return d.select("doc_id", F.posexplode(grams).alias("pos0", "g")).select(
         "doc_id", (F.col("pos0") + 1).cast("int").alias("i"), "g"
@@ -831,10 +833,13 @@ def text_strip_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documented limit (VERDICT r11 'What's missing' #4): detection is at
     8-gram granularity, so a long near-duplicate block with a token edit
     every <= 7 tokens produces NO covered positions at all and escapes
-    entirely (true Lee-et-al uses suffix arrays). The cheap
-    approximation is `text_strip_gapped_spans`: islands separated by
-    <= {gap} uncovered positions merge before the length gate, so an
-    edited-every-so-often block still excises as one span."""
+    entirely (true Lee-et-al uses suffix arrays). Two cheap
+    approximation tiers exist: `text_strip_gapped_spans` (islands
+    separated by <= {gap} uncovered positions merge before the length
+    gate, bridging sparse edits that leave grams between them) and
+    `text_strip_confirmed_spans` (r13: a 4-gram confirmation probe
+    extends 8-gram-anchored islands through regions edited every <= 7
+    tokens, where no intact 8-gram survives at all)."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -977,6 +982,190 @@ text_strip_gapped_spans.__doc__ = text_strip_gapped_spans.__doc__.format(
     min_tokens=_SPAN_MIN_TOKENS,
     gap=_SPAN_GAP_TOLERANCE,
     gap_plus=_SPAN_GAP_TOLERANCE + 1,
+)
+
+
+@register(
+    "text_strip_confirmed_spans",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN boiler b USING (g)
+),
+{_COVER_FROM_HITS_SQL_T.format(name="rawcover")},
+anchors AS (SELECT DISTINCT doc_id FROM rawcover),
+g4 AS (
+  SELECT tok.doc_id, i, md5(array_to_string(t[i:i+3], ' ')) AS g
+  FROM tok JOIN anchors a ON a.doc_id = tok.doc_id,
+       UNNEST(range(1, len(t) - 2)) AS u4(i)
+),
+weak AS (
+  SELECT DISTINCT g FROM (
+    SELECT o.doc_id, o.i, o.g
+    FROM g4 o JOIN rawcover c
+      ON c.doc_id = o.doc_id AND c.p BETWEEN o.i AND o.i + 3
+    GROUP BY o.doc_id, o.i, o.g HAVING COUNT(*) = 4
+  )
+),
+weakpos AS (
+  SELECT DISTINCT o.doc_id, o.i + dd AS p
+  FROM g4 o JOIN weak wk ON wk.g = o.g, UNNEST(range(0, 4)) AS v4(dd)
+),
+unioned AS (
+  SELECT doc_id, p, MAX(strong) AS strong FROM (
+    SELECT doc_id, p, 1 AS strong FROM rawcover
+    UNION ALL
+    SELECT doc_id, p, 0 AS strong FROM weakpos
+  ) GROUP BY doc_id, p
+),
+flagged AS (
+  SELECT doc_id, p, strong,
+    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+           <= {_SPAN_GAP_TOLERANCE + 1} THEN 0 ELSE 1 END AS newgrp
+  FROM unioned
+),
+isl AS (
+  SELECT doc_id, p, strong,
+    SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS lo, MAX(p) AS hi
+  FROM isl GROUP BY doc_id, grp
+  HAVING MAX(p) - MIN(p) + 1 >= {_SPAN_MIN_TOKENS} AND MAX(strong) = 1
+),
+cover AS (
+  SELECT s.doc_id, CAST(u.p AS INTEGER) AS p
+  FROM spans s, UNNEST(range(s.lo, s.hi + 1)) AS u(p)
+),
+{_EXCISE_FROM_COVER_SQL}
+""",
+    survey_ref=(
+        "beyond-reference: 4-gram-confirmed span removal — extends "
+        "8-gram-anchored islands through edit-dense regions a token edit "
+        "every <= 7 tokens hides from the 8-gram detector entirely "
+        "(VERDICT r12 missing #4 / task 6; the next approximation step "
+        "toward suffix-array exact-substring dedup after "
+        "text_strip_gapped_spans)"
+    ),
+)
+def text_strip_confirmed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram-CONFIRMED span dedup: closes the miss class
+    `text_strip_gapped_spans` documents — a near-duplicate block whose
+    token edits come every <= 7 tokens carries NO intact cross-doc
+    8-gram, so gram-level detection sees nothing at all. The confirmation
+    pass recovers it with bounded extra work and without 4-gram false
+    positives ever creating spans on their own:
+
+    1. STRONG evidence: the usual cross-doc 8-gram cover (exactly the
+       gapped surgeon's detector).
+    2. WEAK evidence, derived relationally from strong: the distinct
+       4-grams lying WHOLLY INSIDE an 8-covered span anywhere in the
+       corpus — i.e. sub-grams of text the corpus already proved is
+       boilerplate (the md5 gram keys make textual sub-slicing
+       impossible, so the sub-gram set is computed as a position join:
+       4-gram occurrence (doc, i) qualifies when all of i..i+3 are
+       covered). An edit-dense copy's clean runs between edits are
+       precisely such sub-grams.
+    3. Weak 4-gram hits are probed ONLY in anchor documents (>= 1 strong
+       covered position) and merge into islands under the same {gap}-gap
+       run-merge; a merged span qualifies only if it contains >= 1
+       STRONG position and spans >= {min_tokens} tokens — weak evidence
+       extends islands, never creates them.
+
+    Remaining miss class (documented): a block with NO intact 8-gram
+    anywhere in the corpus (every copy edit-dense, or edits every <= 3
+    tokens killing 4-grams too) still escapes — that tier needs
+    suffix-array machinery, not gram probes.
+
+    100-TB shape: the 8-gram skeleton is unchanged (one persisted
+    tokenize+gram pass, Δ-sized cover). The additions are all
+    anchor-bounded: the 4-gram relation is built AFTER a left-semi
+    against the Δ-sized anchor-doc set (never over the full corpus), the
+    weak-set derivation joins it to the Δ-sized cover on (doc_id, range)
+    keys, and the weak probe is one more equi-join on the gram key.
+    Tokens still never shuffle; excision stays row-local."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    exploded = _gram_occurrences(d).persist()
+    boiler = (
+        exploded.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = exploded.join(boiler, "g").select("doc_id", "i")
+    raw = _cover_from_hits(hits).persist()  # strong cover; feeds 3 consumers
+    anchors = raw.select("doc_id").distinct()
+    occ4 = (
+        _gram_occurrences(d, width=4)
+        .join(anchors, "doc_id", "left_semi")
+        .persist()
+    )
+    # weak gram set: 4-gram occurrences whose full [i, i+3] window sits
+    # inside the strong cover (count == 4 against the distinct positions)
+    inside = (
+        occ4.alias("o")
+        .join(
+            raw.alias("c"),
+            (F.col("o.doc_id") == F.col("c.doc_id"))
+            & F.col("c.p").between(F.col("o.i"), F.col("o.i") + 3),
+        )
+        .groupBy("o.doc_id", "o.i", "o.g")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") == 4)
+    )
+    weak = inside.select("g").distinct()
+    weakpos = (
+        occ4.join(weak, "g")
+        .select("doc_id", F.explode(F.sequence("i", F.col("i") + 3)).alias("p"))
+        .distinct()
+    )
+    unioned = (
+        raw.select("doc_id", "p", F.lit(1).alias("strong"))
+        .unionByName(weakpos.select("doc_id", "p", F.lit(0).alias("strong")))
+        .groupBy("doc_id", "p")
+        .agg(F.max("strong").alias("strong"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    newgrp = F.when(
+        F.col("p") - F.lag("p").over(w) <= _SPAN_GAP_TOLERANCE + 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = unioned.select(
+        "doc_id", "p", "strong", newgrp.alias("newgrp")
+    ).select(
+        "doc_id",
+        "p",
+        "strong",
+        F.sum("newgrp")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+    )
+    spans = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+            F.max("strong").alias("has_strong"),
+        )
+        .filter(
+            (F.col("hi") - F.col("lo") + 1 >= _SPAN_MIN_TOKENS)
+            & (F.col("has_strong") == 1)
+        )
+    )
+    cover = spans.select(
+        "doc_id", F.explode(F.sequence("lo", "hi")).alias("p")
+    )
+    return owns_caches(_excise_by_cover(d, cover), exploded, raw, occ4)
+
+
+text_strip_confirmed_spans.__doc__ = text_strip_confirmed_spans.__doc__.format(
+    min_tokens=_SPAN_MIN_TOKENS, gap=_SPAN_GAP_TOLERANCE
 )
 
 

@@ -44,6 +44,8 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+from dblink_spark.operators.workerboot import make_worker_boot
+
 
 def _events_schema(ts_is_long: bool) -> StructType:
     """Schema of the events fixture: ``ts`` is int64 nanos under the pre-4.1
@@ -177,11 +179,14 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     pattern (state is an explicit struct, updated Arrow batch by Arrow
     batch, never rebuilt from history)."""
 
+    boot = make_worker_boot()
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        boot()  # operators/workerboot.py
         (n, total, last_us) = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
@@ -476,11 +481,14 @@ def transition_stream(events: DataFrame) -> DataFrame:
     free. The adversarial cross-batch test pins both the diagnostic and
     the documented count-from-stored-last chaining."""
 
+    boot = make_worker_boot()
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        boot()  # operators/workerboot.py
         last_type, last_us, last_eid = (
             state.get if state.exists else (None, -1, -1)
         )

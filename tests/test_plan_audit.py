@@ -80,6 +80,11 @@ class TestBroadcastHintDiscipline:
             ]
             if bad:
                 offenders[name] = bad
+            # caller-owns-cache contract: un-released persists registered
+            # here would leak into every LATER plan test via CacheManager
+            # subtree substitution (observed r13: the confirmed-spans
+            # cover persist changed the maximal/gapped scan counts)
+            q.release_caches(df)
         assert not offenders, f"broadcast hints on SF-scaling relations: {offenders}"
 
 
@@ -1242,6 +1247,31 @@ class TestR12TpchPlans:
 
         win_details = _re.findall(r"\(\d+\) Window", plan)
         assert 1 <= len(win_details) <= 2
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)
+
+    def test_confirmed_spans_anchor_bounded_plan(self, spark):
+        """4-gram-confirmed surgeon (r13): same structural pins as its
+        siblings — no products, zero Python, (doc_id, text)-only scans,
+        cached gram relations — plus the anchor discipline: the 4-gram
+        relation is LeftSemi-bounded to anchor docs BEFORE any weak-set
+        work, so the confirmation never builds a corpus-wide 4-gram
+        table."""
+        df = q.REGISTRY["text_strip_confirmed_spans"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan, "gram relations must be cached"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        )
+        assert "LeftSemi" in plan, (
+            "4-gram build must be anchor-bounded (left_semi on covered "
+            "docs) before the weak-set join"
+        )
         from dblink_spark.queries import release_caches
 
         release_caches(df)

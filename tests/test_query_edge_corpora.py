@@ -2384,6 +2384,78 @@ def test_gapped_spans_bridge_the_edited_block(spark, tmp_path):
             assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
 
 
+def test_confirmed_spans_catch_edit_dense_block(spark, tmp_path):
+    """VERDICT r12 task 6 — THE miss class the gapped surgeon documents:
+    a block edited every <= 7 tokens carries no intact 8-gram in the
+    edited region, so 8-gram detection (exact AND gapped) sees only the
+    intact prefix and leaves the rest. The 4-gram confirmation pass must
+    (a) extend the prefix anchor through the edit-dense region and excise
+    the WHOLE block, (b) never create a span from weak evidence alone (an
+    anchor-free edit-dense copy stays untouched), and (c) not over-extend
+    past boilerplate into genuinely fresh text."""
+    from dblink_spark.queries.text import _SPAN_GAP_TOLERANCE, _SPAN_MIN_TOKENS
+
+    assert _SPAN_GAP_TOLERANCE == 7 and _SPAN_MIN_TOKENS == 16
+
+    block = [f"lic{j}" for j in range(60)]
+    # doc 3: intact 24-token prefix, then an edit every 6th token —
+    # max clean run after the prefix is 5 tokens (< 8: invisible to the
+    # 8-gram detector, >= 4: visible to the confirmation probe)
+    dense = list(block)
+    for pos1 in (25, 31, 37, 43, 49, 55):  # 1-based edit positions
+        dense[pos1 - 1] = f"ED{pos1}"
+    # doc 4: the SAME edit cadence from the start — no 8-gram anywhere,
+    # so no anchor; weak 4-gram matches alone must excise NOTHING
+    noanchor = list(block)
+    for pos1 in (1, 7, 13, 19, 25, 31, 37, 43, 49, 55):
+        noanchor[pos1 - 1] = f"NA{pos1}"
+    # doc 5: a 16-token boilerplate prefix then fresh text — the island
+    # must stop at the prefix (no weak chain into fresh tokens)
+    fresh_tail = [f"fresh{j}" for j in range(20)]
+    rows = [
+        (1, " ".join(block), "en", "s1"),
+        (2, " ".join(block), "en", "s2"),
+        (3, " ".join(dense), "en", "s3"),
+        (4, " ".join(noanchor), "en", "s4"),
+        (5, " ".join(block[:16] + fresh_tail), "en", "s5"),
+    ]
+    d = str(tmp_path / "confirmed")
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["text_strip_gapped_spans"].fn(spark, d)
+    ) as gdf:
+        gapped = {r["doc_id"]: r for r in gdf.collect()}
+    with materialized(
+        REGISTRY["text_strip_confirmed_spans"].fn(spark, d)
+    ) as cdf:
+        conf = {r["doc_id"]: r for r in cdf.collect()}
+    # the documented miss: gapped removes only the intact 24-token prefix
+    # of doc 3 and leaves the 36 edit-dense boilerplate tokens behind
+    assert gapped[3]["n_removed"] == 24
+    # confirmation extends the anchor through every <=1-token hole chain:
+    # the WHOLE 60-token block goes, bridged edits included
+    assert conf[3]["n_removed"] == 60 and conf[3]["clean_text"] == ""
+    # weak evidence never creates a span: the anchor-free copy is intact
+    assert gapped[4]["n_removed"] == 0
+    assert conf[4]["n_removed"] == 0
+    assert conf[4]["clean_text"] == " ".join(noanchor)
+    # no over-extension into fresh text: exactly the 16-token prefix
+    assert conf[5]["n_removed"] == 16
+    assert conf[5]["clean_text"] == " ".join(fresh_tail)
+    # the fully-shared copies excise completely under both surgeons
+    for doc in (1, 2):
+        assert gapped[doc]["n_removed"] == 60
+        assert conf[doc]["n_removed"] == 60
+    for out in (gapped, conf):
+        for r in out.values():
+            assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+
+
 def test_transition_matrix_order_ties_and_truncation(spark, tmp_path):
     """Transition-matrix semantics pinned by hand: consecutiveness is per
     user ordered by (ts_us, event_id) — a same-microsecond pair resolves
