@@ -324,6 +324,14 @@ def main() -> None:
         "from all query totals (it re-times 21 queries already timed "
         "individually); dedup_bottomk_jaccard / dedup_survivors baselines "
         "re-based to honest-cold r7 medians (rebased_baselines key)",
+        "r13: gate_overhead_sec bound (VERDICT r12 task 8): the checksum "
+        "re-times every tail entry once at sf0.1, so overhead grows "
+        "~linearly with rotation at the tail's mean per-query cost "
+        "(observed ~0.45-0.5s/entry; 79 entries ~ 38s). Budget rule: if "
+        "a rotation pushes it past 60s, shard q_inventory_checksum into "
+        "two digest slots (same coverage, half the per-slot re-time) — "
+        "the digest SQL is already a UNION ALL over per-query digests, "
+        "so the split is mechanical",
         "r13: dedup_minhash_lsh isolated re-time (VERDICT r12 task 5): "
         "warm median 1.202s raw / 1.006s canary-normalized over 5 reps in "
         "an isolated session — the ~2x vs r1's 0.453s is REAL and is the "
