@@ -510,6 +510,7 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_paper_spark_4part_spread",
         "pairtable_build_save_sec",
         "pairtable_consumers_total_sec",
+        "compstable_consumers_total_sec",
         "er_iterfloor_plan_sec",
         "er_iterfloor_job_sec",
         "er_iterfloor_python_job_floor_sec",
@@ -530,6 +531,7 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
     # drop priority: first entry goes first (ADVICE r7: .pop() from the end
     # made the actual order the reverse of the documented one)
     droppable = [
+        "compstable_consumers_total_sec",
         "er_1m_8part_sec_per_iter_norm",
         "er_1m_16part_sec_per_iter_norm",
         "er_1m_32part_sec_per_iter_norm",
@@ -866,15 +868,47 @@ def pair_table_amortization(spark, sf_dir: str) -> dict:
             out[f"pairtable_{name}_sec"] = dt
             total += dt
         out["pairtable_consumers_total_sec"] = round(total, 3)
+        # second tier (r13): persist the CLOSURE too — survivors + audit
+        # off the loaded comps table should now cost only their own
+        # aggregation/join work
+        from dblink_spark.operators.components import connected_components
+        from dblink_spark.sources.dedup_index import (
+            load_comps_table, save_comps_table,
+        )
+
+        ctmp = tempfile.mkdtemp(prefix="bench_compstable_")
+        try:
+            t0 = time.time()
+            save_comps_table(
+                connected_components(shared, "doc1", "doc2"), ctmp
+            )
+            out["compstable_build_save_sec"] = round(time.time() - t0, 3)
+            comps = load_comps_table(spark, ctmp)
+            ctotal = 0.0
+            for name in ("dedup_survivors", "q_docs_dedup_bias_audit"):
+                t0 = time.time()
+                REGISTRY[name].fn(spark, sf_dir, comps=comps).count()
+                dt = round(time.time() - t0, 3)
+                out[f"compstable_{name}_sec"] = dt
+                ctotal += dt
+            out["compstable_consumers_total_sec"] = round(ctotal, 3)
+            print(
+                f"# compstable: closure build+save "
+                f"{out['compstable_build_save_sec']}s, 2 consumers off the "
+                f"shared closure {ctotal:.3f}s total", file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(ctmp, ignore_errors=True)
         out["pairtable_note"] = (
-            "one persisted pair build feeds all three closure consumers; "
-            "compare each pairtable_*_sec against the same query's "
-            "self-contained sweep timing (which rebuilds the pair relation "
-            "per entry by design). The delta IS the amortized pair build; "
-            "the residual per-consumer cost is the large-star/small-star "
-            "closure + audit work itself, which each consumer genuinely "
-            "owns (a further comps-sharing seam would amortize that too "
-            "but couples consumers to a materialized closure table)"
+            "one persisted pair build feeds all three closure consumers "
+            "(pairtable_*), and one persisted CLOSURE feeds the two "
+            "component consumers (compstable_* — r13, the second tier); "
+            "compare against the same queries' self-contained sweep "
+            "timings (which rebuild everything per entry by design). "
+            "pairtable deltas = the amortized pair build; compstable "
+            "deltas additionally amortize the large-star/small-star "
+            "rounds, leaving only each consumer's own aggregation/join "
+            "work"
         )
         print(
             f"# pairtable: build+save {out['pairtable_build_save_sec']}s, "

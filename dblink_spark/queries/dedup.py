@@ -800,7 +800,10 @@ GROUP BY g.component
     survey_ref="beyond-reference: end-to-end dedup pipeline (pairs -> components -> canonical survivor); composes G6/G7-style closure with survivor selection",
 )
 def dedup_survivors(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """The COMPLETE dedup pipeline a training-data build runs: near-dup
     pairs (bottom-k Jaccard) -> transitive groups (large-star/small-star
@@ -813,22 +816,27 @@ def dedup_survivors(
     100-TB shape: pairs from banded equi-joins (never all-pairs), O(log n)
     component rounds of two hash shuffles each, survivor selection is one
     groupBy with a struct-min (map-side combinable); the doc-length join
-    shuffles on doc_id. ``pairs`` is the amortization seam — pass a
-    persisted pair table (`sources.dedup_index.load_pair_table`) to share
-    one build across this, `dedup_components`, and the bias audit (see
-    `dedup_components` docstring; default rebuilds in-session for the
-    self-contained gate path)."""
+    shuffles on doc_id. TWO amortization tiers: ``pairs`` shares one
+    sketch+band+verify build across this, `dedup_components`, and the
+    bias audit (`sources.dedup_index.load_pair_table`); ``comps`` (r13)
+    goes one tier further and shares the CLOSURE itself
+    (`load_comps_table` — the bench measured the closure, not the pair
+    build, as the dominant residual per-consumer cost once pairs are
+    shared). Default rebuilds everything in-session for the
+    self-contained gate path."""
     from dblink_spark.operators.components import connected_components
     from dblink_spark.queries import release_caches
 
-    own_pairs = pairs is None
-    if own_pairs:
-        pairs = bottomk_sketch_pairs(
-            load(spark, sf_dir, "documents"), k=8, threshold=0.99
-        )
-    comps = connected_components(pairs, "doc1", "doc2")
-    if own_pairs:
-        release_caches(pairs)  # closure materialized; cache served all consumers
+    if comps is None:
+        own_pairs = pairs is None
+        if own_pairs:
+            pairs = bottomk_sketch_pairs(
+                load(spark, sf_dir, "documents"), k=8, threshold=0.99
+            )
+        comps = connected_components(pairs, "doc1", "doc2")
+        if own_pairs:
+            # closure materialized; cache served all consumers
+            release_caches(pairs)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len")
     )

@@ -1428,7 +1428,10 @@ GROUP BY stratum, verdict
     ),
 )
 def q_docs_dedup_bias_audit(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """Is dedup deleting the good copies? Near-dup survivor selection
     keeps the LONGEST document — a heuristic, not a quality judgement —
@@ -1450,18 +1453,21 @@ def q_docs_dedup_bias_audit(
     is the amortization seam shared with `dedup_components` /
     `dedup_survivors` (see the former's docstring): pass one persisted
     pair table (`sources.dedup_index.load_pair_table`) and the sweep this
-    audit would otherwise re-run is a parquet scan instead."""
+    audit would otherwise re-run is a parquet scan instead; ``comps``
+    (r13) shares the CLOSURE too (`load_comps_table`) — the bench showed
+    the closure, not the pair build, dominates once pairs are shared."""
     from dblink_spark.operators.components import connected_components
     from dblink_spark.queries import release_caches
     from dblink_spark.queries.dedup import bottomk_sketch_pairs
 
     d = load(spark, sf_dir, "documents")
-    own_pairs = pairs is None
-    if own_pairs:
-        pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
-    comps = connected_components(pairs, "doc1", "doc2")
-    if own_pairs:
-        release_caches(pairs)
+    if comps is None:
+        own_pairs = pairs is None
+        if own_pairs:
+            pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
+        comps = connected_components(pairs, "doc1", "doc2")
+        if own_pairs:
+            release_caches(pairs)
     docs = d.select(
         "doc_id",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len"),

@@ -127,3 +127,34 @@ def load_pair_table(
     spark: SparkSession, path: str, k: int = 8, threshold: float = 0.99
 ) -> DataFrame:
     return load_index(spark, path, bottomk_pairs_spec(k, threshold))
+
+
+def comps_table_spec(k: int = 8, threshold: float = 0.99) -> dict:
+    """Spec for a persisted CONNECTED-COMPONENTS relation (node,
+    component) derived from a pair table under the given sketch spec —
+    the second amortization tier (r13): the closure itself is the
+    dominant per-consumer cost once pairs are shared (each self-build
+    runs O(log n) large-star/small-star rounds), and `dedup_survivors` /
+    `q_docs_dedup_bias_audit` both consume exactly this relation. The
+    spec embeds the PAIR spec so a comps table can never silently mix
+    with pairs built under different sketch parameters."""
+    return {
+        "kind": "connected-components",
+        "closure": "large-star-small-star-min-label",
+        "pairs": bottomk_pairs_spec(k, threshold),
+    }
+
+
+def save_comps_table(
+    comps: DataFrame, path: str, k: int = 8, threshold: float = 0.99
+) -> None:
+    """Persist a components relation (node, component)."""
+    save_index(
+        comps.select("node", "component"), path, comps_table_spec(k, threshold)
+    )
+
+
+def load_comps_table(
+    spark: SparkSession, path: str, k: int = 8, threshold: float = 0.99
+) -> DataFrame:
+    return load_index(spark, path, comps_table_spec(k, threshold))

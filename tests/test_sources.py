@@ -354,3 +354,39 @@ class TestDedupIndexTables:
             with materialized(fn(spark, self.SF, loaded)) as df:
                 got = sorted(map(tuple, df.collect()))
             assert got == base, fn.__name__
+
+    def test_comps_table_second_amortization_tier(self, spark, tmp_path):
+        """r13: the CLOSURE persists too — components computed once from a
+        shared pair table, saved, and both closure consumers (survivors +
+        bias audit) run off the LOADED comps table with results identical
+        to their self-contained builds; a comps table whose embedded pair
+        spec mismatches fails loudly at load."""
+        import pytest as _pytest
+
+        from dblink_spark.operators.components import connected_components
+        from dblink_spark.queries import materialized, release_caches
+        from dblink_spark.queries.dedup import (
+            bottomk_sketch_pairs, dedup_survivors,
+        )
+        from dblink_spark.queries.pipeline import q_docs_dedup_bias_audit
+        from dblink_spark.sources.dedup_index import (
+            load_comps_table, save_comps_table,
+        )
+
+        d = spark.read.parquet(f"{self.SF}/documents.parquet")
+        pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
+        comps = connected_components(pairs, "doc1", "doc2")
+        path = str(tmp_path / "comps")
+        save_comps_table(comps, path)
+        release_caches(pairs)
+        loaded = load_comps_table(spark, path)
+        for fn in (dedup_survivors, q_docs_dedup_bias_audit):
+            with materialized(fn(spark, self.SF)) as b:
+                base = sorted(map(tuple, b.collect()))
+            with materialized(fn(spark, self.SF, comps=loaded)) as df:
+                got = sorted(map(tuple, df.collect()))
+            assert got == base, fn.__name__
+        # spec discipline: a different sketch k is a DIFFERENT pair
+        # universe — the embedded pair spec must reject the load
+        with _pytest.raises(ValueError, match="spec mismatch"):
+            load_comps_table(spark, path, k=16)
