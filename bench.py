@@ -1017,7 +1017,7 @@ def er_iteration_floor_breakdown(spark) -> dict:
     return out
 
 
-def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3) -> dict:
+def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 6) -> dict:
     """1M-record distributed chain at p=8 vs p=16 vs p=32 (VERDICT r6
     task 7, extended to 32 parts per VERDICT r11 task 7: 13→9.7 s/iter at
     8→16 suggested headroom). Reports the MEDIAN sec/iter per
@@ -1037,7 +1037,13 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3)
     records, attrs, cache = _make_er_problem(spark, n_records, seed=17)
     build_s = time.time() - t0
     s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=31)
-    out = {"er_1m_n_records": n_records, "er_1m_cache_build_sec": round(build_s, 1)}
+    out = {
+        "er_1m_n_records": n_records,
+        "er_1m_cache_build_sec": round(build_s, 1),
+        # methodology marker (r13): median over SIX iterations (was 3) —
+        # cross-round diffs on these keys straddle that boundary
+        "er_1m_probe_stat": "median6_r13",
+    }
     for p in (8, 16, 32):
         pf = KDTreePartitioner(
             num_levels=p.bit_length() - 1, attribute_ids=[3, 4, 0]
@@ -1071,6 +1077,16 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 3)
             t0 = time.time()
             s = transition(s, "PCG-I")
             iter_secs.append(round(time.time() - t0, 2))
+        # r13: SIX iterations per point (was 3) — two isolated clean-
+        # canary probes at 16p produced [9.4, 8.5, 9.2, 2.2, 2.2, 2.1]
+        # and [15.2, 5.4, 6.2, 22.5, 27.2, 28.3]: per-iteration times at
+        # 1M swing 3-5x within a single window with no stable phase
+        # structure, so a 3-sample median was adjudicating host weather.
+        # The median over 6 plus the per-point canary plus the full
+        # array is the honest committed shape. (The same probes DID
+        # nail something reproducible: retired checkpoints were leaking
+        # ~60 MB/iteration — fixed in er/state.py:_release_state_df,
+        # storage now flat at one live checkpoint.)
         spi = statistics.median(iter_secs)
         out[f"er_1m_{p}part_sec_per_iter"] = round(spi, 2)
         out[f"er_1m_{p}part_sec_per_iter_norm"] = round(

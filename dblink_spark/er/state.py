@@ -1019,6 +1019,30 @@ def _cache_ref(state: State, df: DataFrame):
     return handle if handle else state.cache
 
 
+def _release_state_df(old_df) -> None:
+    """Free a retired state DataFrame's storage NOW, not at GC time.
+
+    ``DataFrame.unpersist`` only clears the CacheManager entry; a
+    ``localCheckpoint``'ed state's storage lives on the CHECKPOINT RDD
+    inside its LogicalRDD plan, which survives until the py4j object is
+    garbage collected and the ContextCleaner gets to it. Measured on the
+    1M-record chain (r13): one leaked ~60 MB cached RDD per iteration,
+    monotone growth — a 1,000-iteration production run would pin ~60 GB
+    of storage it never reads again. Reaching through the analyzed plan
+    for ``.rdd()`` (only LogicalRDD has it; anything else raises and is
+    ignored) releases the blocks immediately."""
+    if old_df is None:
+        return
+    try:
+        old_df.unpersist()
+    except Exception:  # noqa: BLE001 — may be unpersisted already
+        pass
+    try:
+        old_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — not a checkpointed plan
+        pass
+
+
 def transition(
     state: State, mode: str, phase_sink: dict[str, float] | None = None
 ) -> State:
@@ -1076,11 +1100,7 @@ def transition(
         current_seed=state.current_seed + state.num_partitions,
     )
     for old_df in old_dfs:
-        if old_df is not None:
-            try:
-                old_df.unpersist()
-            except Exception:  # noqa: BLE001 — may be unpersisted already
-                pass
+        _release_state_df(old_df)
     return new_state
 
 
@@ -1183,11 +1203,7 @@ def transition_fused(
             current_seed=state.current_seed + n_sweeps * state.num_partitions,
         )
     for old_df in old_dfs:
-        if old_df is not None:
-            try:
-                old_df.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        _release_state_df(old_df)
     return new_state
 
 
@@ -1298,11 +1314,7 @@ def transition_local(state: State, mode: str) -> State:
         current_seed=state.current_seed + P,
     )
     for old_df in old_dfs:
-        if old_df is not None:
-            try:
-                old_df.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        _release_state_df(old_df)
     return new_state
 
 
@@ -1493,11 +1505,7 @@ def assign_partitions(
         ),
     )
     for old_df in old_dfs:
-        if old_df is not None:
-            try:
-                old_df.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        _release_state_df(old_df)
     return new_state
 
 
