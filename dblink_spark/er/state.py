@@ -1050,6 +1050,13 @@ def transition(
     θ update (driver Beta draws) → partition kernels (one shuffle) →
     in-band summary collection.
 
+    CONSUMES its input past iteration 0: the previous state's checkpoint
+    storage is released once the new state materializes (r13 — pre-r13
+    this leaked ~60 MB/iteration at 1M records), so advancing a STALE
+    mid-chain handle you already transitioned past reads freed blocks
+    and raises. Iteration-0 roots and `assign_partitions` forks stay
+    readable.
+
     ``phase_sink`` (bench/profiling only): when given, receives
     ``{"plan": s, "job": s}`` — the driver-side cost (θ draw, salt
     column, kernel plan build + cloudpickle, lazy-checkpoint Catalyst
@@ -1088,7 +1095,13 @@ def transition(
         summary = collect_summary(new_df, cache)
         if phase_sink is not None:
             phase_sink["job"] = _time.time() - t1
-    old_dfs = [state._df, state.block_df]
+    # never release the chain ROOT (iteration 0): init states are
+    # legitimately reused as fork points (part.fit(s0.df) after a
+    # warm fused transition; multi-partitioning sweeps); from
+    # iteration 1 on the predecessor is genuinely retired chain state
+    old_dfs = (
+        [state._df, state.block_df] if state.iteration > 0 else []
+    )
     new_state = replace(
         state,
         iteration=state.iteration + 1,
@@ -1168,7 +1181,13 @@ def transition_fused(
             agg_distortions=agg.reshape(A, Fn),
             rec_distortions=hist,
         )
-        old_dfs = [state._df, state.block_df]
+        # never release the chain ROOT (iteration 0): init states are
+        # legitimately reused as fork points (part.fit(s0.df) after a
+        # warm fused transition; multi-partitioning sweeps); from
+        # iteration 1 on the predecessor is genuinely retired chain state
+        old_dfs = (
+            [state._df, state.block_df] if state.iteration > 0 else []
+        )
         new_state = replace(
             state,
             iteration=state.iteration + n_sweeps,
@@ -1191,7 +1210,13 @@ def transition_fused(
             )
             new_df = new_df.localCheckpoint(eager=False)
             summary = collect_summary(new_df, cache)
-        old_dfs = [state._df, state.block_df]
+        # never release the chain ROOT (iteration 0): init states are
+        # legitimately reused as fork points (part.fit(s0.df) after a
+        # warm fused transition; multi-partitioning sweeps); from
+        # iteration 1 on the predecessor is genuinely retired chain state
+        old_dfs = (
+            [state._df, state.block_df] if state.iteration > 0 else []
+        )
         new_state = replace(
             state,
             iteration=state.iteration + n_sweeps,
@@ -1302,7 +1327,13 @@ def transition_local(state: State, mode: str) -> State:
             buckets.setdefault(t, []).append(sub)
     migrated = {t: concat_partition_states(subs) for t, subs in buckets.items()}
 
-    old_dfs = [state._df, state.block_df]
+    # never release the chain ROOT (iteration 0): init states are
+    # legitimately reused as fork points (part.fit(s0.df) after a
+    # warm fused transition; multi-partitioning sweeps); from
+    # iteration 1 on the predecessor is genuinely retired chain state
+    old_dfs = (
+        [state._df, state.block_df] if state.iteration > 0 else []
+    )
     new_state = replace(
         state,
         iteration=state.iteration + 1,
@@ -1488,7 +1519,12 @@ def assign_partitions(
     audit_partition_budget(
         new_df, state.cache.num_attributes, partition_budget_bytes
     )
-    old_dfs = [state._df, state.block_df]
+    # NO release of the input state's frames: assign_partitions is a FORK,
+    # not an advance — callers legitimately re-key the SAME source state
+    # under several partitioners (the bench's 1/2/4-part sweeps, probe
+    # tools), so the input must stay readable (releasing here broke the
+    # second assign_partitions(s0, ...) with
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     new_state = replace(
         state,
         _df=new_df,
@@ -1504,8 +1540,6 @@ def assign_partitions(
             else state.current_seed
         ),
     )
-    for old_df in old_dfs:
-        _release_state_df(old_df)
     return new_state
 
 

@@ -29,14 +29,23 @@ CHAIN_DIRNAME = "linkage-chain.parquet"
 class BufferedChainWriter:
     """Buffer samples; one parquet append per ``buffer_size`` samples.
 
-    Accepts either Spark DataFrames (distributed chains — each must derive
-    from a materialized/localCheckpoint'ed state so the union re-scans cached
-    partitions instead of recomputing the chain) or Arrow tables
+    Accepts either Spark DataFrames (distributed chains) or Arrow tables
     (driver-local chains — flushed directly via pyarrow, no Spark job).
     Both land in the same directory with matching column types, so the scan
     side is oblivious to which writer produced a given file, and the
     pyarrow files carry the same ``iteration`` footer min/max stats the
     cutoff filter skips on.
+
+    DataFrame samples are DECOUPLED from their source state at append
+    time via an eager ``localCheckpoint`` (r13): a buffered lazy frame
+    derived from iteration N's state would otherwise read N's checkpoint
+    blocks at flush time — up to ``buffer_size`` iterations later — and
+    the chain now releases retired checkpoints immediately
+    (`er/state.py:_release_state_df`; the pre-r13 behavior only worked
+    because those blocks were leaking). The checkpointed buffer entries
+    are themselves released after the flush writes them, so storage is
+    bounded by the buffer window. The driver-local Arrow path already
+    materialized at append by construction.
     """
 
     def __init__(self, path: str, buffer_size: int = 10, append: bool = False):
@@ -47,6 +56,9 @@ class BufferedChainWriter:
         self._wrote = False
 
     def append(self, sample: DataFrame | pa.Table) -> None:
+        if not isinstance(sample, pa.Table):
+            # decouple from the producing state NOW (see class docstring)
+            sample = sample.localCheckpoint(eager=True)
         self._buffer.append(sample)
         if len(self._buffer) >= self.buffer_size:
             self.flush()
@@ -73,6 +85,12 @@ class BufferedChainWriter:
             mode = "overwrite" if overwrite and not self._wrote else "append"
             df.write.mode(mode).parquet(self.path)
             self._wrote = True
+            for d in dfs:  # buffered checkpoints are on disk now — free them
+                try:
+                    d.unpersist()
+                    d._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:  # noqa: BLE001 — best-effort storage release
+                    pass
         self._buffer.clear()
 
 

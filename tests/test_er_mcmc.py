@@ -17,7 +17,7 @@ from dblink_spark.er.cache import build_records_cache
 from dblink_spark.er.datagen import make_rldata
 from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
 from dblink_spark.er.sampler import SamplerOptions, sample
-from dblink_spark.er.state import init_state, transition
+from dblink_spark.er.state import assign_partitions, init_state, transition
 
 
 @pytest.fixture(scope="module")
@@ -138,6 +138,44 @@ def test_kdtree_partitioned_run(spark, rl_setup):
     _check_invariants(state, len(pdf), len(pdf))
     pids = {r["partition_id"] for r in state.df.filter("NOT is_summary").select("partition_id").distinct().collect()}
     assert pids == {0, 1}, f"expected both partitions populated, got {pids}"
+
+
+def test_assign_partitions_is_a_fork_not_an_advance(spark, rl_setup):
+    """r13 regression: the storage-release that transition() now performs
+    must NOT happen at the assign_partitions fork point — callers re-key
+    the SAME source state under several partitioners (the bench's
+    1/2/4-part sweeps did exactly this and hit
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when the first fork released s0's
+    checkpoint). Both forks from one s0 must run transitions; and the
+    buffered chain writer must flush samples whose source states were
+    retired iterations ago (append-time decoupling)."""
+    records, attrs, cache, pdf = rl_setup
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=13)
+    part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+    part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+    a = assign_partitions(s0, SinglePartition(), 1)
+    a = transition(a, "PCG-I")
+    b = assign_partitions(s0, part, 2)  # second fork from the SAME s0
+    b = transition(b, "PCG-I")
+    _check_invariants(b, len(pdf), len(pdf))
+
+    # buffered writer survives retired source states: 3 samples buffered
+    # across 3 transitions, flushed at the end — each sample's producing
+    # state was consumed by the next transition before the flush
+    import tempfile
+
+    from dblink_spark.er.sampler import linkage_sample
+    from dblink_spark.sources.chain import BufferedChainWriter, read_linkage_chain
+
+    out = tempfile.mkdtemp(prefix="chainbuf_")
+    w = BufferedChainWriter(out, buffer_size=10)
+    s = a
+    for _ in range(3):
+        w.append(linkage_sample(s))
+        s = transition(s, "PCG-I")
+    w.flush()
+    chain = read_linkage_chain(spark, out)
+    assert chain.select("iteration").distinct().count() == 3
 
 
 def test_iteration_storage_is_bounded(spark, rl_setup):

@@ -103,10 +103,10 @@ def main() -> None:
         st.run_fused_sweeps = lambda ps, *a, **k: ps
         try:
             t0 = time.time()
-            s_id = st.transition(s, "PCG-I")
+            s = st.transition(s, "PCG-I")  # transition CONSUMES its input
             t_identity = time.time() - t0
             t0 = time.time()
-            s_id2 = st.transition(s_id, "PCG-I")
+            s = st.transition(s, "PCG-I")
             t_identity2 = time.time() - t0
         finally:
             st.run_fused_sweeps = real_sweeps
