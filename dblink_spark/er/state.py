@@ -131,6 +131,20 @@ class SummaryVars:
     rec_distortions: np.ndarray  # histogram over 0..A distorted attrs
 
 
+class StateConsumedError(RuntimeError):
+    """A transition already CONSUMED this state (its checkpoint storage was
+    released when the successor materialized — see ``transition``'s
+    consume-on-transition rule, r13). Reading or advancing it would hit
+    freed RDD blocks deep inside Spark (raw
+    ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``), so the reuse fails HERE with a
+    name instead (r13 ADVICE). The rule: ADVANCE a chain through the state
+    the last transition returned; FORK (linkage_sample, a second
+    partitioner fit, ...) from the iteration-0 root or an
+    ``assign_partitions`` result — roots and forks are never consumed. To
+    keep a mid-chain snapshot readable, save it (``state_io.save_state``)
+    or take ``state.df`` BEFORE advancing past it."""
+
+
 @dataclass
 class State:
     """Full chain state (ref: State.scala:56-68).
@@ -174,9 +188,18 @@ class State:
     #: measured ~0.12 s/iteration at p=4 on local[32]. Mirrors the
     #: reference's broadcast RecordsCache (ref: RecordsCache.scala:74-106).
     cache_bcast: "object | None" = None
+    #: set once a transition consumes this state (checkpoint storage
+    #: released); any later read raises StateConsumedError by name
+    _released: bool = False
 
     @property
     def df(self) -> DataFrame:
+        if self._released:
+            raise StateConsumedError(
+                f"state at iteration {self.iteration} was consumed by a "
+                "later transition; read .df before advancing, or fork from "
+                "the chain root / an assign_partitions result"
+            )
         if self._df is None and self.block_df is not None:
             self._df = _blocks_df_to_cluster_df(
                 self.block_df, self.cache.num_attributes
@@ -749,7 +772,12 @@ def _murmur3_int(x: int, seed: int = 42) -> int:
 #: memoized salt Column expressions keyed by (num_partitions, num_buckets)
 #: — Column objects are immutable and plan-independent, so one expression
 #: serves every iteration of every chain at that width. Unbounded growth
-#: impossible in practice (a session uses a handful of widths).
+#: impossible in practice (a session uses a handful of widths). Values are
+#: ``(weakref-to-SparkContext, expr)`` (r13 ADVICE): a Column is backed by
+#: a py4j JVM object owned by ONE gateway — after a SparkContext restart in
+#: the same process a cached expression references a dead JVM object and
+#: every transition at that width would fail with an opaque py4j error, so
+#: entries built under a different (or collected) context are rebuilt.
 _SALT_EXPR_CACHE: dict = {}
 
 
@@ -815,11 +843,17 @@ def _salted_group(
     # expression-construction round-trips (the transition loop calls this
     # every iteration — measured ~17 ms/iter at p=4 rebuilt fresh)
     key = (num_partitions, m)
-    expr = _SALT_EXPR_CACHE.get(key)
+    import weakref
+
+    sc = df.sparkSession.sparkContext
+    hit = _SALT_EXPR_CACHE.get(key)
+    # validate the cached Column was built under the LIVE context (a
+    # weakref, not id(), because CPython reuses ids after GC)
+    expr = hit[1] if hit is not None and hit[0]() is sc else None
     if expr is None:
         arr = F.array(*[F.lit(s) for s in salts])
         expr = F.element_at(arr, F.col("partition_id") + 1)
-        _SALT_EXPR_CACHE[key] = expr
+        _SALT_EXPR_CACHE[key] = (weakref.ref(sc), expr)
     return (
         df.withColumn("__kernel_salt", expr),
         ["partition_id", "__kernel_salt"],
@@ -1043,6 +1077,30 @@ def _release_state_df(old_df) -> None:
         pass
 
 
+def _consume_state_dfs(state: State, old_dfs) -> None:
+    """Release retired checkpoint storage and mark the predecessor consumed
+    (``StateConsumedError`` on any later read/advance). Only marks when
+    something was actually released — a pure-local predecessor (no
+    DataFrame form) has nothing freed and stays legitimately readable."""
+    released = False
+    for old_df in old_dfs:
+        if old_df is not None:
+            _release_state_df(old_df)
+            released = True
+    if released:
+        state._released = True
+
+
+def _require_live(state: State, op: str) -> None:
+    if state._released:
+        raise StateConsumedError(
+            f"{op}: state at iteration {state.iteration} was already "
+            "consumed by a later transition; advance the state the last "
+            "transition returned, or fork from the chain root / an "
+            "assign_partitions result"
+        )
+
+
 def transition(
     state: State, mode: str, phase_sink: dict[str, float] | None = None
 ) -> State:
@@ -1052,9 +1110,11 @@ def transition(
 
     CONSUMES its input past iteration 0: the previous state's checkpoint
     storage is released once the new state materializes (r13 — pre-r13
-    this leaked ~60 MB/iteration at 1M records), so advancing a STALE
-    mid-chain handle you already transitioned past reads freed blocks
-    and raises. Iteration-0 roots and `assign_partitions` forks stay
+    this leaked ~60 MB/iteration at 1M records), so reading or advancing
+    a STALE mid-chain handle you already transitioned past raises
+    ``StateConsumedError`` by name (r14, the r13 ADVICE: previously the
+    reuse surfaced as a raw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND from deep
+    inside Spark). Iteration-0 roots and `assign_partitions` forks stay
     readable.
 
     ``phase_sink`` (bench/profiling only): when given, receives
@@ -1065,6 +1125,7 @@ def transition(
     None (two branch checks)."""
     import time as _time
 
+    _require_live(state, "transition")
     t0 = _time.time() if phase_sink is not None else 0.0
     cache = state.cache
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
@@ -1112,8 +1173,7 @@ def transition(
         summary=summary,
         current_seed=state.current_seed + state.num_partitions,
     )
-    for old_df in old_dfs:
-        _release_state_df(old_df)
+    _consume_state_dfs(state, old_dfs)
     return new_state
 
 
@@ -1136,6 +1196,7 @@ def transition_fused(
     seeds per sweep); only θ's RNG stream differs, so a fused run is not
     bit-identical to an unfused one.
     """
+    _require_live(state, "transition_fused")
     if state.num_partitions != 1:
         raise ValueError("transition_fused requires a single-partition chain")
     if n_sweeps < 1:
@@ -1227,8 +1288,7 @@ def transition_fused(
             summary=summary,
             current_seed=state.current_seed + n_sweeps * state.num_partitions,
         )
-    for old_df in old_dfs:
-        _release_state_df(old_df)
+    _consume_state_dfs(state, old_dfs)
     return new_state
 
 
@@ -1282,6 +1342,7 @@ def transition_local(state: State, mode: str) -> State:
     dominates driver-sized problems (the reference runs these workloads on
     local[1], docs/guide.md:132-141).
     """
+    _require_live(state, "transition_local")
     cache = state.cache
     num_attrs = cache.num_attributes
     theta = draw_theta(state.rng, cache, state.summary.agg_distortions)
@@ -1344,8 +1405,7 @@ def transition_local(state: State, mode: str) -> State:
         summary=summary,
         current_seed=state.current_seed + P,
     )
-    for old_df in old_dfs:
-        _release_state_df(old_df)
+    _consume_state_dfs(state, old_dfs)
     return new_state
 
 

@@ -167,30 +167,55 @@ def _jpeg_codec() -> tuple:
         _flush(n)
         return segments, pos + n
 
-    class _SegReader:
-        """Bit reader over ONE unstuffed restart segment. The segment's
-        bits unpack once (numpy) into a sliding 16-bit-window array, so a
-        Huffman symbol is one LUT load and magnitude bits are one shift —
-        no per-bit Python anywhere."""
+    # bytes of entropy payload whose window list is materialized at once:
+    # the Python-int list costs ~36 B per BIT, so one chunk tops out around
+    # 18 MB regardless of segment size — a multi-MB scan without restart
+    # markers no longer builds a GBs-deep list in one task (r13 ADVICE).
+    # Typical segments (restart intervals, thumbnails, test fixtures) fit
+    # in ONE chunk, so the common case pays only a subtraction per access.
+    _SEG_CHUNK_BYTES = 1 << 16
 
-        __slots__ = ("win", "nbits", "pos")
+    class _SegReader:
+        """Bit reader over ONE unstuffed restart segment. Bits unpack
+        (numpy) into a sliding 16-bit-window array one bounded CHUNK at a
+        time, so a Huffman symbol is one LUT load and magnitude bits are
+        one shift — no per-bit Python anywhere, and peak memory is
+        O(chunk), not O(segment)."""
+
+        __slots__ = ("seg", "win", "nbits", "pos", "base", "limit")
 
         def __init__(self, seg: np.ndarray):
-            bits = np.unpackbits(seg)
-            self.nbits = bits.size
+            self.seg = seg
+            self.nbits = int(seg.size) * 8
+            self.pos = 0
+            self._load(0)
+
+        def _load(self, bitpos: int) -> None:
+            b0 = bitpos >> 3
+            b1 = min(b0 + _SEG_CHUNK_BYTES, self.seg.size)
+            bits = np.unpackbits(self.seg[b0:b1])
+            n = bits.size
             padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
-            win = np.zeros(self.nbits + 1, dtype=np.uint32)
+            win = np.zeros(n + 1, dtype=np.uint32)
             for k in range(16):
-                win = (win << 1) | padded[k : k + self.nbits + 1]
+                win = (win << 1) | padded[k : k + n + 1]
             # python ints: the symbol loop indexes this hundreds of
             # thousands of times per image — list access is ~3x cheaper
             # than numpy scalar extraction at that call volume
             self.win = win.tolist()
-            self.pos = 0
+            self.base = b0 * 8
+            # windows within 16 bits of a NON-final chunk's end are built
+            # on zero padding that actually continues in the next chunk —
+            # only positions with full in-chunk lookahead are servable
+            self.limit = (
+                self.base + n if b1 == self.seg.size else self.base + n - 16
+            )
 
         def decode_sym(self, table) -> int:
             sym, ln = table
-            w = self.win[self.pos]
+            if self.pos > self.limit:
+                self._load(self.pos)
+            w = self.win[self.pos - self.base]
             l = ln[w]
             if l == 0 or self.pos + l > self.nbits:
                 raise ValueError("invalid Huffman code in scan")
@@ -200,7 +225,9 @@ def _jpeg_codec() -> tuple:
         def receive(self, nb: int) -> int:
             if self.pos + nb > self.nbits:
                 raise ValueError("entropy segment exhausted mid-symbol")
-            v = self.win[self.pos] >> (16 - nb)
+            if self.pos > self.limit:
+                self._load(self.pos)
+            v = self.win[self.pos - self.base] >> (16 - nb)
             self.pos += nb
             return v
 
@@ -282,9 +309,17 @@ def _jpeg_codec() -> tuple:
                 scan = []
                 for i in range(ns):
                     cs, tables = body[1 + 2 * i], body[2 + 2 * i]
-                    comp = next(
-                        c for c in frame["comps"] if c["id"] == cs
-                    )
+                    comp = None
+                    for c in frame["comps"]:
+                        if c["id"] == cs:
+                            comp = c
+                            break
+                    if comp is None:
+                        # explicit lookup, not next(): a bare StopIteration
+                        # escaped the kernels' except ValueError (r13 ADVICE)
+                        raise ValueError(
+                            f"SOS references unknown component id {cs}"
+                        )
                     scan.append((comp, tables >> 4, tables & 0xF))
                 data_pos = pos + 2 + seg_len
                 if not frame.get("prog"):
@@ -375,8 +410,12 @@ def _jpeg_codec() -> tuple:
             dsym, dln = huff_dc[tdc]
             acsym, acln = huff_ac[tac]
             win, nbits, pos = br.win, br.nbits, br.pos
+            base, limit = br.base, br.limit
             blk = [0] * 64
-            w = win[pos]
+            if pos > limit:  # chunked window: refill past the chunk edge
+                br._load(pos)
+                win, base, limit = br.win, br.base, br.limit
+            w = win[pos - base]
             l = dln[w]
             if l == 0 or pos + l > nbits:
                 raise ValueError("invalid Huffman code in scan")
@@ -385,7 +424,10 @@ def _jpeg_codec() -> tuple:
             if t:
                 if pos + t > nbits:
                     raise ValueError("entropy segment exhausted mid-symbol")
-                v = win[pos] >> (16 - t)
+                if pos > limit:
+                    br._load(pos)
+                    win, base, limit = br.win, br.base, br.limit
+                v = win[pos - base] >> (16 - t)
                 pos += t
                 diff = v - (1 << t) + 1 if v < (1 << (t - 1)) else v
             else:
@@ -395,7 +437,10 @@ def _jpeg_codec() -> tuple:
             blk[0] = p
             k = 1
             while k < 64:
-                w = win[pos]
+                if pos > limit:
+                    br._load(pos)
+                    win, base, limit = br.win, br.base, br.limit
+                w = win[pos - base]
                 l = acln[w]
                 if l == 0 or pos + l > nbits:
                     raise ValueError("invalid Huffman code in scan")
@@ -412,7 +457,10 @@ def _jpeg_codec() -> tuple:
                     raise ValueError("AC run past block end")
                 if pos + s > nbits:
                     raise ValueError("entropy segment exhausted mid-symbol")
-                v = win[pos] >> (16 - s)
+                if pos > limit:
+                    br._load(pos)
+                    win, base, limit = br.win, br.base, br.limit
+                v = win[pos - base] >> (16 - s)
                 pos += s
                 blk[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                 k += 1
@@ -666,17 +714,38 @@ def _jpeg_codec() -> tuple:
         )
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
+    def _parse_normalized(buf: bytes):
+        """_parse with structural failures NORMALIZED to ValueError.
+
+        A sniff-passing but malformed stream can raise KeyError (missing
+        DQT/DHT table id), IndexError (truncated segment body), or — before
+        r14's explicit SOS lookup — StopIteration, all of which escaped the
+        kernels' ``except ValueError`` fallback arms and failed the whole
+        Spark job (r13 ADVICE). The decode contract is 'ValueError on any
+        malformed payload', enforced here at the single entry seam."""
+        try:
+            return _parse(bytes(buf))
+        except (KeyError, IndexError, StopIteration) as exc:
+            raise ValueError(
+                f"malformed JPEG stream ({type(exc).__name__}: {exc})"
+            ) from exc
+
     def jpeg_decode(buf: bytes) -> np.ndarray:
         """Baseline JFIF -> (H, W) uint8 grayscale or (H, W, 3) uint8
-        RGB."""
-        frame, coeffs = _parse(bytes(buf))
-        return _assemble(frame, coeffs)
+        RGB. Raises ValueError (and only ValueError) on malformed input."""
+        frame, coeffs = _parse_normalized(buf)
+        try:
+            return _assemble(frame, coeffs)
+        except (KeyError, IndexError, StopIteration) as exc:
+            raise ValueError(
+                f"malformed JPEG stream ({type(exc).__name__}: {exc})"
+            ) from exc
 
     def jpeg_decode_coeffs(buf: bytes):
         """Dequantized DCT coefficient planes per component id — the
-        bit-exact boundary the entropy-pipeline round-trip test pins."""
-        frame, coeffs = _parse(bytes(buf))
-        return frame, coeffs
+        bit-exact boundary the entropy-pipeline round-trip test pins.
+        Raises ValueError (and only ValueError) on malformed input."""
+        return _parse_normalized(buf)
 
     def looks_like_jpeg(buf: bytes) -> bool:
         """Strict sniff (mirrors `looks_like_bmp`'s validate-don't-guess

@@ -276,7 +276,10 @@ def bmp_resize_codec() -> Callable[[bytes, int, int], np.ndarray]:
                 px = jpg_decode(buf)
             else:
                 return fake(buf, width, height)
-        except ValueError:
+        # decoders normalize structural failures to ValueError at their
+        # entry seam (r13 ADVICE); the extra types are belt-and-braces so
+        # a future decoder edit can never re-open the fail-the-job hole
+        except (ValueError, KeyError, IndexError, StopIteration):
             return fake(buf, width, height)
         if px.ndim == 3:
             px = (px.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
@@ -371,7 +374,9 @@ def decode_media(
                             sig = _jpg_dec(b)
                         else:
                             continue
-                    except ValueError:
+                    # normalized to ValueError at the decoder seam (r13
+                    # ADVICE); extra types are belt-and-braces
+                    except (ValueError, KeyError, IndexError, StopIteration):
                         continue
                     sig = sig.astype(np.int64, copy=False).ravel()
                     lens[i] = sig.size

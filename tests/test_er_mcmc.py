@@ -430,3 +430,67 @@ class TestKernelTaskPlacement:
         from dblink_spark.er.state import _kernel_salts
 
         assert _kernel_salts(33, 32) is None
+
+
+def test_consumed_state_raises_named_error(spark, rl_setup):
+    """r13 ADVICE: transition() consumes its input past iteration 0 —
+    reading or advancing the consumed handle must fail HERE with
+    StateConsumedError, not as a raw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    from deep inside Spark. Roots stay readable (fork-vs-advance rule)."""
+    from dblink_spark.er.state import StateConsumedError
+
+    records, attrs, cache, pdf = rl_setup
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=21)
+    s1 = transition(s0, "PCG-I")
+    s2 = transition(s1, "PCG-I")  # consumes s1
+    with pytest.raises(StateConsumedError, match="iteration 1"):
+        _ = s1.df
+    with pytest.raises(StateConsumedError, match="transition"):
+        transition(s1, "PCG-I")
+    # the chain ROOT is never consumed: both reads must still work
+    assert s0.df.filter("NOT is_summary").count() == len(pdf)
+    _check_invariants(s2, len(pdf), len(pdf))
+
+
+def test_salt_expr_cache_keyed_by_live_context(spark):
+    """r13 ADVICE: _SALT_EXPR_CACHE entries are py4j-backed Columns owned
+    by ONE gateway — an entry built under a dead/replaced SparkContext
+    must be rebuilt, not served (it would fail every transition at that
+    width with an opaque py4j error)."""
+    import weakref
+
+    from pyspark.sql import functions as F
+
+    from dblink_spark.er import state as st
+
+    df = spark.range(16).withColumn(
+        "partition_id", (F.col("id") % 4).cast("int")
+    )
+    out1, keys1 = st._salted_group(df, 4, num_buckets=32)
+    assert keys1 == ["partition_id", "__kernel_salt"]
+    ent = st._SALT_EXPR_CACHE[(4, 32)]
+    assert ent[0]() is spark.sparkContext
+    expr1 = ent[1]
+    st._salted_group(df, 4, num_buckets=32)
+    assert st._SALT_EXPR_CACHE[(4, 32)][1] is expr1, "live-context memo hit"
+
+    class _DeadContext:
+        pass
+
+    dead = _DeadContext()
+    st._SALT_EXPR_CACHE[(4, 32)] = (weakref.ref(dead), expr1)
+    del dead  # the weakref now resolves to None, as after a restart
+    out3, keys3 = st._salted_group(df, 4, num_buckets=32)
+    ent3 = st._SALT_EXPR_CACHE[(4, 32)]
+    assert ent3[0]() is spark.sparkContext, "stale entry must be rebuilt"
+    # the rebuilt expression is functional AND delivers the salt property:
+    # each pid's (pid, salt) hash lands in its OWN shuffle bucket
+    buckets = (
+        out3.select(
+            F.pmod(F.hash("partition_id", "__kernel_salt"), F.lit(32))
+            .alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert buckets == 4

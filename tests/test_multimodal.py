@@ -1116,3 +1116,123 @@ class TestJpegCodec:
         ys = (np.arange(8) * 33) // 8
         xs = (np.arange(8) * 41) // 8
         assert (got == grayd[ys][:, xs]).all()
+
+
+class TestJpegMalformedStreams:
+    """r13 ADVICE (medium): the decode contract is 'ValueError — and ONLY
+    ValueError — on any malformed payload', because the resize/stats
+    kernels' fallback arms catch ValueError. Sniff-passing streams whose
+    structure breaks deeper in (unknown SOS component id, deleted DQT,
+    truncated SOS body) used to escape as StopIteration / KeyError /
+    IndexError and fail the whole Spark job; they are now normalized at
+    the decoder's entry seam."""
+
+    @staticmethod
+    def _find_marker(buf: bytes, marker: int) -> int:
+        pos = 2
+        while pos + 4 <= len(buf):
+            assert buf[pos] == 0xFF
+            if buf[pos + 1] == marker:
+                return pos
+            pos += 2 + int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        raise AssertionError(f"marker {marker:#x} not found")
+
+    @staticmethod
+    def _valid_buf() -> bytes:
+        from dblink_spark.operators.jpeg import jpeg_encode_baseline
+
+        img = (np.add.outer(np.arange(19) * 3, np.arange(23) * 2) % 256
+               ).astype(np.uint8)
+        return jpeg_encode_baseline(img)
+
+    def test_unknown_sos_component_id_is_valueerror(self):
+        """Previously a bare StopIteration from next() (verified repro)."""
+        from dblink_spark.operators.jpeg import _looks_like_jpeg, jpeg_decode
+
+        buf = bytearray(self._valid_buf())
+        sos = self._find_marker(bytes(buf), 0xDA)
+        buf[sos + 5] = 0x77  # first scan component id -> unknown
+        assert _looks_like_jpeg(bytes(buf)), "must reach the decoder"
+        with pytest.raises(ValueError, match="unknown component id"):
+            jpeg_decode(bytes(buf))
+
+    def test_missing_dqt_is_valueerror(self):
+        """Previously a bare KeyError from the qt[tq] lookup."""
+        from dblink_spark.operators.jpeg import _looks_like_jpeg, jpeg_decode
+
+        buf = self._valid_buf()
+        dqt = self._find_marker(buf, 0xDB)
+        seg_len = int.from_bytes(buf[dqt + 2 : dqt + 4], "big")
+        cut = buf[:dqt] + buf[dqt + 2 + seg_len :]  # splice DQT out
+        assert _looks_like_jpeg(cut), "must reach the decoder"
+        with pytest.raises(ValueError, match="malformed JPEG"):
+            jpeg_decode(cut)
+
+    def test_truncated_sos_body_is_valueerror(self):
+        """Previously a bare IndexError from indexing past the body."""
+        from dblink_spark.operators.jpeg import jpeg_decode
+
+        buf = bytearray(self._valid_buf())
+        sos = self._find_marker(bytes(buf), 0xDA)
+        buf[sos + 4] = 3  # claim 3 scan components; body holds 1
+        with pytest.raises(ValueError):
+            jpeg_decode(bytes(buf))
+
+    def test_malformed_payloads_keep_fake_stats_in_kernel(self, spark):
+        """End-to-end: one malformed-but-sniffable JPEG in a batch must
+        not fail the job — its row keeps the deterministic fake stats."""
+        from dblink_spark.operators import multimodal as mm
+
+        if mm.Image is not None:  # pragma: no cover - PIL present
+            pytest.skip("default decode_media path routes through PIL")
+        buf = bytearray(self._valid_buf())
+        sos = self._find_marker(bytes(buf), 0xDA)
+        buf[sos + 5] = 0x77
+        good = self._valid_buf()
+        df = spark.createDataFrame(
+            [(0, bytearray(good), ("image",)),
+             (1, bytearray(bytes(buf)), ("image",))],
+            "doc_id: long, media: binary, media_meta: struct<media_type: string>",
+        )
+        rows = {r["doc_id"]: r for r in mm.decode_media(df).collect()}
+        assert rows[0]["n_samples"] == 19 * 23  # real decode
+        assert rows[1]["n_samples"] == len(bytes(buf))  # fake byte-stats
+
+
+class TestJpegChunkedSegReader:
+    """r13 ADVICE (low): the sliding-window bit reader materialized the
+    whole segment as a Python-int list (~290 B per payload byte) — a
+    multi-MB scan without restart markers needed GBs of heap in one task.
+    The window now builds in bounded chunks; these pin that a payload
+    spanning MANY chunks still round-trips bit-exactly."""
+
+    def test_multi_chunk_segment_is_bit_exact(self):
+        from dblink_spark.operators.jpeg import (
+            _block_coeffs, jpeg_decode_coeffs, jpeg_encode_baseline,
+        )
+
+        rng = np.random.default_rng(1234)
+        img = rng.integers(0, 256, size=(512, 512), dtype=np.uint8)
+        buf = jpeg_encode_baseline(img, luma_q=1)  # noise + q=1: huge scan
+        # the fix is only exercised if ONE entropy segment spans several
+        # 64 KiB window chunks
+        assert len(buf) > 3 * 65536, f"fixture too small: {len(buf)}"
+        frame, coeffs = jpeg_decode_coeffs(buf)
+        q = np.ones((8, 8), dtype=np.int32)
+        expect = _block_coeffs(img, q) * q
+        assert (coeffs[1] == expect).all()
+
+    def test_chunk_boundary_restarts_equivalent(self):
+        """Chunked reader with restarts (many small segments) must agree
+        with the plain stream (one big segment) — same coefficients."""
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode_coeffs, jpeg_encode_baseline,
+        )
+
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 256, size=(96, 96), dtype=np.uint8)
+        _, c0 = jpeg_decode_coeffs(jpeg_encode_baseline(img, luma_q=1))
+        _, c1 = jpeg_decode_coeffs(
+            jpeg_encode_baseline(img, luma_q=1, restart_interval=3)
+        )
+        assert (c0[1] == c1[1]).all()
