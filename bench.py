@@ -187,6 +187,7 @@ R12_QUERIES = [
 # folding it into a query total double-counts verification as work).
 GATE_QUERIES = [
     "q_inventory_checksum",
+    "q_inventory_checksum_b",
 ]
 
 # Explicit baseline re-bases (VERDICT r7 task 3 / next-round #2): the named

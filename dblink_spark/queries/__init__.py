@@ -555,6 +555,14 @@ _GATE_TAIL = [
     # edge-corpus pinned, and its full result is digest-covered below +
     # driver_sim-verified per round.
     "text_strip_boilerplate",
+    # r14: q_inventory_checksum_b (second digest shard — the 35s single
+    # slot split per its own shard-at-60s rule) enters the head;
+    # q_events_retention rotates out — benched every round since r11, its
+    # one-exchange cohort plan pinned (tests/test_plan_audit.py:943), its
+    # cohort-boundary edges covered (tests/test_query_edge_corpora.py),
+    # and its full result digest-covered below + driver_sim-verified per
+    # round.
+    "q_events_retention",
 ]
 
 

@@ -40,6 +40,13 @@ This is a GATE query: it runs every rotated query at sf0.01 and funnels
 each result through one collect_list per query — fine at gate scale by
 construction, NOT a 100-TB path (the rotated queries themselves are the
 scale paths; their plans are pinned by tests/test_plan_audit.py).
+
+r14: the digest is SHARDED into two registry slots
+(``q_inventory_checksum`` = first half of the sorted rotated set,
+``q_inventory_checksum_b`` = second half) — the single slot had grown to
+~35s of driver-window time at ~0.45-0.5s per rotated entry, against the
+documented shard-at-60s rule. Same coverage, deterministic split, each
+slot roughly half the cost.
 """
 
 from __future__ import annotations
@@ -320,6 +327,14 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("n_tokens", "i"), ("n_kept", "i"),
         ("n_removed", "i"), ("clean_text", "s"),
     ],
+    # r14: q_events_retention rotates to the tail (its head slot funds the
+    # checksum's second shard) — benched every round since r11, plan-pinned
+    # (tests/test_plan_audit.py), cohort edge cases covered
+    # (tests/test_query_edge_corpora.py).
+    "q_events_retention": [
+        ("cohort_day", "i"), ("offset_day", "i"), ("n_users", "i"),
+        ("retention_milli", "i"),
+    ],
 }
 
 _NULL = "<NULL>"
@@ -367,24 +382,25 @@ def _digest_sql(name: str) -> str:
     )
 
 
-def _checksum_oracle() -> str:
-    return "\nUNION ALL\n".join(_digest_sql(n) for n in sorted(CHECKSUM_KINDS))
+def _shard_names(shard: int) -> list[str]:
+    """Deterministic 2-way split of the rotated set (VERDICT r13 task 5:
+    the single digest slot had grown to ~35s of driver-window time,
+    ~0.45-0.5s per rotated entry — two slots halve the per-slot cost and
+    keep each safely under the documented shard-at-60s rule)."""
+    names = sorted(CHECKSUM_KINDS)
+    mid = (len(names) + 1) // 2
+    return names[:mid] if shard == 0 else names[mid:]
 
 
-@register(
-    "q_inventory_checksum",
-    oracle=_checksum_oracle(),
-    survey_ref=(
-        "gate infrastructure: one-slot composite digest of every rotated "
-        "query (driver 50-entry window workaround; ref analogue "
-        "ProjectSteps.scala:34-36 — one config entry drives each step)"
-    ),
-)
-def q_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One (query, n_rows, digest) row per rotated registry entry — see the
-    module docstring for the canonical-serialization contract."""
+def _checksum_oracle(shard: int) -> str:
+    return "\nUNION ALL\n".join(_digest_sql(n) for n in _shard_names(shard))
+
+
+def _checksum_frames(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> DataFrame:
     frames = []
-    for name in sorted(CHECKSUM_KINDS):
+    for name in names:
         q = REGISTRY[name]
         df = q.fn(spark, sf_dir)
         kinds = dict(CHECKSUM_KINDS[name])
@@ -411,3 +427,33 @@ def q_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("query"), "n_rows", "digest")
         )
     return reduce(DataFrame.unionAll, frames)
+
+
+@register(
+    "q_inventory_checksum",
+    oracle=_checksum_oracle(0),
+    survey_ref=(
+        "gate infrastructure: composite digest, shard A (first half of the "
+        "rotated set; driver 50-entry window workaround; ref analogue "
+        "ProjectSteps.scala:34-36 — one config entry drives each step)"
+    ),
+)
+def q_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (query, n_rows, digest) row per rotated registry entry in shard
+    A — see the module docstring for the canonical-serialization
+    contract; shard B lives in ``q_inventory_checksum_b``."""
+    return _checksum_frames(spark, sf_dir, _shard_names(0))
+
+
+@register(
+    "q_inventory_checksum_b",
+    oracle=_checksum_oracle(1),
+    survey_ref=(
+        "gate infrastructure: composite digest, shard B (second half of "
+        "the rotated set — r14 split of the single slot per the "
+        "shard-at-60s rule)"
+    ),
+)
+def q_inventory_checksum_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard B of the rotated-set digest (see ``q_inventory_checksum``)."""
+    return _checksum_frames(spark, sf_dir, _shard_names(1))

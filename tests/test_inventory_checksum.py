@@ -36,3 +36,17 @@ def test_covered_queries_all_have_oracles():
     # (oracle=None) cannot rotate into the tail
     for name in CHECKSUM_KINDS:
         assert REGISTRY[name].oracle is not None, name
+
+
+def test_checksum_shards_partition_the_tail():
+    """r14: the digest is sharded into two slots (shard-at-60s rule) —
+    the shards must PARTITION the rotated set (disjoint, exhaustive,
+    deterministic) and both must sit in the driver's window."""
+    from dblink_spark.queries.inventory import _shard_names
+
+    a, b = _shard_names(0), _shard_names(1)
+    assert set(a) | set(b) == set(CHECKSUM_KINDS)
+    assert not set(a) & set(b)
+    assert abs(len(a) - len(b)) <= 1, "split must stay balanced"
+    head = list(queries())[:50]
+    assert "q_inventory_checksum_b" in head
