@@ -1326,3 +1326,62 @@ class TestR12TpchPlans:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+
+class TestCompstableAmortizationPins:
+    """r14 (VERDICT task 6): the second amortization tier's economics
+    (survivors 0.27s / audit 0.53s off the persisted closure) are
+    bench-measured but were not plan-pinned — a refactor that quietly
+    re-derived lineage through the sketch build would erase the tier
+    while the gates stayed green. Consumers fed a LOADED comps table
+    must plan as {comps parquet scan + documents scan + their own
+    join/agg work} ONLY: no tokenization (Generate/explode), no band
+    join, no closure rounds, no Python."""
+
+    def _loaded_comps(self, spark, tmp_path):
+        from dblink_spark.operators.components import connected_components
+        from dblink_spark.queries import load, release_caches
+        from dblink_spark.queries.dedup import bottomk_sketch_pairs
+        from dblink_spark.sources.dedup_index import (
+            load_comps_table, save_comps_table,
+        )
+
+        pairs = bottomk_sketch_pairs(
+            load(spark, SF_DIR, "documents"), k=8, threshold=0.99
+        )
+        comps = connected_components(pairs, "doc1", "doc2")
+        path = str(tmp_path / "comps")
+        save_comps_table(comps, path)
+        release_caches(pairs)
+        return load_comps_table(spark, path), path
+
+    def _assert_no_rebuild(self, df, comps_path):
+        plan = formatted_plan(df)
+        scans = scan_infos(plan)
+        locs = [s.location for s in scans]
+        assert any(comps_path in loc for loc in locs), (
+            "plan must read the persisted closure"
+        )
+        assert all(
+            comps_path in loc or "documents" in loc for loc in locs
+        ), f"unexpected extra scans (lineage leak?): {locs}"
+        # tokenize/shingle stages explode token arrays; the closure loop
+        # caches its frontier — neither may appear off a loaded table
+        assert "Generate" not in plan, "tokenization re-ran off the closure"
+        assert "InMemoryTableScan" not in plan, (
+            "closure-round caches present — the closure re-ran"
+        )
+        a = audit_plan(df)
+        assert a.python_ops == 0
+
+    def test_survivors_off_loaded_closure(self, spark, tmp_path):
+        comps, path = self._loaded_comps(spark, tmp_path)
+        df = q.REGISTRY["dedup_survivors"].fn(spark, SF_DIR, comps=comps)
+        self._assert_no_rebuild(df, path)
+
+    def test_bias_audit_off_loaded_closure(self, spark, tmp_path):
+        comps, path = self._loaded_comps(spark, tmp_path)
+        df = q.REGISTRY["q_docs_dedup_bias_audit"].fn(
+            spark, SF_DIR, comps=comps
+        )
+        self._assert_no_rebuild(df, path)
