@@ -494,3 +494,86 @@ def test_salt_expr_cache_keyed_by_live_context(spark):
         .count()
     )
     assert buckets == 4
+
+
+def test_multisweep_k1_bit_parity_with_transition(spark, rl_setup):
+    """r14 (VERDICT task 3): transition_multisweep(k=1) must be
+    BIT-IDENTICAL to transition() on a 2-partition chain — same θ RNG
+    cadence, same kernel seeds, same migration — so the fused variant's
+    only differences are the documented k>1 relaxations."""
+    from dblink_spark.er.state import assign_partitions, transition_multisweep
+
+    records, attrs, cache, pdf = rl_setup
+
+    def mk():
+        st = init_state(spark, records, cache, SinglePartition(), 1, seed=17)
+        part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+        part.fit(st.df.filter("NOT is_summary").select("ent_values"))
+        return assign_partitions(st, part, 2)
+
+    s_one, s_multi = mk(), mk()
+    for _ in range(3):
+        s_one = transition(s_one, "PCG-I")
+    for _ in range(3):
+        s_multi = transition_multisweep(s_multi, "PCG-I", 1)
+
+    assert s_multi.iteration == s_one.iteration == 3
+    assert s_multi.current_seed == s_one.current_seed
+    assert (s_multi.theta == s_one.theta).all()
+    assert s_multi.summary.log_likelihood == s_one.summary.log_likelihood
+    assert (
+        s_multi.summary.agg_distortions == s_one.summary.agg_distortions
+    ).all()
+
+    def links(st):
+        rows = st.df.filter("NOT is_summary").collect()
+        return sorted(
+            (r["partition_id"], r["ent_values"], sorted(r["rec_ids"]))
+            for r in rows
+        )
+
+    assert links(s_multi) == links(s_one)
+
+
+def test_multisweep_k3_invariants_and_determinism(spark, rl_setup):
+    """k=3 on 2 partitions: population conserved, records partition
+    across clusters, iteration/seed advance by k, chains deterministic
+    (two identically-seeded runs agree bit-exactly), and the consumed-
+    state rule applies to the multisweep path too."""
+    from dblink_spark.er.state import (
+        StateConsumedError, assign_partitions, transition_multisweep,
+    )
+
+    records, attrs, cache, pdf = rl_setup
+
+    def mk():
+        st = init_state(spark, records, cache, SinglePartition(), 1, seed=29)
+        part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+        part.fit(st.df.filter("NOT is_summary").select("ent_values"))
+        return assign_partitions(st, part, 2)
+
+    def run():
+        s = mk()
+        for _ in range(2):
+            s = transition_multisweep(s, "PCG-I", 3)
+        return s
+
+    a, b = run(), run()
+    assert a.iteration == 6
+    assert a.current_seed == mk().current_seed + 6 * 2
+    _check_invariants(a, len(pdf), len(pdf))
+
+    def links(st):
+        rows = st.df.filter("NOT is_summary").collect()
+        return sorted(
+            (r["partition_id"], r["ent_values"], sorted(r["rec_ids"]))
+            for r in rows
+        )
+
+    assert links(a) == links(b), "multisweep chain must be deterministic"
+    assert a.summary.log_likelihood == b.summary.log_likelihood
+
+    mid = transition_multisweep(a, "PCG-I", 2)  # consumes a
+    with pytest.raises(StateConsumedError):
+        transition_multisweep(a, "PCG-I", 1)
+    _check_invariants(mid, len(pdf), len(pdf))

@@ -641,6 +641,13 @@ class TestTransitionStream:
         }
         assert got == want
 
+        # r14: in-order replays sail through the zero-tolerance audit and
+        # report their rate as exactly zero
+        from dblink_spark.streaming.events import audit_stream_ordering
+
+        stats = audit_stream_ordering(spark.table("trans_stream"))
+        assert stats["n_ooo"] == 0 and stats["ooo_fraction"] == 0.0
+
     def test_chain_continues_across_micro_batches(self, spark, tmp_path):
         """With maxFilesPerTrigger=1 and two time-ordered files, the
         bridging transition (last event of batch 1 -> first event of
@@ -744,3 +751,18 @@ class TestTransitionStream:
             ("B", "C"): 1,           # chained from stored last (documented)
             (None, None): 1,         # the violation, counted and visible
         }
+
+        # r14 (VERDICT task 7): the consumer-side gate over the same sink —
+        # default tolerance 0.0 fails loudly with the named error; a loose
+        # tolerance returns the stats; and the stats arithmetic is exact
+        import pytest as _pytest
+
+        from dblink_spark.streaming.events import (
+            OutOfOrderReplayError, audit_stream_ordering,
+        )
+
+        sink = spark.table("trans_stream_ooo")
+        with _pytest.raises(OutOfOrderReplayError, match="stream==batch"):
+            audit_stream_ordering(sink)
+        stats = audit_stream_ordering(sink, max_ooo_fraction=0.5)
+        assert stats == {"n_ooo": 1, "n_pairs": 2, "ooo_fraction": 0.5}
