@@ -181,6 +181,11 @@ R12_QUERIES = [
     "text_cdc_chunks",
 ]
 
+# r14: the no-anchor span closer (VERDICT r13 task 4).
+R14_QUERIES = [
+    "text_strip_ladder_spans",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -274,7 +279,7 @@ def main() -> None:
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
         + R8_QUERIES + R9_QUERIES + R10_QUERIES + R11_QUERIES
-        + R12_QUERIES + GATE_QUERIES
+        + R12_QUERIES + R14_QUERIES + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -302,6 +307,7 @@ def main() -> None:
         "r10_total": round(sum(timings[n] for n in R10_QUERIES), 3),
         "r11_total": round(sum(timings[n] for n in R11_QUERIES), 3),
         "r12_total": round(sum(timings[n] for n in R12_QUERIES), 3),
+        "r14_total": round(sum(timings[n] for n in R14_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {

@@ -563,6 +563,16 @@ _GATE_TAIL = [
     # and its full result digest-covered below + driver_sim-verified per
     # round.
     "q_events_retention",
+    # r14: text_strip_ladder_spans (ubiquity-capped 5-gram ladder —
+    # closes the no-anchor miss class) enters the head;
+    # text_strip_maximal_spans rotates out — benched every round since
+    # r11, its one-pass skeleton plan-pinned
+    # (tests/test_plan_audit.py:586), its length gate edge-pinned
+    # (tests/test_query_edge_corpora.py:1165), and the three richer
+    # surgeons still head-gated (gapped/confirmed/ladder) share its
+    # detector, cover, and excision helpers verbatim; full result
+    # digest-covered below + driver_sim-verified per round.
+    "text_strip_maximal_spans",
 ]
 
 

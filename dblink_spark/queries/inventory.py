@@ -335,6 +335,13 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("cohort_day", "i"), ("offset_day", "i"), ("n_users", "i"),
         ("retention_milli", "i"),
     ],
+    # r14: text_strip_maximal_spans rotates to the tail (its head slot
+    # funds text_strip_ladder_spans) — same conserved-count schema as the
+    # whole surgeon family.
+    "text_strip_maximal_spans": [
+        ("doc_id", "i"), ("n_tokens", "i"), ("n_kept", "i"),
+        ("n_removed", "i"), ("clean_text", "s"),
+    ],
 }
 
 _NULL = "<NULL>"

@@ -1385,3 +1385,25 @@ class TestCompstableAmortizationPins:
             spark, SF_DIR, comps=comps
         )
         self._assert_no_rebuild(df, path)
+
+
+class TestLadderSpanPlan:
+    def test_ladder_spans_plan(self, spark):
+        """r14 ladder surgeon: family structural pins — no products, zero
+        Python, (doc_id, text)-only scans, cached gram/hit relations —
+        plus its own discipline: exactly ONE corpus gram pass at width 5
+        (the persisted occ5 feeds rarity, hits, and evidence), tokens
+        never crossing an exchange."""
+        df = q.REGISTRY["text_strip_ladder_spans"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan, "gram/hit relations must cache"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        )
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

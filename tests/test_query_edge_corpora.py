@@ -2636,3 +2636,79 @@ def test_cdc_chunks_shift_resistance(spark, tmp_path):
     assert out[4]["n_chunks"] == 1 and out[4]["n_tokens"] == 3
     for r in out.values():
         assert r["n_dup_chunks"] <= r["n_chunks"]
+
+
+def test_ladder_spans_close_the_no_anchor_class(spark, tmp_path):
+    """r14 (VERDICT r13 task 4): the miss class every 8-gram-anchored
+    surgeon shares — a duplicated block edited at least once per 8
+    tokens in EVERY copy, so no intact cross-doc 8-gram exists anywhere
+    and text_strip_confirmed_spans never anchors. The crafted corpus
+    pins all four gates at once:
+
+    - docs 0/1: a 63-token block, both copies edited at positions
+      0,7,...,56 with per-doc replacement tokens — intact shared runs
+      are 6 tokens (no shared 8-gram; 18 shared 5-grams). The ladder
+      excises the merged island (62 tokens, edit positions gap-merged);
+      the confirmed surgeon misses it entirely (the documented class).
+    - docs 2/3: one shared 5-token idiom — rarity passes, density (1 of
+      6 required) and length fail: kept. Chance phrase overlap can
+      never create a span.
+    - docs 4/5: a 15-token VERBATIM shared block — 11 evidence starts
+      pass density, but 15 < the 16-token floor: kept by ladder AND by
+      confirmed (its island is also sub-floor). The length gate is the
+      same family-wide boundary.
+    """
+    edits = set(range(0, 63, 7))
+
+    def copy(tag):
+        return " ".join(
+            f"x{tag}{j}" if j in edits else f"blk{j}" for j in range(63)
+        )
+
+    idiom = " ".join(f"idm{j}" for j in range(5))
+    med = " ".join(f"med{j}" for j in range(15))
+
+    def doc(pre, mid, n=20):
+        return " ".join(f"{pre}{j}" for j in range(n)) + " " + mid + " " + \
+            " ".join(f"{pre}t{j}" for j in range(n))
+
+    rows = [
+        (0, doc("aa", copy("a"))), (1, doc("bb", copy("b"))),
+        (2, doc("cc", idiom)), (3, doc("dd", idiom)),
+        (4, doc("ee", med)), (5, doc("ff", med)),
+    ]
+    d = str(tmp_path / "ladder_corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "s1", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["text_strip_ladder_spans"].fn(spark, d)
+    ) as df:
+        ladder = {r["doc_id"]: r for r in df.collect()}
+    with materialized(
+        REGISTRY["text_strip_confirmed_spans"].fn(spark, d)
+    ) as df:
+        confirmed = {r["doc_id"]: r for r in df.collect()}
+
+    for i in (0, 1):
+        # confirmed: no 8-gram anchor anywhere -> the documented miss
+        assert confirmed[i]["n_removed"] == 0, confirmed[i]
+        # ladder: island spans block positions 1..62 (edits gap-merged)
+        assert ladder[i]["n_removed"] == 62, ladder[i]
+        assert "blk1" not in ladder[i]["clean_text"]
+        tag = "a" if i == 0 else "b"
+        assert f"x{tag}0" in ladder[i]["clean_text"], (
+            "position 0 sits outside the island and must survive"
+        )
+    for i in (2, 3, 4, 5):  # density gate (2/3) and length gate (4/5)
+        assert ladder[i]["n_removed"] == 0, ladder[i]
+        assert confirmed[i]["n_removed"] == 0
+    for i in range(6):
+        assert (
+            ladder[i]["n_kept"] + ladder[i]["n_removed"]
+            == ladder[i]["n_tokens"]
+        )
