@@ -282,7 +282,11 @@ def bmp_resize_codec() -> Callable[[bytes, int, int], np.ndarray]:
         except (ValueError, KeyError, IndexError, StopIteration):
             return fake(buf, width, height)
         if px.ndim == 3:
-            px = (px.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+            px = (px.astype(np.uint32).sum(axis=2) // 3).astype(px.dtype)
+        if px.dtype == np.uint16:
+            # 12-bit JPEG (r14): the resize contract emits uint8 pixels —
+            # drop the 4 low bits (2^12 -> 2^8 range map)
+            px = (px >> 4).astype(np.uint8)
         ys = (np.arange(height) * px.shape[0]) // height
         xs = (np.arange(width) * px.shape[1]) // width
         return px[ys][:, xs]

@@ -1236,3 +1236,104 @@ class TestJpegChunkedSegReader:
             jpeg_encode_baseline(img, luma_q=1, restart_interval=3)
         )
         assert (c0[1] == c1[1]).all()
+
+
+class TestJpeg12Bit:
+    """r14 (VERDICT r13 task 8): 12-bit precision on SOF1 (extended
+    sequential) decodes for real — uint16 pixels, 2048 level shift,
+    16-bit DQT elements (T.81 B.2.4.1, exercised with q>255). The
+    entropy pipeline is byte-identical to the 8-bit one the existing
+    round-trips pin, so exactness transfers; these pin the
+    precision-specific arithmetic."""
+
+    def test_entropy_pipeline_bit_exact_12bit(self):
+        from dblink_spark.operators.jpeg import (
+            _block_coeffs, jpeg_decode_coeffs, jpeg_encode_baseline,
+        )
+
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 4096, size=(19, 23), dtype=np.uint16)
+        buf = jpeg_encode_baseline(img, luma_q=300, precision=12)
+        assert b"\xff\xc1" in buf  # SOF1 (extended sequential) present
+        frame, coeffs = jpeg_decode_coeffs(buf)
+        q = np.full((8, 8), 300, dtype=np.int32)
+        expect = _block_coeffs(img, q, center=2048.0) * q
+        assert (coeffs[1] == expect).all()
+
+    def test_flat_block_pixels_exact_by_hand_12bit(self):
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode, jpeg_encode_baseline,
+        )
+
+        for v in (0, 2048, 4095, 1234):
+            img = np.full((16, 16), v, np.uint16)
+            out = jpeg_decode(jpeg_encode_baseline(img, luma_q=16,
+                                                   precision=12))
+            assert out.dtype == np.uint16
+            # flat blocks are DC-only: reconstruction error is bounded by
+            # half the DC quantization step (q=16 -> |err| <= 8... exact
+            # at v=2048 where DC is 0)
+            assert (np.abs(out.astype(np.int32) - v) <= 8).all()
+        img = np.full((16, 16), 2048, np.uint16)
+        out = jpeg_decode(jpeg_encode_baseline(img, luma_q=16, precision=12))
+        assert (out == 2048).all()
+
+    def test_sof0_with_12bit_precision_is_valueerror(self):
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode, jpeg_encode_baseline,
+        )
+
+        buf = bytearray(
+            jpeg_encode_baseline(
+                np.zeros((8, 8), np.uint16), precision=12
+            )
+        )
+        i = bytes(buf).index(b"\xff\xc1")
+        buf[i + 1] = 0xC0  # claim baseline SOF0 with 12-bit precision
+        with pytest.raises(ValueError, match="precision 12 for SOF0"):
+            jpeg_decode(bytes(buf))
+
+    def test_12bit_through_resize_contract(self, spark):
+        """End-to-end through the Spark kernel: a 12-bit JPEG resizes to
+        the uint8 contract via the 4-bit range map."""
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode, jpeg_encode_baseline,
+        )
+        from dblink_spark.operators.multimodal import (
+            bmp_resize_codec, resize_image,
+        )
+
+        rng = np.random.default_rng(43)
+        px12 = rng.integers(0, 4096, size=(33, 41), dtype=np.uint16)
+        jpeg = jpeg_encode_baseline(px12, precision=12)
+        df = spark.createDataFrame(
+            [(0, bytearray(jpeg), ("image",))],
+            "doc_id: long, media: binary, media_meta: struct<media_type: string>",
+        )
+        out = resize_image(df, 8, 8, codec=bmp_resize_codec()).collect()[0]
+        got = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8
+                            ).reshape(8, 8)
+        dec = jpeg_decode(jpeg)
+        assert dec.dtype == np.uint16
+        expect8 = (dec >> 4).astype(np.uint8)
+        ys = (np.arange(8) * 33) // 8
+        xs = (np.arange(8) * 41) // 8
+        assert (got == expect8[ys][:, xs]).all()
+
+    def test_progressive_12bit_matches_baseline_12bit(self):
+        """SOF2 at 12-bit: all scans together must reconstruct the same
+        quantized coefficients as the one-scan SOF1 encode — the same
+        exact oracle the 8-bit progressive pin uses."""
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode_coeffs, jpeg_encode_baseline, jpeg_encode_progressive,
+        )
+
+        rng = np.random.default_rng(47)
+        img = rng.integers(0, 4096, size=(24, 17), dtype=np.uint16)
+        _, c_base = jpeg_decode_coeffs(
+            jpeg_encode_baseline(img, luma_q=300, precision=12)
+        )
+        _, c_prog = jpeg_decode_coeffs(
+            jpeg_encode_progressive(img, luma_q=300, precision=12)
+        )
+        assert (c_base[1] == c_prog[1]).all()
