@@ -577,3 +577,34 @@ def test_multisweep_k3_invariants_and_determinism(spark, rl_setup):
     with pytest.raises(StateConsumedError):
         transition_multisweep(a, "PCG-I", 1)
     _check_invariants(mid, len(pdf), len(pdf))
+
+
+def test_sampler_multisweep_knob(spark, rl_setup, tmp_path):
+    """r14: SamplerOptions.multisweep_k drives the distributed chain k
+    sweeps per job without overrunning save points — exact sample count,
+    exact saved iterations, invariants intact."""
+    from dblink_spark.er.sampler import linkage_sample  # noqa: F401
+    from dblink_spark.sources.chain import read_linkage_chain
+
+    records, attrs, cache, pdf = rl_setup
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=37)
+    part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+    part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+    st = assign_partitions(s0, part, 2)
+    out = str(tmp_path / "chain_ms")
+    st = sample(
+        st,
+        sample_size=3,
+        options=SamplerOptions(
+            sampler="PCG-I", burnin_interval=4, thinning_interval=3,
+            multisweep_k=4, local_exec_max_records=0,  # force distributed
+        ),
+        output_path=out,
+    )
+    chain = read_linkage_chain(spark, out)
+    its = sorted(
+        r["iteration"] for r in chain.select("iteration").distinct().collect()
+    )
+    assert its == [7, 10, 13], its  # burnin 4, thin 3: saves at 7,10,13
+    assert st.iteration == 13
+    _check_invariants(st, len(pdf), len(pdf))
