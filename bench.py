@@ -371,6 +371,10 @@ def main() -> None:
     except Exception as e:
         print(f"# rl10k quality probe skipped: {e}", file=sys.stderr)
     try:
+        out.update(rl10k_multisweep_quality(spark))
+    except Exception as e:
+        print(f"# rl10k multisweep quality probe skipped: {e}", file=sys.stderr)
+    try:
         out.update(paper_scale_spark_path(spark))
     except Exception as e:
         print(f"# paper-scale bench skipped: {e}", file=sys.stderr)
@@ -499,6 +503,8 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_mcmc_spread",
         "er_rl10k_f1",
         "er_rl10k_ari",
+        "er_rl10k_multisweep_f1",
+        "er_rl10k_multisweep_ari",
         "er_rl10k_1part_iters_per_sec",
         "er_rl10k_2part_iters_per_sec",
         # the two fused-path spreads named by VERDICT r9 "wrong" #2: their
@@ -1337,6 +1343,63 @@ def rl10k_linkage_quality(spark) -> dict:
         f"# er_rl10k quality: F1 {out['er_rl10k_f1']:.3f} "
         f"(P {out['er_rl10k_precision']:.3f} R {out['er_rl10k_recall']:.3f}) "
         f"ARI {out['er_rl10k_ari']:.3f} [deterministic seeded chain]",
+        file=sys.stderr,
+    )
+    return out
+
+
+def rl10k_multisweep_quality(spark) -> dict:
+    """Model-quality check for the r14 multisweep relaxation: the SAME
+    reference RLdata10000 config, run end-to-end on the DISTRIBUTED
+    2-partition path with ``multisweepK=8`` (θ and migration on an
+    8-sweep cadence) — if the documented chain-semantics relaxation cost
+    linkage quality, it would show here as F1/ARI falling out of the
+    parity band (the unfused chain measures 0.764/0.764; the pytest
+    floor is 0.70/0.70). The chain is seeded but NOT comparable
+    bit-for-bit to the unfused one (different θ RNG cadence), so the
+    committed number is a quality band check, not a determinism pin.
+
+    r14 baseline readings (isolated): 0.725 at k=2, 0.713 at k=8, and a
+    2000-iteration k=8 chain lands 0.703 — the cadence relaxation costs
+    ~0.05 F1 at this scale and longer chains do not buy it back, which
+    is why the docstring recommends k>1 for throughput-bound phases and
+    k=1 for kept samples. This probe pins the k=8 point per round so
+    the trade-off cannot silently worsen."""
+    conf = "/root/reference/examples/RLdata10000.conf"
+    csv_path = "/root/reference/examples/RLdata10000.csv"
+    if not (os.path.exists(conf) and os.path.exists(csv_path)):
+        return {}
+    import tempfile
+
+    from dblink_spark.config import load_config
+    from dblink_spark.project import Project
+
+    cfg = load_config(conf)
+    d = cfg["dblink"]
+    d["data"]["path"] = csv_path
+    tmp = tempfile.mkdtemp(prefix="bench_rl10k_ms_")
+    d["outputPath"] = tmp + "/"
+    d["checkpointPath"] = tmp + "/ckpt"
+    for s in d["steps"]:
+        if s.get("name") == "sample":
+            s.setdefault("parameters", {})["multisweepK"] = 8
+            s["parameters"]["localExecMaxRecords"] = 0  # force distributed
+    t0 = time.time()
+    res = Project.from_config(spark, cfg).run()
+    pw = res["evaluate"]["pairwise"]
+    out = {
+        "er_rl10k_multisweep_f1": round(pw["f1"], 4),
+        "er_rl10k_multisweep_ari": round(
+            res["evaluate"]["cluster"]["adjusted_rand_index"], 4
+        ),
+        "er_rl10k_multisweep_chain": "1000it-k8-distributed-2part",
+        "er_rl10k_multisweep_run_sec": round(time.time() - t0, 1),
+    }
+    print(
+        f"# er_rl10k multisweep k=8 quality: F1 "
+        f"{out['er_rl10k_multisweep_f1']:.3f} ARI "
+        f"{out['er_rl10k_multisweep_ari']:.3f} "
+        f"({out['er_rl10k_multisweep_run_sec']}s end-to-end)",
         file=sys.stderr,
     )
     return out

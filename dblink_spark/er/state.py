@@ -1338,10 +1338,17 @@ def transition_multisweep(
       scan remains a valid sampler — each block conditions on the
       other's current value — just on a k-sweep cadence.
 
-    Both relaxations vanish at k=1; statistically both shrink as chains
-    equilibrate (entity drift across cells and θ movement per sweep both
-    contract). Use k=1 for reference-cadence parity, k=4..16 when the
-    job floor dominates (small partitions, many partitions)."""
+    Both relaxations vanish at k=1. MEASURED quality cost (rl10k
+    reference config end-to-end, 1000-iteration chains, distributed
+    2-partition): F1/ARI 0.764 at k=1, 0.725 at k=2, 0.713 at k=8 — and
+    a 2000-iteration k=8 chain lands 0.703, so extra length does NOT
+    buy the cadence back at this scale. Throughput at p=4 scales
+    4.7/10.6/20.2/37.8 it/s for k=1/2/4/8. The honest trade: use k>1
+    where throughput is the binding constraint (burn-in, exploratory
+    runs, partition-count sweeps) and k=1 reference cadence for the
+    chains whose samples you keep; the bench tracks both sides every
+    round (``er_rl10k_multisweep4p_k*`` and
+    ``er_rl10k_multisweep_f1/ari``)."""
     import time as _time
 
     _require_live(state, "transition_multisweep")

@@ -237,6 +237,19 @@ class Project:
             thinning_interval=int(params.get("thinningInterval", 1)),
             write_buffer_size=int(params.get("writeBufferSize", 10)),
             diagnostics_path=os.path.join(self.output_path, "diagnostics.csv"),
+            # r14 opt-in knobs (absent from reference configs — defaults
+            # preserve the reference cadence exactly): multisweepK > 1
+            # fuses k kernel sweeps per Spark job on distributed
+            # multi-partition chains (state.transition_multisweep);
+            # localExecMaxRecords overrides the driver-local routing cap
+            # (0 forces the distributed path)
+            multisweep_k=int(params.get("multisweepK", 1)),
+            local_exec_max_records=int(
+                params.get(
+                    "localExecMaxRecords",
+                    SamplerOptions.local_exec_max_records,
+                )
+            ),
         )
         state = sample(
             state,
