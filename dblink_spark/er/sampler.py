@@ -173,6 +173,15 @@ def sample(
 
     saved = 0
     thin = max(opts.thinning_interval, 1)
+
+    def next_emit_after(it: int) -> int:
+        """First post-burn-in iteration > ``it`` on the thinning grid —
+        the save-point arithmetic the fused (p=1) and multisweep (p>1)
+        branches must share (review r14: duplicated copies nine lines
+        apart would let the two paths' save cadences silently diverge)."""
+        base = max(it + 1, opts.burnin_interval + 1)
+        r = (base - opts.burnin_interval) % thin
+        return base if r == 0 else base + (thin - r)
     n_records = sum(state.cache.file_sizes.values())
     run_local = (
         state.num_partitions > 1
@@ -182,20 +191,18 @@ def sample(
     while saved < sample_size:
         if opts.fuse_sweeps and state.num_partitions == 1:
             # jump straight to the next save point in one Spark job
-            base = max(state.iteration + 1, opts.burnin_interval + 1)
-            r = (base - opts.burnin_interval) % thin
-            next_emit = base if r == 0 else base + (thin - r)
             state = transition_fused(
-                state, opts.sampler, next_emit - state.iteration
+                state, opts.sampler,
+                next_emit_after(state.iteration) - state.iteration,
             )
         elif run_local:
             state = transition_local(state, opts.sampler)
         elif opts.multisweep_k > 1:
             # fuse toward the next save point, at most k sweeps per job
-            base = max(state.iteration + 1, opts.burnin_interval + 1)
-            r = (base - opts.burnin_interval) % thin
-            next_emit = base if r == 0 else base + (thin - r)
-            k = min(opts.multisweep_k, next_emit - state.iteration)
+            k = min(
+                opts.multisweep_k,
+                next_emit_after(state.iteration) - state.iteration,
+            )
             state = transition_multisweep(state, opts.sampler, k)
         else:
             state = transition(state, opts.sampler)

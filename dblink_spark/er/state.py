@@ -40,6 +40,7 @@ documents the weaker guarantee, State.scala:47-49).
 
 from __future__ import annotations
 
+import weakref
 from contextlib import contextmanager
 from dataclasses import dataclass, replace
 from typing import Callable
@@ -848,8 +849,6 @@ def _salted_group(
     # expression-construction round-trips (the transition loop calls this
     # every iteration — measured ~17 ms/iter at p=4 rebuilt fresh)
     key = (num_partitions, m)
-    import weakref
-
     sc = df.sparkSession.sparkContext
     hit = _SALT_EXPR_CACHE.get(key)
     # validate the cached Column was built under the LIVE context (a
@@ -1048,8 +1047,6 @@ def _cache_ref(state: State, df: DataFrame):
     silently run kernels against the stale broadcast; an identity mismatch
     re-broadcasts instead (a weakref, not ``id()``, because ids are reused
     after GC)."""
-    import weakref
-
     memo = state.cache_bcast
     if not (
         isinstance(memo, tuple)
@@ -1092,14 +1089,18 @@ def _release_state_df(old_df) -> None:
 def _consume_state_dfs(state: State, old_dfs) -> None:
     """Release retired checkpoint storage and mark the predecessor consumed
     (``StateConsumedError`` on any later read/advance). Only marks when
-    something was actually released — a pure-local predecessor (no
-    DataFrame form) has nothing freed and stays legitimately readable."""
+    the state actually LOSES readable content: a predecessor that still
+    holds ``local_parts`` stays legitimately readable — its DataFrame
+    forms were lazy Arrow materializations of the numpy state (never
+    checkpointed; the release calls are no-ops on them), and the numpy
+    state itself is untouched (r14 review fix: a transition_local state
+    advanced through the distributed path was falsely marked)."""
     released = False
     for old_df in old_dfs:
         if old_df is not None:
             _release_state_df(old_df)
             released = True
-    if released:
+    if released and state.local_parts is None:
         state._released = True
 
 

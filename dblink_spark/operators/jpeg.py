@@ -283,6 +283,12 @@ def _jpeg_codec() -> tuple:
                             tbl[zz[k]] = body[p + 1 + k]
                         p += 65
                     elif prec == 1:  # 16-bit entries (12-bit streams)
+                        if p + 129 > len(body):
+                            # slices past the body return b'' silently —
+                            # unlike the 8-bit path's IndexError — so the
+                            # truncation must be raised explicitly to keep
+                            # the ValueError-on-malformed contract
+                            raise ValueError("truncated 16-bit DQT segment")
                         for k in range(64):
                             tbl[zz[k]] = int.from_bytes(
                                 body[p + 1 + 2 * k : p + 3 + 2 * k], "big"
@@ -768,8 +774,9 @@ def _jpeg_codec() -> tuple:
             ) from exc
 
     def jpeg_decode(buf: bytes) -> np.ndarray:
-        """Baseline JFIF -> (H, W) uint8 grayscale or (H, W, 3) uint8
-        RGB. Raises ValueError (and only ValueError) on malformed input."""
+        """JFIF -> (H, W) grayscale or (H, W, 3) RGB; uint8 for 8-bit
+        streams, uint16 (0..4095) for 12-bit SOF1/SOF2 streams (r14).
+        Raises ValueError (and only ValueError) on malformed input."""
         frame, coeffs = _parse_normalized(buf)
         try:
             return _assemble(frame, coeffs)
@@ -974,6 +981,17 @@ def _prep_components(img, luma_q, chroma_q, subsample, precision=8):
     return comps, h, w, qy, qc
 
 
+def _dqt_body(tid: int, q: np.ndarray, precision: int) -> bytes:
+    """One DQT segment body: Pq nibble + zig-zag entries (1 byte at 8-bit
+    precision, 2-byte big-endian at 12 — T.81 B.2.4.1). Shared by both
+    fixture encoders so the emission can never drift between them."""
+    if precision == 12:
+        return bytes([0x10 | tid]) + b"".join(
+            int(q[_ZIGZAG[k]]).to_bytes(2, "big") for k in range(64)
+        )
+    return bytes([tid]) + bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+
+
 def jpeg_encode_baseline(
     img: np.ndarray,
     luma_q: int = 16,
@@ -1096,15 +1114,7 @@ def jpeg_encode_baseline(
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in ((0, qy), (1, qc)) if len(comps) > 1 else ((0, qy),):
-        if precision == 12:  # Pq=1: 16-bit table elements (T.81 B.2.4.1)
-            body = bytes([0x10 | tid]) + b"".join(
-                int(q[_ZIGZAG[k]]).to_bytes(2, "big") for k in range(64)
-            )
-        else:
-            body = bytes([tid]) + bytes(
-                int(q[_ZIGZAG[k]]) for k in range(64)
-            )
-        out += seg(0xDB, body)
+        out += seg(0xDB, _dqt_body(tid, q, precision))
     sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([len(comps)])
     for c in comps:
@@ -1169,15 +1179,7 @@ def jpeg_encode_progressive(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in ((0, qy), (1, qc)) if len(comps) > 1 else ((0, qy),):
-        if precision == 12:  # Pq=1: 16-bit table elements (T.81 B.2.4.1)
-            body = bytes([0x10 | tid]) + b"".join(
-                int(q[_ZIGZAG[k]]).to_bytes(2, "big") for k in range(64)
-            )
-        else:
-            body = bytes([tid]) + bytes(
-                int(q[_ZIGZAG[k]]) for k in range(64)
-            )
-        out += seg(0xDB, body)
+        out += seg(0xDB, _dqt_body(tid, q, precision))
     sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([len(comps)])
     for c in comps:

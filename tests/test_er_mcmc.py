@@ -608,3 +608,27 @@ def test_sampler_multisweep_knob(spark, rl_setup, tmp_path):
     assert its == [7, 10, 13], its  # burnin 4, thin 3: saves at 7,10,13
     assert st.iteration == 13
     _check_invariants(st, len(pdf), len(pdf))
+
+
+def test_local_predecessor_stays_readable_after_distributed_advance(
+    spark, rl_setup
+):
+    """r14 review fix: a driver-local (local_parts) state advanced through
+    the DISTRIBUTED transition must stay readable — its DataFrame form was
+    a lazy Arrow materialization of the numpy state (nothing checkpointed,
+    nothing freed), so marking it consumed was a false positive. Only
+    states whose checkpoint storage was actually released may raise."""
+    from dblink_spark.er.state import assign_partitions, transition_local
+
+    records, attrs, cache, pdf = rl_setup
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=41)
+    part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+    part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+    s = assign_partitions(s0, part, 2)
+    s = transition_local(s, "PCG-I")  # local_parts state, iteration 1
+    s = transition_local(s, "PCG-I")  # iteration 2, still local
+    mid = s
+    s = transition(s, "PCG-I")  # distributed advance through mid
+    # mid holds local_parts — the documented 'stays readable' case
+    assert mid.df.filter("NOT is_summary").count() == len(pdf)
+    _check_invariants(s, len(pdf), len(pdf))

@@ -1337,3 +1337,27 @@ class TestJpeg12Bit:
             jpeg_encode_progressive(img, luma_q=300, precision=12)
         )
         assert (c_base[1] == c_prog[1]).all()
+
+    def test_truncated_16bit_dqt_is_valueerror(self):
+        """r14 review fix: slicing past a truncated Pq=1 DQT body returns
+        b'' silently (unlike the 8-bit path's IndexError) — the decoder
+        must raise the contractual ValueError, never decode garbage."""
+        from dblink_spark.operators.jpeg import (
+            jpeg_decode, jpeg_encode_baseline,
+        )
+
+        buf = jpeg_encode_baseline(
+            np.zeros((8, 8), np.uint16), precision=12
+        )
+        dqt = buf.index(b"\xff\xdb")
+        seg_len = int.from_bytes(buf[dqt + 2 : dqt + 4], "big")
+        # chop 40 bytes out of the table body, fix up the segment length
+        cut = 40
+        trunc = (
+            buf[:dqt + 2]
+            + (seg_len - cut).to_bytes(2, "big")
+            + buf[dqt + 4 : dqt + 2 + seg_len - cut]
+            + buf[dqt + 2 + seg_len :]
+        )
+        with pytest.raises(ValueError, match="truncated 16-bit DQT"):
+            jpeg_decode(trunc)

