@@ -60,6 +60,14 @@ class SamplerOptions:
     #: (the documented chain-semantics difference — see
     #: transition_multisweep). Sweeps never overrun a save point.
     multisweep_k: int = 1
+    #: OPT-IN (r14): fuse up to this many sweeps per job ONLY during
+    #: burn-in — the phase that is pure throughput (no sample is kept),
+    #: where the k-sweep cadence relaxation costs nothing a kept sample
+    #: would show. Sampling past burn-in proceeds at ``multisweep_k``
+    #: (default 1 = exact reference cadence for every kept sample).
+    #: Burn-in sweeps never overrun the burn-in boundary, so the phase
+    #: switch lands exactly at ``burnin_interval``.
+    multisweep_burnin_k: int = 1
 
 
 def linkage_sample(state: State) -> DataFrame:
@@ -197,13 +205,22 @@ def sample(
             )
         elif run_local:
             state = transition_local(state, opts.sampler)
-        elif opts.multisweep_k > 1:
-            # fuse toward the next save point, at most k sweeps per job
-            k = min(
-                opts.multisweep_k,
-                next_emit_after(state.iteration) - state.iteration,
+        elif opts.multisweep_k > 1 or (
+            opts.multisweep_burnin_k > 1
+            and state.iteration < opts.burnin_interval
+        ):
+            in_burnin = state.iteration < opts.burnin_interval
+            if in_burnin:
+                # fuse toward the burn-in boundary (phase switch exact)
+                kmax = max(opts.multisweep_burnin_k, opts.multisweep_k)
+                bound = opts.burnin_interval - state.iteration
+            else:
+                # fuse toward the next save point
+                kmax = opts.multisweep_k
+                bound = next_emit_after(state.iteration) - state.iteration
+            state = transition_multisweep(
+                state, opts.sampler, max(1, min(kmax, bound))
             )
-            state = transition_multisweep(state, opts.sampler, k)
         else:
             state = transition(state, opts.sampler)
         it = state.iteration

@@ -244,6 +244,7 @@ class Project:
             # localExecMaxRecords overrides the driver-local routing cap
             # (0 forces the distributed path)
             multisweep_k=int(params.get("multisweepK", 1)),
+            multisweep_burnin_k=int(params.get("multisweepBurninK", 1)),
             local_exec_max_records=int(
                 params.get(
                     "localExecMaxRecords",

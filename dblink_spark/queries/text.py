@@ -1270,10 +1270,15 @@ def text_strip_ladder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: the width-5 gram table is the SAME O(corpus tokens)
     row count as the 8-gram table every sibling already builds — one
-    tokenize+gram pass, one groupBy(g) with partial aggs; the rare set
-    is ubiquity-capped so the back-join stays a small broadcast under
-    AQE; islands/evidence are windowed per doc_id (spillable buffers);
-    excision is row-local. Tokens never cross an exchange."""
+    tokenize+gram pass, one groupBy(g) with partial aggs. At gate scale
+    the ubiquity-capped rare set broadcasts under AQE; at web scale the
+    Zipf tail puts a large DISTINCT-gram count in the 2..8-doc band, so
+    the back-join becomes an ordinary hash exchange on the gram key —
+    still one linear shuffle, never quadratic (the cap's job at scale is
+    killing the dense stock-phrase rows, which is what bounds both the
+    join fan-out and the false-positive pressure). Islands/evidence are
+    windowed per doc_id (spillable buffers); excision is row-local.
+    Tokens never cross an exchange."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
