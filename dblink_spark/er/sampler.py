@@ -14,6 +14,7 @@ materialized partitions, not a recompute.
 from __future__ import annotations
 
 import csv
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -59,6 +60,11 @@ class SamplerOptions:
     #: with transition(); k>1 relaxes migration and θ to a k-sweep cadence
     #: (the documented chain-semantics difference — see
     #: transition_multisweep). Sweeps never overrun a save point.
+    #: APPLIES ONLY on the distributed path: chains the sampler routes
+    #: driver-local (<= ``local_exec_max_records``) have no per-job floor
+    #: to amortize, so fusion is a no-op there and the setting is ignored
+    #: (a one-time warning says so — r14 ADVICE; set
+    #: ``local_exec_max_records: 0`` to force the distributed path).
     multisweep_k: int = 1
     #: OPT-IN (r14): fuse up to this many sweeps per job ONLY during
     #: burn-in — the phase that is pure throughput (no sample is kept),
@@ -196,6 +202,21 @@ def sample(
         and opts.local_exec_max_records > 0
         and n_records <= opts.local_exec_max_records
     )
+    if run_local and (opts.multisweep_k > 1 or opts.multisweep_burnin_k > 1):
+        # r14 ADVICE: the local path takes precedence over the multisweep
+        # branch, so a config asking for fusion on a driver-sized chain
+        # would otherwise see no fusion and no signal. Fusion only
+        # amortizes the DISTRIBUTED path's per-job floor; the local path
+        # has none, so ignoring it is correct — but say so once.
+        logging.getLogger(__name__).warning(
+            "multisweep_k=%d/multisweep_burnin_k=%d ignored: the chain "
+            "(%d records <= local_exec_max_records=%d) runs driver-local, "
+            "which has no per-job floor to amortize; set "
+            "local_exec_max_records=0 to force the distributed path if "
+            "fusion is wanted",
+            opts.multisweep_k, opts.multisweep_burnin_k,
+            n_records, opts.local_exec_max_records,
+        )
     while saved < sample_size:
         if opts.fuse_sweeps and state.num_partitions == 1:
             # jump straight to the next save point in one Spark job

@@ -1350,9 +1350,12 @@ def transition_multisweep(
     chains whose samples you keep — the measured best-of-both is
     ``SamplerOptions.multisweep_burnin_k``: burn-in fused at k=8 +
     sampling at k=1 lands F1/ARI 0.772 on the same rl10k workload
-    (kept-sample quality fully preserved, burn-in ~8x). The bench
-    tracks both sides every round (``er_rl10k_multisweep4p_k*`` and
-    ``er_rl10k_multisweep_f1/ari``)."""
+    (kept-sample quality fully preserved, burn-in ~8x). The bench tracks
+    all three sides every round (VERDICT r14 task 2): throughput
+    (``er_rl10k_multisweep4p_k*``), the pessimal full-chain k=8 quality
+    pin (``er_rl10k_multisweep_f1/ari``), and the recommended
+    burn-in-fused config's kept-sample quality
+    (``er_rl10k_burninfused_f1/ari``)."""
     import time as _time
 
     _require_live(state, "transition_multisweep")

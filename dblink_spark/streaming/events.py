@@ -575,6 +575,12 @@ def audit_stream_ordering(
     ``{n_ooo, n_pairs, ooo_fraction}`` when within tolerance, so
     production replays can log the rate even at 0.
 
+    ``ooo_fraction`` is ``n_ooo / (n_ooo + n_pairs)`` — the share of ALL
+    observed transitions that arrived out of order, bounded in [0, 1]
+    (r14 ADVICE: the earlier violations-per-real-pair ratio exceeded 1.0
+    when violations outnumbered real pairs, surprising callers tuning
+    ``max_ooo_fraction``). An all-violation replay reads exactly 1.0.
+
     Run it on the completed sink relation (memory-sink table / files)
     after the stream drains; it is two map-side conditional sums — one
     job, no shuffle beyond the final partial-agg exchange."""
@@ -593,7 +599,8 @@ def audit_stream_ordering(
     ).collect()[0]
     n_ooo = int(row["n_ooo"] or 0)
     n_pairs = int(row["n_pairs"] or 0)
-    frac = (n_ooo / n_pairs) if n_pairs else (1.0 if n_ooo else 0.0)
+    total = n_ooo + n_pairs
+    frac = (n_ooo / total) if total else 0.0
     stats = {
         "n_ooo": n_ooo,
         "n_pairs": n_pairs,
@@ -601,7 +608,8 @@ def audit_stream_ordering(
     }
     if frac > max_ooo_fraction:
         raise OutOfOrderReplayError(
-            f"{n_ooo} out-of-order arrivals against {n_pairs} transitions "
+            f"{n_ooo} out-of-order arrivals out of {total} observed "
+            f"transitions "
             f"(fraction {frac:.6f} > tolerated {max_ooo_fraction}); the "
             "stream==batch contract does not hold for this replay — see "
             "OutOfOrderReplayError for the remediation ladder"

@@ -666,3 +666,34 @@ def test_sampler_burnin_only_multisweep(spark, rl_setup, tmp_path):
     assert its == [7, 9, 11], its  # burnin 5, thin 2
     assert st.iteration == 11
     _check_invariants(st, len(pdf), len(pdf))
+
+
+def test_sampler_multisweep_ignored_on_local_path_warns(
+    spark, rl_setup, caplog
+):
+    """r15 (r14 ADVICE): the driver-local routing takes precedence over the
+    multisweep branch — fusion only amortizes the distributed per-job
+    floor, so ignoring it there is correct, but it must SAY so: a config
+    asking for multisweep_k>1 on a chain under local_exec_max_records gets
+    a one-per-call warning naming the workaround, and the chain content is
+    the plain local chain (the setting changed nothing)."""
+    import logging as _logging
+
+    records, attrs, cache, pdf = rl_setup
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=47)
+    part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
+    part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+    st = assign_partitions(s0, part, 2)
+    with caplog.at_level(_logging.WARNING, logger="dblink_spark.er.sampler"):
+        st = sample(
+            st,
+            sample_size=2,
+            options=SamplerOptions(
+                sampler="PCG-I", burnin_interval=2, thinning_interval=1,
+                multisweep_k=4,  # ignored: default local cap routes local
+            ),
+        )
+    assert st.iteration == 4  # burnin 2 + 2 kept at thin 1
+    assert st.local_parts is not None, "chain must have run driver-local"
+    msgs = [r.message for r in caplog.records if "multisweep" in r.message]
+    assert msgs and "local_exec_max_records=0" in msgs[0], msgs

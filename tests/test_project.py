@@ -165,6 +165,78 @@ class TestProjectPipeline:
         for name in ("diagnostics.csv", "evaluation-results.txt", "run.txt"):
             assert os.path.exists(os.path.join(copy_dir, name))
 
+    def test_config_driven_multisweep_e2e(self, spark, tmp_path, monkeypatch):
+        """r15 (VERDICT r14 task 7): the multisweep knobs are a documented
+        CONFIG surface, not just SamplerOptions fields — a HOCON config
+        setting `multisweepK` / `multisweepBurninK` / `localExecMaxRecords`
+        on the sample step must route the chain through
+        `transition_multisweep` with the configured fusion widths, land
+        the exact save points, and produce an evaluable chain. (README
+        'Beyond-reference sampler knobs' documents exactly this config.)"""
+        from dblink_spark.er import sampler as sampler_mod
+        from dblink_spark.er.datagen import make_rldata
+        from dblink_spark.project import Project
+
+        data_csv = str(tmp_path / "records.csv")
+        out_dir = str(tmp_path / "out") + os.sep
+        make_rldata(n_records=60, dup_fraction=0.15, seed=9).to_csv(
+            data_csv, index=False
+        )
+        conf = tmp_path / "ms.conf"
+        conf.write_text(
+            f"""
+dblink {{
+    data {{
+        path : "{data_csv}"
+        recordIdentifier : "rec_id"
+        entityIdentifier : "ent_id"
+        matchingAttributes : [
+            {{name : "fname", similarityFunction : {{name : "LevenshteinSimilarityFn",
+                 parameters : {{threshold : 7.0, maxSimilarity : 10.0}}}},
+              distortionPrior : {{alpha : 0.5, beta : 50.0}}}},
+            {{name : "lname", similarityFunction : {{name : "LevenshteinSimilarityFn",
+                 parameters : {{threshold : 7.0, maxSimilarity : 10.0}}}},
+              distortionPrior : {{alpha : 0.5, beta : 50.0}}}}
+        ]
+    }}
+    randomSeed : 13
+    expectedMaxClusterSize : 10
+    partitioner : {{name : "KDTreePartitioner",
+                    parameters : {{numLevels : 1,
+                                   matchingAttributes : ["fname"]}}}}
+    outputPath : "{out_dir}"
+    steps : [
+        {{name : "sample", parameters : {{sampleSize : 2, sampler : "PCG-I",
+            burninInterval : 4, thinningInterval : 2,
+            multisweepK : 2, multisweepBurninK : 4,
+            localExecMaxRecords : 0}}}}
+    ]
+}}
+"""
+        )
+        fused_widths: list[int] = []
+        real = sampler_mod.transition_multisweep
+
+        def counting(state, mode, n_sweeps, **kw):
+            fused_widths.append(n_sweeps)
+            return real(state, mode, n_sweeps, **kw)
+
+        monkeypatch.setattr(sampler_mod, "transition_multisweep", counting)
+        project = Project.from_config_file(spark, str(conf))
+        results = project.run()
+        # burnin 4 fused at k=4 (one job), then thin-2 saves at 6 and 8
+        # fused at k=2 (two jobs)
+        assert results["sample"]["iteration"] == 8
+        assert fused_widths == [4, 2, 2], fused_widths
+        from dblink_spark.sources import read_linkage_chain
+
+        its = sorted(
+            r["iteration"]
+            for r in read_linkage_chain(spark, out_dir)
+            .select("iteration").distinct().collect()
+        )
+        assert its == [6, 8], its
+
     def test_resume_appends_chain(self, spark, project_dirs):
         """A second sample step with resume=true continues the saved chain."""
         from dblink_spark.project import Project

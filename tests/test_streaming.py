@@ -764,5 +764,7 @@ class TestTransitionStream:
         sink = spark.table("trans_stream_ooo")
         with _pytest.raises(OutOfOrderReplayError, match="stream==batch"):
             audit_stream_ordering(sink)
+        # r15 (r14 ADVICE): the fraction is bounded — n_ooo/(n_ooo+n_pairs),
+        # the share of ALL observed transitions, never above 1.0
         stats = audit_stream_ordering(sink, max_ooo_fraction=0.5)
-        assert stats == {"n_ooo": 1, "n_pairs": 2, "ooo_fraction": 0.5}
+        assert stats == {"n_ooo": 1, "n_pairs": 2, "ooo_fraction": 0.333333}
