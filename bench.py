@@ -75,6 +75,14 @@ RETIRED_QUERIES = {
         "r7: renamed ann_ivf_untrained_baseline — the trained quantizer "
         "(ann_ivf_trained) is the canonical IVF entry"
     ),
+    "q_inventory_checksum": (
+        "r15: renamed q_inventory_checksum_a — the shard membership was "
+        "rebalanced by measured per-entry cost (the r14 registration-order "
+        "split read 23.4s vs 7.9s), and a membership change means the "
+        "digest means something different, so the slot name versions "
+        "(r14 ADVICE); both slots now carry an in-band _shard_spec marker "
+        "row so future membership changes flip the hash gate visibly"
+    ),
 }
 
 # r6: queries added that round (trained-IVF gate, packing invariant gate,
@@ -191,7 +199,7 @@ R14_QUERIES = [
 # q_inventory_checksum re-times 21 queries already timed individually;
 # folding it into a query total double-counts verification as work).
 GATE_QUERIES = [
-    "q_inventory_checksum",
+    "q_inventory_checksum_a",
     "q_inventory_checksum_b",
 ]
 
@@ -559,8 +567,11 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_rl10k_multisweep4p_k8_spread",
         "er_paper_spark_1part_iters_per_sec",
         "er_paper_spark_4part_iters_per_sec",
+        "er_paper_spark_8part_iters_per_sec",
+        "er_paper_spark_16part_iters_per_sec",
         "er_paper_spark_1part_spread",
         "er_paper_spark_4part_spread",
+        "er_paper_spark_16part_spread",
         "pairtable_build_save_sec",
         "pairtable_consumers_total_sec",
         "compstable_consumers_total_sec",
@@ -578,6 +589,12 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_1m_8part_max_partition_clusters",
         "er_1m_16part_max_partition_clusters",
         "er_1m_32part_max_partition_clusters",
+        # r15: 1M sweep fusion — the within-session ratios are the signal
+        "er_1m_multisweep8p_k1_sec_per_iter",
+        "er_1m_multisweep8p_k8_sec_per_iter",
+        "er_1m_multisweep8p_k2_speedup_vs_k1",
+        "er_1m_multisweep8p_k4_speedup_vs_k1",
+        "er_1m_multisweep8p_k8_speedup_vs_k1",
     ):
         if k in out:
             compact[k] = out[k]
@@ -594,8 +611,10 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_iterfloor_python_job_floor_sec",
         "er_mcmc_spread",
         "er_paper_spark_1part_spread",
+        "er_paper_spark_16part_spread",
         "er_rl10k_spark_1part_spread",
         "er_paper_spark_1part_iters_per_sec",
+        "er_paper_spark_8part_iters_per_sec",
         # a point estimate and its spread drop TOGETHER (a bare median
         # with no spread is exactly the misreading this payload fixes)
         "er_rl10k_2part_spread",
@@ -829,18 +848,27 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
     the regime the reference's near-linear-scaling headline claim is about
     (ref: /root/reference README; multi-hundred-thousand-record datasets).
 
-    100k synthetic RLdata-shaped records, KD-tree 4 partitions vs single
-    partition, PCG-I; median of 3 independent ``n_iters``-iteration windows
-    per point (r7 variance fix). At 300k records the same harness measured
-    1/2/4/8 partitions at ~7.5/2.9/1.7/1.5 s/iter after the r5 floor work
-    (tools/measure_300k_scaling.py)."""
+    100k synthetic RLdata-shaped records, KD-tree partitioning, PCG-I;
+    median of 3 independent ``n_iters``-iteration windows per point (r7
+    variance fix). At 300k records the same harness measured 1/2/4/8
+    partitions at ~7.5/2.9/1.7/1.5 s/iter after the r5 floor work
+    (tools/measure_300k_scaling.py).
+
+    r15 (VERDICT r14 task 6): extended from p=1/4 to p=1/4/8/16 with a
+    per-point balance reading (``er_paper_{p}part_max_partition_clusters``)
+    so the near-linear-scaling story is pinned WITHIN-session at the
+    paper's own scale between rl10k and 1M — read the points as ratios
+    (the shared canary brackets the sweep), and read a stalling ratio
+    against the balance numbers: speedup flattens when max/mean partition
+    population diverges or the per-iteration job floor dominates the
+    shrinking per-partition kernels."""
     from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
     from dblink_spark.er.state import assign_partitions, init_state, transition
 
     records, attrs, cache = _make_er_problem(spark, n_records, seed=11)
     s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=99)
     out = {"er_paper_n_records": n_records}
-    for p in (1, 4):
+    for p in (1, 4, 8, 16):
         if p == 1:
             pf = SinglePartition()
         else:
@@ -857,7 +885,9 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
                 .count()
                 .collect()
             ]
-            out["er_paper_max_partition_clusters"] = int(max(sizes))
+            out[f"er_paper_{p}part_max_partition_clusters"] = int(max(sizes))
+            if p == 4:  # legacy key, kept so cross-round diffs line up
+                out["er_paper_max_partition_clusters"] = int(max(sizes))
         s = transition(s, "PCG-I")  # warm
         state_box = [s]
 
@@ -1152,6 +1182,42 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 6)
             f"norm {out[f'er_1m_{p}part_sec_per_iter_norm']:.2f})",
             file=sys.stderr,
         )
+        if p == 8:
+            # r15 (VERDICT r14 task 1): multisweep where it matters — at
+            # 1M the per-job floor is noise next to the kernels, but
+            # fusing k sweeps per job ALSO amortizes the migration
+            # SHUFFLE (the state only exchanges at job boundaries), so
+            # the win has a different mechanism than rl10k's job-floor
+            # story. Same call path for every k (k=1 included, so the
+            # baseline shares the methodology), 8 sweeps per point,
+            # within-session ratios are the signal (absolutes are host
+            # weather; the per-point canary brackets them). The
+            # quality cost at this scale is measured out-of-band by
+            # tools/measure_1m_multisweep.py (equal-sweep-count k=1 vs
+            # k=8 chains) — too long for a per-round probe.
+            from dblink_spark.er.state import transition_multisweep
+
+            ms = s  # reuse the warmed p=8 chain state
+            k1_spi = None
+            for k in (1, 2, 4, 8):
+                jobs = max(8 // k, 1)
+                ms = transition_multisweep(ms, "PCG-I", k)  # warm the width
+                t0 = time.time()
+                for _ in range(jobs):
+                    ms = transition_multisweep(ms, "PCG-I", k)
+                spi_k = (time.time() - t0) / (k * jobs)
+                out[f"er_1m_multisweep8p_k{k}_sec_per_iter"] = round(spi_k, 2)
+                if k == 1:
+                    k1_spi = spi_k
+                else:
+                    out[f"er_1m_multisweep8p_k{k}_speedup_vs_k1"] = round(
+                        k1_spi / spi_k, 2
+                    )
+                print(
+                    f"# er_1m_multisweep: k={k} -> {spi_k:.2f} s/iter at 8 "
+                    f"partitions (8 sweeps/point, within-session)",
+                    file=sys.stderr,
+                )
     return out
 
 

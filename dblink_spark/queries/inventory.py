@@ -4,8 +4,9 @@ back under the driver's independent gate with ONE registry slot.
 The driver's correctness gate records only the first 50 ``queries()``
 entries, so SQL-expressible TPC-H/events shapes rotate into a tail that is
 hash-verified per round only by the repo's own tools (tools/driver_sim.py,
-tools/oracle_check.py). ``q_inventory_checksum`` closes that externality
-(VERDICT r6 task 4): it emits one row per rotated query —
+tools/oracle_check.py). The checksum slots (``q_inventory_checksum_a`` /
+``_b``) close that externality
+(VERDICT r6 task 4): each emits one row per rotated query —
 ``(query, n_rows, digest)`` where ``digest`` is the md5 of the sorted
 canonical row strings of that query's FULL result (0x1f/0x1e-separated) —
 and the oracle recomputes the same digest in DuckDB over the same
@@ -41,16 +42,29 @@ each result through one collect_list per query — fine at gate scale by
 construction, NOT a 100-TB path (the rotated queries themselves are the
 scale paths; their plans are pinned by tests/test_plan_audit.py).
 
-r14: the digest is SHARDED into two registry slots
-(``q_inventory_checksum`` = first half of the sorted rotated set,
-``q_inventory_checksum_b`` = second half) — the single slot had grown to
-~35s of driver-window time at ~0.45-0.5s per rotated entry, against the
-documented shard-at-60s rule. Same coverage, deterministic split, each
-slot roughly half the cost.
+r14: the digest is SHARDED into two registry slots — the single slot had
+grown to ~35s of driver-window time at ~0.45-0.5s per rotated entry,
+against the documented shard-at-60s rule.
+
+r15 (VERDICT r14 task 3 + ADVICE): the r14 registration-order split was
+lopsided (23.4s vs 7.9s at sf0.1 — per-entry cost varies 15x, 0.2s to
+5.1s), so the split is now by MEASURED per-entry cost (``_SHARD_WEIGHTS``,
+frozen from an isolated sf0.1 sweep this round; LPT-greedy assignment,
+deterministic) — each slot carries ~half the observed cost and stays well
+under the 60s rule as the tail grows. Because that changes each slot's
+MEMBERSHIP (and therefore its digest) the slots are versioned: shard A is
+registered as ``q_inventory_checksum_a`` (the r7-r14 name
+``q_inventory_checksum`` is retired — ADVICE r14: old-vs-new artifacts
+must not diff as same-methodology), and BOTH slots now carry an in-band
+``_shard_spec:<slot>`` marker row (member count + md5 of the
+comma-joined sorted member names, computed independently by both
+engines) so any future membership change flips the driver's hash gate
+visibly instead of silently re-labeling a different digest.
 """
 
 from __future__ import annotations
 
+import statistics
 from functools import reduce
 
 import pyspark.sql.functions as F
@@ -389,24 +403,152 @@ def _digest_sql(name: str) -> str:
     )
 
 
+#: Measured per-entry cost of one checksum digest at sf0.1 (milliseconds,
+#: isolated best-of-2 sweep, r15 — the balancing signal for the shard
+#: split; VERDICT r14 task 3: the registration-order split was 23.4s vs
+#: 7.9s because per-entry cost spans 0.2-5.1s). These are a RELATIVE cost
+#: proxy (host absolutes drift): re-measure with
+#: tools/measure_checksum_weights-style sweeps when the tail grows enough
+#: to matter; unmeasured names (future rotations) default to the median.
+_SHARD_WEIGHTS: dict[str, int] = {
+    "adjusted_rand_index": 1369,
+    "ann_ivf_untrained_baseline": 1755,
+    "ann_lsh_bucketed": 632,
+    "ann_lsh_recall": 2270,
+    "ann_topk_cosine": 725,
+    "cluster_size_distribution": 305,
+    "dataset_stats": 336,
+    "dedup_bottomk_jaccard": 2720,
+    "dedup_components": 5118,
+    "dedup_embedding_cosine_scaled": 2711,
+    "dedup_exact": 251,
+    "dedup_simhash": 1620,
+    "dedup_survivors": 4437,
+    "dict_encode": 253,
+    "distinct_counts": 504,
+    "hybrid_search": 790,
+    "iteration_filter": 342,
+    "membership_to_clusters": 250,
+    "most_common_priority": 551,
+    "multimodal_bytes_stats": 314,
+    "multimodal_decode_stats": 513,
+    "multimodal_feature_extract": 700,
+    "multimodal_frame_index": 539,
+    "multimodal_resize_stats": 490,
+    "near_match_blocking": 282,
+    "pair_canonicalize": 1080,
+    "pairwise_links": 313,
+    "q10_returned_items": 806,
+    "q13_customer_distribution": 500,
+    "q14_promo_revenue": 504,
+    "q15_top_supplier": 666,
+    "q16_idle_parts": 397,
+    "q17_small_quantity_revenue": 704,
+    "q18_large_orders": 995,
+    "q19_brand_band_revenue": 598,
+    "q1_pricing_summary": 1049,
+    "q21_blamed_supplier": 904,
+    "q22_dormant_accounts": 348,
+    "q3_shipping_priority": 978,
+    "q4_order_priority": 397,
+    "q5_local_supplier_volume": 902,
+    "q6_forecast_revenue": 244,
+    "q7_nation_volume": 819,
+    "q_customer_setops": 388,
+    "q_docs_lang_rebalance": 417,
+    "q_docs_sample_split": 258,
+    "q_docs_snapshot_diff": 395,
+    "q_docs_training_order": 275,
+    "q_events_asof_attribution": 520,
+    "q_events_bucket_rollup": 485,
+    "q_events_error_click_band": 393,
+    "q_events_gap_fill": 516,
+    "q_events_json_props": 465,
+    "q_events_retention": 380,
+    "q_events_sessionize": 523,
+    "q_events_type_pivot": 280,
+    "q_events_type_stats_salted": 369,
+    "q_events_user_distinct_approx": 699,
+    "q_events_value_quantiles": 449,
+    "q_events_value_quantiles_approx": 435,
+    "q_orders_moving_revenue": 526,
+    "q_orders_rollup": 424,
+    "q_top_customers": 455,
+    "sketch_count_min": 251,
+    "text_boilerplate_grams": 2307,
+    "text_chunk_windows": 272,
+    "text_decontaminate": 1884,
+    "text_fingerprint": 231,
+    "text_gopher_rules": 477,
+    "text_lang_id": 322,
+    "text_pack_sequences": 370,
+    "text_pack_shard_totals": 576,
+    "text_pii_redact": 685,
+    "text_repetition": 849,
+    "text_strip_boilerplate": 2614,
+    "text_strip_maximal_spans": 3222,
+    "text_token_count": 225,
+    "text_token_count_bpe": 263,
+    "text_vocab_topk": 339,
+    "vector_norms_by_label": 201,
+    "vector_random_projection": 627,
+}
+
+
 def _shard_names(shard: int) -> list[str]:
-    """Deterministic 2-way split of the rotated set (VERDICT r13 task 5:
-    the single digest slot had grown to ~35s of driver-window time,
-    ~0.45-0.5s per rotated entry — two slots halve the per-slot cost and
-    keep each safely under the documented shard-at-60s rule)."""
+    """Deterministic 2-way split of the rotated set BY MEASURED COST
+    (r15, VERDICT r14 task 3): LPT-greedy — walk entries heaviest-first
+    (name-tiebroken), assign each to the lighter shard. Input is the
+    frozen weight map, so the split is stable across sessions; a name
+    missing from the map (a future rotation not yet re-measured) gets
+    the median weight."""
     names = sorted(CHECKSUM_KINDS)
-    mid = (len(names) + 1) // 2
-    return names[:mid] if shard == 0 else names[mid:]
+    default = statistics.median(_SHARD_WEIGHTS.values())
+    w = {n: _SHARD_WEIGHTS.get(n, default) for n in names}
+    shards: tuple[list[str], list[str]] = ([], [])
+    totals = [0.0, 0.0]
+    for n in sorted(names, key=lambda n: (-w[n], n)):
+        i = 0 if totals[0] <= totals[1] else 1
+        shards[i].append(n)
+        totals[i] += w[n]
+    return sorted(shards[shard])
+
+
+_SHARD_LABELS = ("a", "b")
+
+
+def _shard_spec(shard: int) -> tuple[str, int, str]:
+    """The in-band methodology marker (r14 ADVICE): (marker-query-name,
+    member count, comma-joined sorted member names). Both engines md5 the
+    same spec string independently; a membership change flips the digest
+    on the driver's hash gate instead of silently re-labeling the slot."""
+    names = _shard_names(shard)
+    return f"_shard_spec:{_SHARD_LABELS[shard]}", len(names), ",".join(names)
 
 
 def _checksum_oracle(shard: int) -> str:
-    return "\nUNION ALL\n".join(_digest_sql(n) for n in _shard_names(shard))
+    marker, n, spec = _shard_spec(shard)
+    marker_sql = (
+        f"SELECT '{marker}' AS query, CAST({n} AS BIGINT) AS n_rows,\n"
+        f"  md5('{spec}') AS digest"
+    )
+    return "\nUNION ALL\n".join(
+        [marker_sql] + [_digest_sql(n) for n in _shard_names(shard)]
+    )
 
 
 def _checksum_frames(
-    spark: SparkSession, sf_dir: str, names: list[str]
+    spark: SparkSession, sf_dir: str, shard: int
 ) -> DataFrame:
-    frames = []
+    names = _shard_names(shard)
+    marker, n_members, spec = _shard_spec(shard)
+    frames = [
+        spark.range(1).select(
+            F.lit(marker).alias("query"),
+            F.lit(n_members).cast("long").alias("n_rows"),
+            F.md5(F.lit(spec)).alias("digest"),
+        )
+    ]
     for name in names:
         q = REGISTRY[name]
         df = q.fn(spark, sf_dir)
@@ -437,30 +579,34 @@ def _checksum_frames(
 
 
 @register(
-    "q_inventory_checksum",
+    "q_inventory_checksum_a",
     oracle=_checksum_oracle(0),
     survey_ref=(
-        "gate infrastructure: composite digest, shard A (first half of the "
-        "rotated set; driver 50-entry window workaround; ref analogue "
-        "ProjectSteps.scala:34-36 — one config entry drives each step)"
+        "gate infrastructure: composite digest, shard A (cost-balanced LPT "
+        "half of the rotated set + _shard_spec marker row; driver 50-entry "
+        "window workaround; ref analogue ProjectSteps.scala:34-36 — one "
+        "config entry drives each step). r15 rename of q_inventory_checksum "
+        "(r14 ADVICE: the membership changed, so the slot name versions)"
     ),
 )
-def q_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_inventory_checksum_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One (query, n_rows, digest) row per rotated registry entry in shard
-    A — see the module docstring for the canonical-serialization
-    contract; shard B lives in ``q_inventory_checksum_b``."""
-    return _checksum_frames(spark, sf_dir, _shard_names(0))
+    A, plus the ``_shard_spec:a`` membership marker row — see the module
+    docstring for the canonical-serialization contract; shard B lives in
+    ``q_inventory_checksum_b``."""
+    return _checksum_frames(spark, sf_dir, 0)
 
 
 @register(
     "q_inventory_checksum_b",
     oracle=_checksum_oracle(1),
     survey_ref=(
-        "gate infrastructure: composite digest, shard B (second half of "
-        "the rotated set — r14 split of the single slot per the "
-        "shard-at-60s rule)"
+        "gate infrastructure: composite digest, shard B (cost-balanced LPT "
+        "half of the rotated set + _shard_spec marker row — r14 split of "
+        "the single slot per the shard-at-60s rule; r15 rebalanced by "
+        "measured per-entry cost)"
     ),
 )
 def q_inventory_checksum_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard B of the rotated-set digest (see ``q_inventory_checksum``)."""
-    return _checksum_frames(spark, sf_dir, _shard_names(1))
+    """Shard B of the rotated-set digest (see ``q_inventory_checksum_a``)."""
+    return _checksum_frames(spark, sf_dir, 1)

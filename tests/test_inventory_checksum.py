@@ -25,7 +25,7 @@ def test_head_fits_driver_window_and_contains_checksum():
         "head must be EXACTLY 50: smaller wastes externally-gated slots, "
         "larger silently drops the overflow from the driver's file"
     )
-    assert "q_inventory_checksum" in head, (
+    assert "q_inventory_checksum_a" in head, (
         "the checksum must sit inside the driver's 50-entry window — "
         "outside it, it verifies nothing externally"
     )
@@ -41,12 +41,41 @@ def test_covered_queries_all_have_oracles():
 def test_checksum_shards_partition_the_tail():
     """r14: the digest is sharded into two slots (shard-at-60s rule) —
     the shards must PARTITION the rotated set (disjoint, exhaustive,
-    deterministic) and both must sit in the driver's window."""
-    from dblink_spark.queries.inventory import _shard_names
+    deterministic) and both must sit in the driver's window.
+
+    r15 (VERDICT r14 task 3): balance is by MEASURED per-entry cost, not
+    by count — the r14 half-by-count split read 23.4s vs 7.9s because
+    per-entry cost spans 15x. The LPT split must keep the weighted totals
+    within 2x of each other (the committed-payload criterion), and in
+    practice lands within a few percent."""
+    import statistics
+
+    from dblink_spark.queries.inventory import _SHARD_WEIGHTS, _shard_names
 
     a, b = _shard_names(0), _shard_names(1)
     assert set(a) | set(b) == set(CHECKSUM_KINDS)
     assert not set(a) & set(b)
-    assert abs(len(a) - len(b)) <= 1, "split must stay balanced"
+    default = statistics.median(_SHARD_WEIGHTS.values())
+    wa = sum(_SHARD_WEIGHTS.get(n, default) for n in a)
+    wb = sum(_SHARD_WEIGHTS.get(n, default) for n in b)
+    assert max(wa, wb) <= 2 * min(wa, wb), (wa, wb)
     head = list(queries())[:50]
     assert "q_inventory_checksum_b" in head
+    # determinism across calls (the split feeds registered oracle SQL)
+    assert _shard_names(0) == a and _shard_names(1) == b
+
+
+def test_shard_spec_marker_versions_membership():
+    """r15 (r14 ADVICE): each slot carries an in-band _shard_spec row —
+    member count + md5 of the comma-joined member names — so a membership
+    change flips the driver's hash gate instead of silently re-labeling a
+    different digest as the same slot. The oracle SQL must embed the SAME
+    spec the Spark side computes."""
+    from dblink_spark.queries.inventory import _checksum_oracle, _shard_spec
+
+    for shard in (0, 1):
+        marker, n, spec = _shard_spec(shard)
+        sql = _checksum_oracle(shard)
+        assert f"'{marker}'" in sql
+        assert f"md5('{spec}')" in sql
+        assert n == len(spec.split(","))
