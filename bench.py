@@ -194,6 +194,12 @@ R14_QUERIES = [
     "text_strip_ladder_spans",
 ]
 
+# r15: the past-the-ubiquity-cap template closer (VERDICT r14 task 5 —
+# LADDER_RESIDUAL_r15.json measured the class at miss=1.00).
+R15_QUERIES = [
+    "text_strip_template_spans",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -287,7 +293,7 @@ def main() -> None:
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
         + R8_QUERIES + R9_QUERIES + R10_QUERIES + R11_QUERIES
-        + R12_QUERIES + R14_QUERIES + GATE_QUERIES
+        + R12_QUERIES + R14_QUERIES + R15_QUERIES + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -316,6 +322,7 @@ def main() -> None:
         "r11_total": round(sum(timings[n] for n in R11_QUERIES), 3),
         "r12_total": round(sum(timings[n] for n in R12_QUERIES), 3),
         "r14_total": round(sum(timings[n] for n in R14_QUERIES), 3),
+        "r15_total": round(sum(timings[n] for n in R15_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {

@@ -573,6 +573,16 @@ _GATE_TAIL = [
     # detector, cover, and excision helpers verbatim; full result
     # digest-covered below + driver_sim-verified per round.
     "text_strip_maximal_spans",
+    # r15: text_strip_template_spans (template-band spans — closes the
+    # past-the-ubiquity-cap class LADDER_RESIDUAL_r15.json measures at
+    # miss=1.00) enters the head; text_strip_gapped_spans rotates out —
+    # benched every round since r12, its gap-merge semantics edge-pinned
+    # (one mid-block edit bridges, a 9-token gap never does), its
+    # <=2-Window plan pinned (tests/test_plan_audit.py), and the three
+    # richer surgeons still head-gated (confirmed/ladder/template) share
+    # its detector, run-merge, and excision helpers verbatim; full
+    # result digest-covered below + driver_sim-verified per round.
+    "text_strip_gapped_spans",
 ]
 
 

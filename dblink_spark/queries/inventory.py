@@ -356,6 +356,12 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("n_tokens", "i"), ("n_kept", "i"),
         ("n_removed", "i"), ("clean_text", "s"),
     ],
+    # r15: text_strip_gapped_spans rotates to the tail (its head slot
+    # funds text_strip_template_spans) — same conserved-count schema.
+    "text_strip_gapped_spans": [
+        ("doc_id", "i"), ("n_tokens", "i"), ("n_kept", "i"),
+        ("n_removed", "i"), ("clean_text", "s"),
+    ],
 }
 
 _NULL = "<NULL>"
@@ -486,6 +492,10 @@ _SHARD_WEIGHTS: dict[str, int] = {
     "text_pii_redact": 685,
     "text_repetition": 849,
     "text_strip_boilerplate": 2614,
+    # r15 rotation: estimated from the measured sibling (maximal 3222 +
+    # one extra LAG pass) — swap in a measured value at the next weight
+    # refresh sweep
+    "text_strip_gapped_spans": 3300,
     "text_strip_maximal_spans": 3222,
     "text_token_count": 225,
     "text_token_count_bpe": 263,

@@ -1339,6 +1339,219 @@ text_strip_ladder_spans.__doc__ = text_strip_ladder_spans.__doc__.format(
 )
 
 
+#: template tier (r15): width-5 grams in MORE docs than the ladder cap but
+#: at most this many are the "template band" — too ubiquitous to be rare
+#: copy evidence, too rare to be stock phrases with certainty. Past this
+#: bound a gram is discarded as a stock phrase (and the back-join fan-out
+#: stays bounded at 64 rows per gram by construction).
+_TEMPLATE_UBIQUITY_MAX = 64
+
+
+@register(
+    "text_strip_template_spans",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+g5 AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)
+),
+band AS (
+  SELECT g FROM g5 GROUP BY g
+  HAVING COUNT(DISTINCT doc_id)
+    BETWEEN {_LADDER_UBIQUITY_CAP + 1} AND {_TEMPLATE_UBIQUITY_MAX}
+),
+hits5 AS (
+  SELECT DISTINCT o.doc_id, o.i, o.g FROM g5 o JOIN band b USING (g)
+),
+rawcover AS (
+  SELECT DISTINCT doc_id, i + dd AS p
+  FROM hits5, UNNEST(range(0, 5)) AS v(dd)
+),
+flagged AS (
+  SELECT doc_id, p,
+    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+           <= {_SPAN_GAP_TOLERANCE + 1} THEN 0 ELSE 1 END AS newgrp
+  FROM rawcover
+),
+isl AS (
+  SELECT doc_id, p,
+    SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+islgrams AS (
+  SELECT i2.doc_id, i2.grp, i2.p, h.i, h.g
+  FROM isl i2 LEFT JOIN hits5 h
+    ON h.doc_id = i2.doc_id AND h.i = i2.p
+),
+stats AS (
+  SELECT doc_id, grp, MIN(p) AS lo, MAX(p) AS hi, COUNT(i) AS n_ev
+  FROM islgrams GROUP BY doc_id, grp
+),
+conf AS (
+  SELECT doc_id, grp, MAX(n_match) AS best FROM (
+    SELECT ig.doc_id, ig.grp, o.doc_id AS od,
+           COUNT(DISTINCT ig.g) AS n_match
+    FROM (SELECT DISTINCT doc_id, grp, g FROM islgrams
+          WHERE g IS NOT NULL) ig
+    JOIN hits5 o ON o.g = ig.g AND o.doc_id <> ig.doc_id
+    GROUP BY ig.doc_id, ig.grp, o.doc_id
+  ) _m GROUP BY doc_id, grp
+),
+spans AS (
+  SELECT s.doc_id, s.lo, s.hi
+  FROM stats s JOIN conf c ON c.doc_id = s.doc_id AND c.grp = s.grp
+  WHERE s.hi - s.lo + 1 >= {_SPAN_MIN_TOKENS}
+    AND s.n_ev >= {_LADDER_MIN_EVIDENCE}
+    AND c.best >= {_LADDER_MIN_EVIDENCE}
+),
+cover AS (
+  SELECT s.doc_id, CAST(u.p AS INTEGER) AS p
+  FROM spans s, UNNEST(range(s.lo, s.hi + 1)) AS u(p)
+),
+{_EXCISE_FROM_COVER_SQL}
+""",
+    survey_ref=(
+        "beyond-reference: template-band span removal — closes the "
+        "past-the-ubiquity-cap miss class the ladder documents and "
+        "LADDER_RESIDUAL_r15.json measures at miss=1.00 (a slot-edited "
+        "template duplicated in more than 8 docs loses its width-5 "
+        "evidence to the rarity cap; VERDICT r14 task 5)"
+    ),
+)
+def text_strip_template_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-tier span dedup: the fifth rung of the surgeon ladder,
+    closing the ubiquity-cap miss class the ladder documents (and r15
+    MEASURES at miss=1.00 — LADDER_RESIDUAL_r15.json): a block duplicated
+    in MORE than {ubiq} docs whose every copy is slot-edited (per-doc
+    values at fixed positions — 'Posted by X on Y' boilerplate, licensing
+    headers with per-file fields) shares width-5 grams across ALL copies,
+    so every gram's ubiquity lands past the ladder's rarity cap and tier
+    4 discards the evidence.
+
+    Detection runs in the TEMPLATE BAND — grams in {ubiq}+1..{tmax}
+    distinct docs. That band is where mid-frequency natural phrases also
+    live, so the false-positive answer is one gate stronger than the
+    ladder's:
+
+    1. BAND (bounded fan-out): grams in more than {tmax} docs are
+       discarded as stock phrases — which also caps the confirmation
+       join's per-gram fan-out at {tmax} by construction.
+    2. DENSITY + LENGTH (the family gates): >= {ev} distinct band-gram
+       starts per island, merged span >= {min_tokens} tokens.
+    3. CONFIRMATION (the template-vs-phrase-chain discriminator): some
+       SINGLE other doc must share >= {ev} distinct grams of this
+       island's own gram set. A chain of unrelated mid-frequency idioms
+       covers positions but its grams' doc sets don't intersect in any
+       one doc; a real template's co-travel by definition.
+
+    Tier bands are adjacent and disjoint: 2..{ubiq} docs -> ladder,
+    {ubiq}+1..{tmax} -> this tier, past {tmax} -> discarded (a block
+    with that many edit-dense copies has, in practice, >= 2 verbatim
+    copies and anchors tier 1; the residual is documented).
+
+    100-TB shape: the SAME one-pass O(corpus tokens) width-5 gram build
+    the ladder makes (one tokenize+gram pass, one groupBy(g) with
+    partial aggs); the band filter bounds every downstream join — the
+    back-join fan-out and the confirmation join are both <= {tmax} rows
+    per gram, and the dense stock-phrase rows die in the aggregate
+    before any join. Islands/evidence/confirmation are windowed or
+    grouped per doc_id (spillable); excision is row-local. Tokens never
+    cross an exchange."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    occ5 = _gram_occurrences(d, width=5).persist()
+    band = (
+        occ5.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(
+            (F.col("nd") > _LADDER_UBIQUITY_CAP)
+            & (F.col("nd") <= _TEMPLATE_UBIQUITY_MAX)
+        )
+        .select("g")
+    )
+    hits5 = occ5.join(band, "g").select("doc_id", "i", "g").distinct().persist()
+    rawcover = hits5.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("p")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    newgrp = F.when(
+        F.col("p") - F.lag("p").over(w) <= _SPAN_GAP_TOLERANCE + 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = rawcover.select("doc_id", "p", newgrp.alias("newgrp")).select(
+        "doc_id",
+        "p",
+        F.sum("newgrp")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+    )
+    islgrams = (
+        isl.alias("i2")
+        .join(
+            hits5.alias("h"),
+            (F.col("h.doc_id") == F.col("i2.doc_id"))
+            & (F.col("h.i") == F.col("i2.p")),
+            "left",
+        )
+        .select(
+            F.col("i2.doc_id").alias("doc_id"),
+            F.col("i2.grp").alias("grp"),
+            F.col("i2.p").alias("p"),
+            F.col("h.i").alias("i"),
+            F.col("h.g").alias("g"),
+        )
+        .persist()
+    )
+    stats = islgrams.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("lo"), F.max("p").alias("hi"),
+        F.count("i").alias("n_ev"),
+    )
+    conf = (
+        islgrams.filter(F.col("g").isNotNull())
+        .select("doc_id", "grp", "g")
+        .distinct()
+        .alias("ig")
+        .join(
+            hits5.alias("o"),
+            (F.col("o.g") == F.col("ig.g"))
+            & (F.col("o.doc_id") != F.col("ig.doc_id")),
+        )
+        .groupBy("ig.doc_id", "ig.grp", "o.doc_id")
+        .agg(F.count_distinct("ig.g").alias("n_match"))
+        .groupBy("ig.doc_id", "ig.grp")
+        .agg(F.max("n_match").alias("best"))
+        .select(
+            F.col("ig.doc_id").alias("doc_id"),
+            F.col("ig.grp").alias("grp"),
+            "best",
+        )
+    )
+    spans = (
+        stats.join(conf, ["doc_id", "grp"])
+        .filter(
+            (F.col("hi") - F.col("lo") + 1 >= _SPAN_MIN_TOKENS)
+            & (F.col("n_ev") >= _LADDER_MIN_EVIDENCE)
+            & (F.col("best") >= _LADDER_MIN_EVIDENCE)
+        )
+    )
+    cover = spans.select(
+        "doc_id", F.explode(F.sequence("lo", "hi")).alias("p")
+    )
+    return owns_caches(_excise_by_cover(d, cover), occ5, hits5, islgrams)
+
+
+text_strip_template_spans.__doc__ = text_strip_template_spans.__doc__.format(
+    ubiq=_LADDER_UBIQUITY_CAP,
+    tmax=_TEMPLATE_UBIQUITY_MAX,
+    ev=_LADDER_MIN_EVIDENCE,
+    min_tokens=_SPAN_MIN_TOKENS,
+)
+
+
 # --- r11: Bloom-filter decontamination (the broadcast-bitset scale arm) ----
 #
 # `text_decontaminate` joins every training gram against the benchmark gram

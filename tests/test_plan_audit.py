@@ -1407,3 +1407,25 @@ class TestLadderSpanPlan:
         from dblink_spark.queries import release_caches
 
         release_caches(df)
+
+    def test_template_spans_plan(self, spark):
+        """r15 template surgeon: the same family structural pins as the
+        ladder (no products, zero Python, (doc_id, text)-only scans,
+        cached gram/hit/island relations — ONE width-5 corpus gram pass
+        feeds band, hits, evidence AND the confirmation join), plus the
+        tier's own scale discipline: the confirmation join runs on the
+        gram key (an equi-join — never a cross product), with fan-out
+        bounded at 64 rows/gram by the band filter upstream."""
+        df = q.REGISTRY["text_strip_template_spans"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan, "gram/hit/island relations cache"
+        a = audit_plan(df)
+        assert a.python_ops == 0
+        scans = scan_infos(plan)
+        assert all(
+            set(s.read_columns) <= {"doc_id", "text"} for s in scans
+        )
+        from dblink_spark.queries import release_caches
+
+        release_caches(df)

@@ -2712,3 +2712,100 @@ def test_ladder_spans_close_the_no_anchor_class(spark, tmp_path):
             ladder[i]["n_kept"] + ladder[i]["n_removed"]
             == ladder[i]["n_tokens"]
         )
+
+
+def test_template_spans_close_the_past_cap_class(spark, tmp_path):
+    """r15 (VERDICT r14 task 5): the ubiquity-cap miss class the ladder
+    documents and LADDER_RESIDUAL_r15.json measures at miss=1.00 — a
+    slot-edited template duplicated in MORE than 8 docs puts every
+    width-5 gram's ubiquity past the rarity cap, so tier 4 discards the
+    evidence. The crafted corpus pins the template tier's three gates
+    and the tier-band adjacency:
+
+    - docs 0..11: a 63-token block in TWELVE copies, every copy edited
+      at positions 0,7,...,56 with per-doc tokens (the no-anchor
+      template construction) — shared 5-grams live in exactly 12 docs:
+      past the ladder cap (8), inside the template band (9..64). The
+      ladder must MISS all twelve (the measured class); the template
+      tier must excise the 62-token island in each.
+    - doc 20 + satellites: a PHRASE CHAIN — six disjoint 5-token
+      phrases planted contiguously in ONE host doc (30-token island, 6
+      evidence starts: density and length PASS) but each phrase's other
+      carriers are 9 DISTINCT satellite docs, so no single other doc
+      shares more than 1 of the island's grams: confirmation (>= 6 from
+      one doc) fails for the host, and each satellite's lone phrase is
+      sub-floor. Kept everywhere — a chain of unrelated mid-frequency
+      idioms is not a template. (Two hosts would make the whole chain
+      genuinely duplicated content, and confirmation would correctly
+      fire.)
+    - docs 40/41: the ladder's own class (63-token block, 2 copies,
+      edited every 7) — nd=2 is BELOW the template band, so the
+      template tier removes nothing there (adjacent, disjoint bands;
+      the ladder still catches it).
+    """
+    edits = set(range(0, 63, 7))
+
+    def blk(tag):
+        return " ".join(
+            f"x{tag}{j}" if j in edits else f"tpl{j}" for j in range(63)
+        )
+
+    def ladder_blk(tag):
+        return " ".join(
+            f"y{tag}{j}" if j in edits else f"lad{j}" for j in range(63)
+        )
+
+    def doc(pre, mid, n=20):
+        return " ".join(f"{pre}{j}" for j in range(n)) + " " + mid + " " + \
+            " ".join(f"{pre}t{j}" for j in range(n))
+
+    phrases = [
+        " ".join(f"ph{k}_{j}" for j in range(5)) for k in range(6)
+    ]
+    chain = " ".join(phrases)
+    rows = [(i, doc(f"c{i}_", blk(f"c{i}"))) for i in range(12)]
+    rows += [(20, doc("ha_", chain))]
+    sat = 100
+    for k, ph in enumerate(phrases):
+        for m in range(9):
+            rows.append((sat, doc(f"s{sat}_", ph, n=8)))
+            sat += 1
+    rows += [(40, doc("la_", ladder_blk("a"))), (41, doc("lb_", ladder_blk("b")))]
+    d = str(tmp_path / "template_corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "s1", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+
+    from dblink_spark.queries import materialized
+
+    with materialized(
+        REGISTRY["text_strip_template_spans"].fn(spark, d)
+    ) as df:
+        tpl = {r["doc_id"]: r for r in df.collect()}
+    with materialized(
+        REGISTRY["text_strip_ladder_spans"].fn(spark, d)
+    ) as df:
+        ladder = {r["doc_id"]: r for r in df.collect()}
+
+    for i in range(12):
+        # the measured miss class: ladder blind past its cap...
+        assert ladder[i]["n_removed"] == 0, ladder[i]
+        # ...and the template tier excises the island (positions 1..62,
+        # the same geometry the ladder pins inside its own band)
+        assert tpl[i]["n_removed"] == 62, tpl[i]
+        assert "tpl1" not in tpl[i]["clean_text"]
+        assert f"xc{i}0" in tpl[i]["clean_text"], (
+            "position 0 sits outside the island and must survive"
+        )
+    # phrase chain: density+length pass, confirmation fails -> kept
+    assert tpl[20]["n_removed"] == 0, tpl[20]
+    assert all(
+        tpl[r]["n_removed"] == 0 for r in tpl if 100 <= r < 100 + 54
+    ), "sub-floor satellite phrases must survive"
+    # band adjacency: nd=2 belongs to the ladder, not the template tier
+    for i in (40, 41):
+        assert tpl[i]["n_removed"] == 0, tpl[i]
+        assert ladder[i]["n_removed"] == 62, ladder[i]
+    for r in tpl.values():
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
