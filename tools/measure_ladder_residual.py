@@ -52,6 +52,11 @@ TIERS = (
     "text_strip_gapped_spans",
     "text_strip_confirmed_spans",
     "text_strip_ladder_spans",
+    # r15: the fifth tier this measurement motivated — the C>8 rows below
+    # measured miss=1.00 under the four-tier stack (committed as the
+    # first LADDER_RESIDUAL_r15.json); the template band + confirmation
+    # gates close exactly that class.
+    "text_strip_template_spans",
 )
 
 
