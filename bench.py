@@ -1201,29 +1201,38 @@ def er_1m_partition_scaling(spark, n_records: int = 1_000_000, n_iters: int = 6)
             # weather; the per-point canary brackets them). The
             # quality cost at this scale is measured out-of-band by
             # tools/measure_1m_multisweep.py (equal-sweep-count k=1 vs
-            # k=8 chains) — too long for a per-round probe.
+            # k=8 chains) — too long for a per-round probe. The k points
+            # INTERLEAVE in two round-robin cycles and each k reports
+            # the median of its readings: a sequential one-shot-per-k
+            # sweep conflates the chain's own state drift (fresh chains
+            # sweep faster than mixed ones — the adjudicated
+            # equilibrium-transient effect) with the k effect.
             from dblink_spark.er.state import transition_multisweep
 
             ms = s  # reuse the warmed p=8 chain state
-            k1_spi = None
+            readings: dict[int, list[float]] = {k: [] for k in (1, 2, 4, 8)}
+            for _cyc in range(2):
+                for k in (1, 2, 4, 8):
+                    jobs = max(8 // k, 1)
+                    t0 = time.time()
+                    for _ in range(jobs):
+                        ms = transition_multisweep(ms, "PCG-I", k)
+                    readings[k].append((time.time() - t0) / (k * jobs))
+            k1_spi = statistics.median(readings[1])
             for k in (1, 2, 4, 8):
-                jobs = max(8 // k, 1)
-                ms = transition_multisweep(ms, "PCG-I", k)  # warm the width
-                t0 = time.time()
-                for _ in range(jobs):
-                    ms = transition_multisweep(ms, "PCG-I", k)
-                spi_k = (time.time() - t0) / (k * jobs)
+                spi_k = statistics.median(readings[k])
                 out[f"er_1m_multisweep8p_k{k}_sec_per_iter"] = round(spi_k, 2)
-                if k == 1:
-                    k1_spi = spi_k
-                else:
+                out[f"er_1m_multisweep8p_k{k}_iter_secs"] = [
+                    round(x, 2) for x in readings[k]
+                ]
+                if k > 1:
                     out[f"er_1m_multisweep8p_k{k}_speedup_vs_k1"] = round(
                         k1_spi / spi_k, 2
                     )
                 print(
                     f"# er_1m_multisweep: k={k} -> {spi_k:.2f} s/iter at 8 "
-                    f"partitions (8 sweeps/point, within-session)",
-                    file=sys.stderr,
+                    f"partitions (median of {readings[k]}, interleaved "
+                    f"cycles)", file=sys.stderr,
                 )
     return out
 

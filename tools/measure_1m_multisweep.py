@@ -9,10 +9,14 @@ script measures both:
 
 1. THROUGHPUT: sec/iter at p=8/16/32 for k=1/2/4/8, every point through
    the same ``transition_multisweep`` call path (k=1 included, so the
-   baseline shares the methodology), a fixed sweep budget per point, and
-   an interleaved constant-work canary bracketing each point (host-load
-   adjudication — within-session RATIOS are the signal, absolutes are
-   weather).
+   baseline shares the methodology), and an interleaved constant-work
+   canary bracketing each point (host-load adjudication — within-session
+   RATIOS are the signal, absolutes are weather). The k points are
+   INTERLEAVED in round-robin cycles and each k reports the median of
+   its per-cycle readings: a sequential one-shot-per-k sweep conflates
+   the chain's own state drift (the fresh→equilibrium transient makes
+   later sweeps costlier) with the k effect — the first run of this tool
+   did exactly that and its k ordering was unreadable.
 
 2. QUALITY at one configuration (p=8): two chains from the SAME initial
    state and the SAME seed stream (transition_multisweep advances
@@ -98,10 +102,15 @@ def main() -> None:
         "build_sec": build_s,
         "methodology": (
             "every k through transition_multisweep (k=1 = same call path); "
-            "per-point canary; within-session ratios are the signal"
+            "k points interleaved round-robin over cycles, median per k "
+            "(chain-state drift lands on every k equally); per-point "
+            "canary; within-session ratios are the signal"
         ),
     }
 
+    import statistics as st
+
+    n_cycles = 2
     bench._canary(spark, warm=True)
     fitted: dict[int, KDTreePartitioner] = {}
     for p in (8, 16, 32):
@@ -112,25 +121,31 @@ def main() -> None:
         fitted[p] = pf
         s = assign_partitions(s0, pf, pf.num_partitions)
         s = transition_multisweep(s, "PCG-I", 1)  # warm this p
-        k1_spi = None
+        readings: dict[int, list[float]] = {k: [] for k in (1, 2, 4, 8)}
+        cans: dict[int, list[float]] = {k: [] for k in (1, 2, 4, 8)}
+        for cyc in range(n_cycles):
+            for k in (1, 2, 4, 8):
+                jobs = max(sweeps_per_point // k, 1)
+                can = bench._canary(spark)
+                t0 = time.time()
+                for _ in range(jobs):
+                    s = transition_multisweep(s, "PCG-I", k)
+                spi = (time.time() - t0) / (k * jobs)
+                readings[k].append(spi)
+                cans[k].append(can)
+                print(
+                    f"# p={p} cycle={cyc} k={k}: {spi:.2f} s/iter "
+                    f"({k * jobs} sweeps; canary {can:.2f}s)",
+                    file=sys.stderr, flush=True,
+                )
+        k1_spi = st.median(readings[1])
         for k in (1, 2, 4, 8):
-            jobs = max(sweeps_per_point // k, 1)
-            can = bench._canary(spark)
-            t0 = time.time()
-            for _ in range(jobs):
-                s = transition_multisweep(s, "PCG-I", k)
-            spi = (time.time() - t0) / (k * jobs)
+            spi = st.median(readings[k])
             out[f"ms_{p}p_k{k}_sec_per_iter"] = round(spi, 3)
-            out[f"ms_{p}p_k{k}_canary_sec"] = can
-            if k == 1:
-                k1_spi = spi
-            else:
+            out[f"ms_{p}p_k{k}_readings"] = [round(x, 3) for x in readings[k]]
+            out[f"ms_{p}p_k{k}_canaries"] = cans[k]
+            if k > 1:
                 out[f"ms_{p}p_k{k}_speedup_vs_k1"] = round(k1_spi / spi, 3)
-            print(
-                f"# p={p} k={k}: {spi:.2f} s/iter "
-                f"({k * jobs} sweeps; canary {can:.2f}s)",
-                file=sys.stderr, flush=True,
-            )
 
     # ---- quality at p=8: equal-sweep k=1 vs k=8 chains, same seed stream
     from dblink_spark.er.analysis import membership_to_clusters
