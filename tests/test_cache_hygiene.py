@@ -48,6 +48,16 @@ _PERSISTING = [
     "text_strip_maximal_spans",
     # same persisted gram skeleton, gap-tolerant run-merge variant
     "text_strip_gapped_spans",
+    # persists the 8-cover relation, its exploded positions and the
+    # anchor-doc 4-gram table (r15: was missing from this list since r13
+    # — the docstring promises EVERY .persist() query is covered)
+    "text_strip_confirmed_spans",
+    # persists the width-5 gram table + band-hit relation (r15: missing
+    # since r14, same omission)
+    "text_strip_ladder_spans",
+    # persists width-5 grams, band hits AND the island-gram relation
+    # (evidence + confirmation both read it)
+    "text_strip_template_spans",
     # persists the per-supplier revenue aggregate (max scalar + winner
     # filter both read the cache; lineitem is scanned exactly once)
     "q15_top_supplier",
