@@ -1355,7 +1355,20 @@ def transition_multisweep(
     (``er_rl10k_multisweep4p_k*``), the pessimal full-chain k=8 quality
     pin (``er_rl10k_multisweep_f1/ari``), and the recommended
     burn-in-fused config's kept-sample quality
-    (``er_rl10k_burninfused_f1/ari``)."""
+    (``er_rl10k_burninfused_f1/ari``).
+
+    AT SCALE the sweet spot SHRINKS (r15, BENCH_1M_MULTISWEEP_r15.json —
+    1M records, interleaved k cycles, quiet host): the per-job floor the
+    fusion amortizes is a small share of a 1M iteration, so the win
+    saturates at k=2 (1.63x/1.42x/1.42x sec-per-iter at p=8/16/32) and
+    LARGER k erodes it (k=8: 1.12x/0.97x/1.12x) — sweeps 2..k sample
+    against progressively staler partitions and a fixed θ, and those
+    kernels run measurably slower. Equal-sweep quality at 1M shows no
+    k=8 penalty on the early chain (64-sweep final states: F1 0.157
+    fused vs 0.062 unfused from the same init + seed stream, 1.8x less
+    wall). Recommended k by regime: job-floor-bound chains (rl10k-class,
+    <~100k records/partition-count) take k=8 burn-in; kernel-bound 1M+
+    chains take k=2."""
     import time as _time
 
     _require_live(state, "transition_multisweep")
