@@ -608,6 +608,22 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
     # drop priority: first entry goes first (ADVICE r7: .pop() from the end
     # made the actual order the reverse of the documented one)
     droppable = [
+        # r15: the key set outgrew the budget and the per-query dict was
+        # sacrificed (the one thing the compact line exists to carry) —
+        # redundant/derivable probe keys now drop first: legacy dup,
+        # per-point balance (full file), ARIs that equal their F1 twin
+        # every round, interior k points (endpoints tell the story)
+        "er_1m_max_partition_clusters",
+        "er_1m_16part_max_partition_clusters",
+        "er_1m_32part_max_partition_clusters",
+        "er_1m_8part_max_partition_clusters",
+        "er_rl10k_multisweep_ari",
+        "er_rl10k_burninfused_ari",
+        "er_rl10k_multisweep4p_k2_iters_per_sec",
+        "er_rl10k_multisweep4p_k4_iters_per_sec",
+        "er_1m_multisweep8p_k4_speedup_vs_k1",
+        "er_1m_multisweep8p_k8_sec_per_iter",
+        "er_mcmc_probe_iters",
         "compstable_consumers_total_sec",
         "er_1m_8part_sec_per_iter_norm",
         "er_1m_16part_sec_per_iter_norm",
