@@ -492,10 +492,9 @@ _SHARD_WEIGHTS: dict[str, int] = {
     "text_pii_redact": 685,
     "text_repetition": 849,
     "text_strip_boilerplate": 2614,
-    # r15 rotation: estimated from the measured sibling (maximal 3222 +
-    # one extra LAG pass) — swap in a measured value at the next weight
-    # refresh sweep
-    "text_strip_gapped_spans": 3300,
+    # r15 rotation: measured same-methodology after the initial sweep
+    # (single-entry frame, best of 2, isolated sf0.1)
+    "text_strip_gapped_spans": 4350,
     "text_strip_maximal_spans": 3222,
     "text_token_count": 225,
     "text_token_count_bpe": 263,
