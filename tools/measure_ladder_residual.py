@@ -178,9 +178,66 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
 
+    # --- near-dup hand-off arm (r15): the E<=5 residual is out of reach
+    # for ANY substring method — with every copy edited at the same
+    # positions using copy-unique tokens, the longest repeated token run
+    # between copies is <= E-1 <= 4, below even a suffix array's useful
+    # threshold (4-token repeats are ubiquitous in natural text). The
+    # honest closure is the NEAR-DUP family: an E=3 copy still shares
+    # ~2/3 of its tokens (doc-level Jaccard ~0.4), squarely in sketch
+    # territory at an appropriate threshold. Measure: bottom-k sketch
+    # pairs (k=64, threshold 0.3 — the operators are parameterized; the
+    # registered gate entry's 0.99 is its exact-dup configuration) ->
+    # closure, then per cell: do all C copies land in one component?
+    from dblink_spark.operators.components import connected_components
+    from dblink_spark.queries import release_caches
+    from dblink_spark.queries.dedup import bottomk_sketch_pairs, load
+
+    nd_pairs = bottomk_sketch_pairs(
+        load(spark, tmp, "documents"), k=64, threshold=0.3
+    )
+    comp_df = connected_components(nd_pairs, "doc1", "doc2")
+    comp = {
+        r["node"]: r["component"]
+        for r in comp_df.collect()
+        if r["node"] in doc_meta
+    }
+    release_caches(nd_pairs)
+    for e in EDIT_PERIODS:
+        for c in COPY_COUNTS:
+            docs = [d for d, (de, dc, _) in doc_meta.items() if de == e and dc == c]
+            comps = [comp.get(d) for d in docs]
+            linked = (
+                len(docs) > 1
+                and all(x is not None for x in comps)
+                and len(set(comps)) == 1
+            )
+            cells[f"E{e}_C{c}"]["neardup_cell_linked"] = bool(linked)
+    handoff_ok = all(
+        cells[f"E{e}_C{c}"]["neardup_cell_linked"]
+        for e in (3, 4, 5)
+        for c in COPY_COUNTS
+    )
+    print(
+        f"# near-dup hand-off (bottom-k k=64 t=0.3 -> closure links every "
+        f"E<=5 cell): {handoff_ok}", file=sys.stderr,
+    )
+
     out = {
         "block_tokens": BLOCK_TOKENS,
         "n_background_docs": N_BG,
+        "neardup_handoff": {
+            "ok_for_all_E_le_5_cells": handoff_ok,
+            "note": (
+                "E<=5 same-position copy-unique edits leave no repeated "
+                "token run >= 5 — below even a suffix array's useful "
+                "threshold, so the residual is out of substring-dedup "
+                "reach INFORMATION-THEORETICALLY; the near-dup sketch "
+                "family is the hand-off (bottom-k k=64 threshold=0.3 -> "
+                "closure), and it links every E<=5 cell's copies into "
+                "one component in this corpus"
+            ),
+        },
         "ubiquity_cap_note": (
             "cap=8 distinct docs (queries/text.py:_LADDER_UBIQUITY_CAP); "
             "C>8 cells measure the past-the-cap class"
