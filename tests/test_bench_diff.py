@@ -214,3 +214,22 @@ def test_diff_regression_label_names_baseline_file(monkeypatch, capsys):
     err = capsys.readouterr().err
     assert "REGRESSION vs BENCH_LOCAL_r08.json" in err
     assert out["diff_baseline_file"] == "BENCH_LOCAL_r08.json"
+
+
+def test_compact_line_keeps_queries_dict_under_budget():
+    """r15: the compact key set outgrew the 1800-char budget and the
+    droppable ladder ran dry, sacrificing the per-query dict — the one
+    thing the compact line exists to carry. Pin the fix against the
+    repo's own committed full payload (the representative worst case:
+    every probe key populated): the emitted line must stay under budget
+    WITH all 14 headline queries intact."""
+    import bench
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_FULL_LATEST.json")) as f:
+        out = json.load(f)
+    compact = bench._compact(out, out["queries"])
+    line = json.dumps(compact)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    assert "queries_dropped" not in compact
+    assert set(compact["queries"]) == set(bench.BENCH_QUERIES)
