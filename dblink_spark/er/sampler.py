@@ -33,6 +33,12 @@ from dblink_spark.er.state import (
     transition_multisweep,
 )
 
+#: configs already warned about fusion being ignored on the driver-local
+#: path — keyed (multisweep_k, multisweep_burnin_k, n_records,
+#: local_exec_max_records) so the warning is one-time per configuration,
+#: not per sample() call (r15 ADVICE).
+_MS_IGNORED_WARNED: set[tuple[int, int, int, int]] = set()
+
 
 @dataclass
 class SamplerOptions:
@@ -202,12 +208,24 @@ def sample(
         and opts.local_exec_max_records > 0
         and n_records <= opts.local_exec_max_records
     )
-    if run_local and (opts.multisweep_k > 1 or opts.multisweep_burnin_k > 1):
+    ms_warn_key = (
+        opts.multisweep_k, opts.multisweep_burnin_k,
+        n_records, opts.local_exec_max_records,
+    )
+    if (
+        run_local
+        and (opts.multisweep_k > 1 or opts.multisweep_burnin_k > 1)
+        and ms_warn_key not in _MS_IGNORED_WARNED
+    ):
         # r14 ADVICE: the local path takes precedence over the multisweep
         # branch, so a config asking for fusion on a driver-sized chain
         # would otherwise see no fusion and no signal. Fusion only
         # amortizes the DISTRIBUTED path's per-job floor; the local path
         # has none, so ignoring it is correct — but say so once.
+        # r15 ADVICE: once-guard keyed on the option tuple so repeated
+        # short sample() calls with the same config warn exactly once per
+        # process (docs/README promise "one-time", not per-call).
+        _MS_IGNORED_WARNED.add(ms_warn_key)
         logging.getLogger(__name__).warning(
             "multisweep_k=%d/multisweep_burnin_k=%d ignored: the chain "
             "(%d records <= local_exec_max_records=%d) runs driver-local, "

@@ -560,7 +560,17 @@ class OutOfOrderReplayError(RuntimeError):
     per-user-ordered source (the parquet-replay and production-log
     case), widen micro-batches so reorderings land in one batch (the
     in-batch sort absorbs them), or raise ``max_ooo_fraction`` to accept
-    the documented approximation."""
+    the documented approximation.
+
+    Threshold scale change (r15 ADVICE): since r15 ``ooo_fraction`` is
+    ``n_ooo / (n_ooo + n_pairs)`` — the share of ALL observed
+    transitions — where pre-r15 it was ``n_ooo / n_pairs`` (violations
+    per real pair, which could exceed 1.0). The new reading is always
+    <= the old one for the same replay (n_ooo=1, n_pairs=2 read 0.5 and
+    now reads 0.333), so ``max_ooo_fraction`` values tuned against the
+    pre-r15 scale silently become MORE permissive: retune them to
+    ``old / (1 + old)`` to keep the same admission boundary. The default
+    0.0 (any violation fails) is unaffected."""
 
 
 def audit_stream_ordering(

@@ -675,25 +675,34 @@ def test_sampler_multisweep_ignored_on_local_path_warns(
     multisweep branch — fusion only amortizes the distributed per-job
     floor, so ignoring it there is correct, but it must SAY so: a config
     asking for multisweep_k>1 on a chain under local_exec_max_records gets
-    a one-per-call warning naming the workaround, and the chain content is
+    a ONE-TIME (per configuration, r15 ADVICE: once-guard, not per-call)
+    warning naming the workaround, and the chain content is
     the plain local chain (the setting changed nothing)."""
     import logging as _logging
+
+    from dblink_spark.er import sampler as _sampler_mod
 
     records, attrs, cache, pdf = rl_setup
     s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=47)
     part = KDTreePartitioner(num_levels=1, attribute_ids=[3])
     part.fit(s0.df.filter("NOT is_summary").select("ent_values"))
     st = assign_partitions(s0, part, 2)
+    _sampler_mod._MS_IGNORED_WARNED.clear()  # isolate from suite ordering
+    opts = SamplerOptions(
+        sampler="PCG-I", burnin_interval=2, thinning_interval=1,
+        multisweep_k=4,  # ignored: default local cap routes local
+    )
     with caplog.at_level(_logging.WARNING, logger="dblink_spark.er.sampler"):
-        st = sample(
-            st,
-            sample_size=2,
-            options=SamplerOptions(
-                sampler="PCG-I", burnin_interval=2, thinning_interval=1,
-                multisweep_k=4,  # ignored: default local cap routes local
-            ),
-        )
+        st = sample(st, sample_size=2, options=opts)
     assert st.iteration == 4  # burnin 2 + 2 kept at thin 1
     assert st.local_parts is not None, "chain must have run driver-local"
     msgs = [r.message for r in caplog.records if "multisweep" in r.message]
-    assert msgs and "local_exec_max_records=0" in msgs[0], msgs
+    assert len(msgs) == 1, msgs
+    assert "local_exec_max_records=0" in msgs[0], msgs
+    # r15 ADVICE: a second sample() with the SAME config must not re-warn
+    # (repeated short calls previously spammed the log one-per-call)
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING, logger="dblink_spark.er.sampler"):
+        st = sample(st, sample_size=1, options=opts)
+    again = [r.message for r in caplog.records if "multisweep" in r.message]
+    assert again == [], again

@@ -65,6 +65,32 @@ def test_checksum_shards_partition_the_tail():
     assert _shard_names(0) == a and _shard_names(1) == b
 
 
+def test_checksum_slot_budget_rule():
+    """r16 (VERDICT r15 task 7): the shard-at-60s rule was documented but
+    not tested — gate overhead grows ~0.45s per rotated entry, so a
+    rotation that pushes a slot past its budget should fail HERE (geometry
+    test), not be discovered in a bench artifact. Projected slot cost =
+    sum of the slot members' measured `_SHARD_WEIGHTS` (milliseconds at
+    sf0.1, isolated best-of-2). Budget 60s with a safety margin: fail at
+    50s projected so there is headroom for host drift before the
+    documented 60s line is actually breached (r15 measured totals: 19.4s
+    and 17.5s — plenty of rotations left before a third slot is due)."""
+    import statistics
+
+    from dblink_spark.queries.inventory import _SHARD_WEIGHTS, _shard_names
+
+    default = statistics.median(_SHARD_WEIGHTS.values())
+    for shard in (0, 1):
+        names = _shard_names(shard)
+        projected_ms = sum(_SHARD_WEIGHTS.get(n, default) for n in names)
+        assert projected_ms <= 50_000, (
+            f"slot {shard} projects {projected_ms / 1000:.1f}s of digest "
+            "work — approaching the 60s/slot budget; split the digest "
+            "into a third versioned slot (new _shard_spec markers, new "
+            "slot names) before rotating more entries in"
+        )
+
+
 def test_shard_spec_marker_versions_membership():
     """r15 (r14 ADVICE): each slot carries an in-band _shard_spec row —
     member count + md5 of the comma-joined member names — so a membership

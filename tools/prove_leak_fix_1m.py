@@ -168,7 +168,16 @@ def main() -> None:
         "residual_drift": round(residual, 2),
         "storage_flat": storage_flat,
         "time_flat_vs_canary": flat_time,
-        "leak_fix_confirmed": bool(storage_flat and flat_time),
+        # r15 ADVICE: on fused windows (ms_k>1) the time-flat criterion
+        # does not apply (the short window traverses the equilibrium
+        # transient by construction), so the headline verdict is storage
+        # alone there — otherwise the artifact would stamp
+        # leak_fix_confirmed:false next to ms_leak_verdict_storage_flat:true
+        # and a consumer keying on the headline would misread the fused
+        # path as leaking.
+        "leak_fix_confirmed": bool(
+            storage_flat if ms_k > 1 else (storage_flat and flat_time)
+        ),
         "iterations": rows,
     }
     if ms_k > 1:
