@@ -390,9 +390,17 @@ def main() -> None:
     except Exception as e:
         print(f"# rl10k multisweep quality probe skipped: {e}", file=sys.stderr)
     try:
+        out.update(rl500_linkage_quality(spark))
+    except Exception as e:
+        print(f"# rl500 quality probe skipped: {e}", file=sys.stderr)
+    try:
         out.update(paper_scale_spark_path(spark))
     except Exception as e:
         print(f"# paper-scale bench skipped: {e}", file=sys.stderr)
+    try:
+        out.update(paper_scale_multisweep(spark))
+    except Exception as e:
+        print(f"# paper-scale multisweep probe skipped: {e}", file=sys.stderr)
     try:
         out.update(er_iteration_floor_breakdown(spark))
     except Exception as e:
@@ -550,6 +558,10 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         # task 2 — the number users act on is now the number re-measured)
         "er_rl10k_burninfused_f1",
         "er_rl10k_burninfused_ari",
+        # r16: the reference's OTHER flagship example pinned at full
+        # length per round (VERDICT r15 task 6), like rl10k's pin
+        "er_rl500_f1",
+        "er_rl500_ari",
         "er_rl10k_1part_iters_per_sec",
         "er_rl10k_2part_iters_per_sec",
         # the two fused-path spreads named by VERDICT r9 "wrong" #2: their
@@ -579,6 +591,10 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_paper_spark_1part_spread",
         "er_paper_spark_4part_spread",
         "er_paper_spark_16part_spread",
+        # r16: burn-in fusion at paper scale (VERDICT r15 task 8) — the
+        # job-floor-bound regime's k recommendation, within-session
+        "er_paper_multisweep8p_k8_speedup_vs_k1",
+        "er_paper_multisweep16p_k8_speedup_vs_k1",
         "pairtable_build_save_sec",
         "pairtable_consumers_total_sec",
         "compstable_consumers_total_sec",
@@ -617,6 +633,11 @@ def _compact(out: dict, timings: dict[str, float]) -> dict:
         "er_1m_16part_max_partition_clusters",
         "er_1m_32part_max_partition_clusters",
         "er_1m_8part_max_partition_clusters",
+        # r16 additions drop early: the ARI equals its F1 twin on every
+        # deterministic chain so far, and the 16p fusion point is the
+        # secondary arm of the paper-scale probe (8p is the headline)
+        "er_rl500_ari",
+        "er_paper_multisweep16p_k8_speedup_vs_k1",
         "er_rl10k_multisweep_ari",
         "er_rl10k_burninfused_ari",
         "er_rl10k_multisweep4p_k2_iters_per_sec",
@@ -926,6 +947,62 @@ def paper_scale_spark_path(spark, n_records: int = 100_000, n_iters: int = 3) ->
         print(
             f"# er_paper({n_records}): {med:.3f} it/s at {p} partition(s) "
             f"(median of 3 windows, {spread})", file=sys.stderr,
+        )
+    return out
+
+
+def paper_scale_multisweep(spark, n_records: int = 100_000) -> dict:
+    """Burn-in sweep fusion at paper scale (VERDICT r15 task 8): the r15
+    p=16 flattening at 100k is JOB-FLOOR-bound — exactly the regime where
+    k=8 burn-in fusion wins at rl10k — so this probe measures k=1 vs k=8
+    at p=8/16 within one session to either extend the k-by-regime
+    recommendation down to 100k or bound it.
+
+    Methodology matches the 1M artifact (er-perf r15): every point runs
+    through ``transition_multisweep`` (k=1 = same call path), and the two
+    k values are INTERLEAVED round-robin over 3 cycles with the median per
+    k — a sequential per-k pass conflates the chain's fresh→equilibrium
+    drift with the k effect. 16 sweeps per reading."""
+    from dblink_spark.er.partition import KDTreePartitioner, SinglePartition
+    from dblink_spark.er.state import (
+        assign_partitions,
+        init_state,
+        transition_multisweep,
+    )
+
+    records, attrs, cache = _make_er_problem(spark, n_records, seed=11)
+    s0 = init_state(spark, records, cache, SinglePartition(), 1, seed=99)
+    out = {"er_paper_multisweep_n_records": n_records}
+    for p in (8, 16):
+        pf = KDTreePartitioner(
+            num_levels=p.bit_length() - 1, attribute_ids=[3, 4, 0]
+        )
+        pf.fit(s0.df.filter("NOT is_summary").select("ent_values"))
+        s = assign_partitions(s0, pf, p)
+        s = transition_multisweep(s, "PCG-I", 1)  # warm this p
+        readings: dict[int, list[float]] = {1: [], 8: []}
+        for _cyc in range(3):
+            for k in (1, 8):
+                jobs = 16 // k
+                t0 = time.time()
+                for _ in range(jobs):
+                    s = transition_multisweep(s, "PCG-I", k)
+                readings[k].append((k * jobs) / (time.time() - t0))
+        k1 = statistics.median(readings[1])
+        k8 = statistics.median(readings[8])
+        out[f"er_paper_multisweep{p}p_k1_iters_per_sec"] = round(k1, 2)
+        out[f"er_paper_multisweep{p}p_k8_iters_per_sec"] = round(k8, 2)
+        out[f"er_paper_multisweep{p}p_k8_speedup_vs_k1"] = round(k8 / k1, 2)
+        out[f"er_paper_multisweep{p}p_k1_readings"] = [
+            round(x, 2) for x in readings[1]
+        ]
+        out[f"er_paper_multisweep{p}p_k8_readings"] = [
+            round(x, 2) for x in readings[8]
+        ]
+        print(
+            f"# er_paper_multisweep({n_records}): p={p} k=1 {k1:.2f} it/s, "
+            f"k=8 {k8:.2f} it/s ({k8 / k1:.2f}x; interleaved medians of 3)",
+            file=sys.stderr,
         )
     return out
 
@@ -1471,6 +1548,61 @@ def rl10k_linkage_quality(spark) -> dict:
         f"# er_rl10k quality: F1 {out['er_rl10k_f1']:.3f} "
         f"(P {out['er_rl10k_precision']:.3f} R {out['er_rl10k_recall']:.3f}) "
         f"ARI {out['er_rl10k_ari']:.3f} [deterministic seeded chain]",
+        file=sys.stderr,
+    )
+    return out
+
+
+def rl500_linkage_quality(spark) -> dict:
+    """RLdata500 quality pin at the reference's FULL configured length
+    (VERDICT r15 task 6): the reference's other flagship example
+    (examples/RLdata500.conf — 1,000 iterations, thinning 10, sMPC
+    cutoff 100, seed 319158) run end-to-end per round with exact P/R/F1/
+    ARI recorded in the payload, exactly like rl10k's pin. The parity
+    test (tests/test_rldata_parity.py) asserts >-thresholds at this
+    length; this pin records the exact seeded-chain values so any
+    kernel-semantics drift shows as a bit-level delta round-over-round.
+    The chain is driver-local (500 records) — cost is seconds."""
+    conf = "/root/reference/examples/RLdata500.conf"
+    csv_path = "/root/reference/examples/RLdata500.csv"
+    if not (os.path.exists(conf) and os.path.exists(csv_path)):
+        return {}
+    import tempfile
+
+    from dblink_spark.config import load_config
+    from dblink_spark.project import Project
+
+    cfg = load_config(conf)
+    d = cfg["dblink"]
+    d["data"]["path"] = csv_path
+    tmp = tempfile.mkdtemp(prefix="bench_rl500_quality_")
+    d["outputPath"] = tmp + "/"
+    d["checkpointPath"] = tmp + "/ckpt"
+    t0 = time.time()
+    res = Project.from_config(spark, cfg).run()
+    dt = round(time.time() - t0, 1)
+    pw = res["evaluate"]["pairwise"]
+    steps = {s["name"]: s.get("parameters", {}) for s in d["steps"]}
+    n_iters = steps["sample"]["sampleSize"] * max(
+        int(steps["sample"].get("thinningInterval", 1)), 1
+    ) + int(steps["sample"].get("burninInterval", 0))
+    out = {
+        "er_rl500_f1": round(pw["f1"], 4),
+        "er_rl500_precision": round(pw["precision"], 4),
+        "er_rl500_recall": round(pw["recall"], 4),
+        "er_rl500_ari": round(
+            res["evaluate"]["cluster"]["adjusted_rand_index"], 4
+        ),
+        "er_rl500_quality_chain": (
+            f"{n_iters}it-smpc{steps['evaluate']['lowerIterationCutoff']}"
+            f"-seed{d['randomSeed']}"
+        ),
+        "er_rl500_run_sec": dt,
+    }
+    print(
+        f"# er_rl500 quality: F1 {out['er_rl500_f1']:.3f} "
+        f"(P {out['er_rl500_precision']:.3f} R {out['er_rl500_recall']:.3f}) "
+        f"ARI {out['er_rl500_ari']:.3f} ({dt}s full 1000-it chain)",
         file=sys.stderr,
     )
     return out

@@ -315,7 +315,9 @@ class Project:
         return out
 
     def _step_copy_files(self, params: dict) -> dict:
-        """ref: ProjectStep.scala:157-179 (CopyFilesStep)."""
+        """ref: ProjectStep.scala:157-179 (CopyFilesStep). ``overwrite``
+        and ``deleteSource`` match the reference's documented params
+        (docs/configuration.md:372-381, both default false)."""
         names = params.get(
             "fileNames",
             ["diagnostics.csv", "evaluation-results.txt", "run.txt"],
@@ -323,4 +325,12 @@ class Project:
         dest = params["destinationPath"]
         srcs = [os.path.join(self.output_path, n) for n in names]
         srcs = [s for s in srcs if os.path.exists(s)]
-        return {"copied": copy_files(self.spark, srcs, dest)}
+        copied = copy_files(
+            self.spark, srcs, dest, overwrite=bool(params.get("overwrite", False))
+        )
+        if bool(params.get("deleteSource", False)):
+            import shutil
+
+            for s in srcs:
+                shutil.rmtree(s) if os.path.isdir(s) else os.remove(s)
+        return {"copied": copied}

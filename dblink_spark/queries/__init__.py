@@ -583,6 +583,18 @@ _GATE_TAIL = [
     # its detector, run-merge, and excision helpers verbatim; full
     # result digest-covered below + driver_sim-verified per round.
     "text_strip_gapped_spans",
+    # r16: dedup_neardup_handoff (the bottom-k k=64 t=0.3 -> closure
+    # configuration the surgeon residual analysis hands the E<=5 class
+    # to — VERDICT r15 task 4: the config LADDER_RESIDUAL_r15.json relies
+    # on becomes an oracle-gated entry) enters the head;
+    # q_docs_top_quality_per_lang rotates out — benched every round since
+    # r6, its per-group top-k plan pinned (tests/test_plan_audit.py:355),
+    # edge-covered (tests/test_query_edge_corpora.py:131), and the
+    # WindowGroupLimit selection shape stays head-gated via
+    # q_docs_source_cap + q_docs_quality_weighted_sample (same window-rank
+    # machinery over the same scored spec); full result digest-covered
+    # below + driver_sim-verified per round.
+    "q_docs_top_quality_per_lang",
 ]
 
 

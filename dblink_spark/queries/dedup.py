@@ -721,7 +721,7 @@ hashed AS (
     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(token)) AS rn
   FROM tok
 ),
-sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= 8),
+sk AS (SELECT doc_id, lang, h FROM hashed WHERE rn <= {k}),
 sizes AS (SELECT doc_id, COUNT(*) AS k FROM sk GROUP BY doc_id),
 cnt AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
@@ -731,7 +731,7 @@ cnt AS (
 pr AS (
   SELECT p.doc1, p.doc2
   FROM cnt p JOIN sizes s1 ON s1.doc_id = p.doc1 JOIN sizes s2 ON s2.doc_id = p.doc2
-  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= 0.99
+  WHERE CAST(p.n_inter AS DOUBLE) / (s1.k + s2.k - p.n_inter) >= {t}
 ),
 edges AS (SELECT doc1 AS u, doc2 AS v FROM pr UNION SELECT doc2, doc1 FROM pr),
 cc AS (
@@ -745,7 +745,7 @@ grp AS (SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node)"""
 @register(
     "dedup_components",
     oracle=f"""
-WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents")}
+WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents", k=8, t=0.99)}
 SELECT doc_id, component FROM grp
 """,
     survey_ref="beyond-reference: pair->cluster transitive closure (large-star/small-star); the clusters twin of G6/G7 (ref: analysis/package.scala:52-63)",
@@ -786,9 +786,55 @@ def dedup_components(
 
 
 @register(
+    "dedup_neardup_handoff",
+    oracle=f"""
+WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents", k=64, t=0.3)}
+SELECT doc_id, component FROM grp
+""",
+    survey_ref=(
+        "beyond-reference: the near-dup HAND-OFF configuration the "
+        "substring-surgeon residual analysis relies on "
+        "(LADDER_RESIDUAL_r15.json) — bottom-k k=64, threshold 0.3, "
+        "through transitive closure"
+    ),
+)
+def dedup_neardup_handoff(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup groups at the RESIDUAL-ARTIFACT configuration (VERDICT r15
+    task 4): bottom-k token sketches with k=64 at sketch-Jaccard >= 0.3,
+    linked through the large-star/small-star closure. This is the exact
+    (k, t) the five-tier substring-surgeon union hands the E<=5 miss class
+    to (`tools/measure_ladder_residual.py` measures that hand-off linking
+    every E<=5 cell) — until r16 that configuration was exercised only by
+    the residual tool; this entry oracle-gates it per round like its 0.99
+    exact-dup twin (`dedup_bottomk_jaccard` + `dedup_components`).
+
+    100-TB shape: same as the twin — row-local sketches (zero shuffles),
+    AllPairs prefix-filtered candidate equi-join (at t=0.3 the prefix is
+    k - ceil(t*k) + 1 = 45 of 64 hashes, so the filter trims ~30% of the
+    candidate fan-in rather than the 0.99 config's k-fold; the exact
+    array_intersect verify still only touches band-emitted candidates),
+    O(log n) closure rounds. Emits (doc_id, component) for every doc in a
+    qualifying pair."""
+    from dblink_spark.operators.components import connected_components
+    from dblink_spark.queries import release_caches
+
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = bottomk_sketch_pairs(
+            load(spark, sf_dir, "documents"), k=64, threshold=0.3
+        )
+    comps = connected_components(pairs, "doc1", "doc2")
+    if own_pairs:
+        release_caches(pairs)
+    return comps.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
     "dedup_survivors",
     oracle=f"""
-WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents")}
+WITH RECURSIVE {_BOTTOMK_PAIRS_CTE.format(src="documents", k=8, t=0.99)}
 SELECT g.component,
   CAST(COUNT(*) AS BIGINT) AS n_members,
   (ARRAY_AGG(g.doc_id ORDER BY COALESCE(d.n_chars, 0) DESC, g.doc_id ASC))[1]

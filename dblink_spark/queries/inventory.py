@@ -362,6 +362,14 @@ CHECKSUM_KINDS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("n_tokens", "i"), ("n_kept", "i"),
         ("n_removed", "i"), ("clean_text", "s"),
     ],
+    # r16: q_docs_top_quality_per_lang rotates to the tail (its head slot
+    # funds dedup_neardup_handoff) — benched since r6, plan-pinned,
+    # edge-covered; the window-rank selection shape stays head-gated via
+    # q_docs_source_cap / q_docs_quality_weighted_sample.
+    "q_docs_top_quality_per_lang": [
+        ("lang", "s"), ("rnk", "i"), ("doc_id", "i"),
+        ("quality_score", "f"), ("n_tokens", "i"),
+    ],
 }
 
 _NULL = "<NULL>"
@@ -496,6 +504,9 @@ _SHARD_WEIGHTS: dict[str, int] = {
     # (single-entry frame, best of 2, isolated sf0.1)
     "text_strip_gapped_spans": 4350,
     "text_strip_maximal_spans": 3222,
+    # r16 rotation: measured same-methodology (single-entry frame, best
+    # of 2, isolated sf0.1)
+    "q_docs_top_quality_per_lang": 1005,
     "text_token_count": 225,
     "text_token_count_bpe": 263,
     "text_vocab_topk": 339,

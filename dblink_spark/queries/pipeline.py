@@ -57,7 +57,7 @@ pass AS (
     AND stop_hits >= 2
     AND symbol_ratio < 0.1
 ),
-{_BOTTOMK_PAIRS_CTE.format(src="pass")},
+{_BOTTOMK_PAIRS_CTE.format(src="pass", k=8, t=0.99)},
 surv AS (
   SELECT g.component,
     (ARRAY_AGG(g.doc_id ORDER BY p.len DESC, g.doc_id ASC))[1] AS survivor
@@ -1418,7 +1418,7 @@ SELECT stratum, verdict,
 FROM classed
 GROUP BY stratum, verdict
 """.format(
-        pairs=_BOTTOMK_PAIRS_CTE.format(src="documents"),
+        pairs=_BOTTOMK_PAIRS_CTE.format(src="documents", k=8, t=0.99),
         pts=_pts_cte_sql("lang"),
     ),
     survey_ref=(

@@ -24,8 +24,13 @@ def copy_files(
         out = []
         for src in sources:
             dst = os.path.join(dest_dir, os.path.basename(src.rstrip("/")))
+            if not overwrite and os.path.exists(dst):
+                # match the Hadoop FileUtil.copy contract (and the
+                # reference's overwrite=false default): an existing
+                # destination is an error, not a silent clobber
+                raise FileExistsError(f"{dst} exists and overwrite is false")
             if os.path.isdir(src):
-                if overwrite and os.path.exists(dst):
+                if os.path.exists(dst):
                     shutil.rmtree(dst)
                 shutil.copytree(src, dst)
             else:

@@ -89,6 +89,47 @@ def test_copy_files(spark, tmp_path):
     assert open(out).read() == "hello"
 
 
+def test_copy_files_overwrite_false_errors_on_existing(spark, tmp_path):
+    """r16: overwrite=False matches the reference's documented default
+    (docs/configuration.md:372-375) and the Hadoop FileUtil contract —
+    an existing destination is an ERROR, not a silent clobber."""
+    src = tmp_path / "a.txt"
+    src.write_text("new")
+    d = tmp_path / "dest"
+    d.mkdir()
+    (d / "a.txt").write_text("old")
+    with pytest.raises(FileExistsError):
+        copy_files(spark, [str(src)], str(d), overwrite=False)
+    assert (d / "a.txt").read_text() == "old"
+    (out,) = copy_files(spark, [str(src)], str(d), overwrite=True)
+    assert open(out).read() == "new"
+
+
+def test_copy_files_step_delete_source(spark, tmp_path):
+    """r16: the copy-files step accepts the reference's documented
+    ``overwrite`` / ``deleteSource`` params (ProjectStep.scala:157-179,
+    docs/configuration.md:372-381; both default false)."""
+    from dblink_spark.project import Project
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    (out_dir / "run.txt").write_text("prov")
+    dest = tmp_path / "archive"
+    p = Project(
+        spark=spark, data_path="unused", record_id_col="rec_id",
+        matching_attrs=[], attr_names=[], file_id_col=None,
+        entity_id_col=None, null_value=None, random_seed=1,
+        expected_max_cluster_size=10, population_size=None,
+        partitioner_cfg={}, output_path=str(out_dir), checkpoint_path=None,
+    )
+    res = p._step_copy_files(
+        {"fileNames": ["run.txt"], "destinationPath": str(dest),
+         "deleteSource": True}
+    )
+    assert res["copied"] and (dest / "run.txt").read_text() == "prov"
+    assert not (out_dir / "run.txt").exists()
+
+
 @pytest.fixture(scope="module")
 def small_er(spark):
     pdf = make_rldata(n_records=60, dup_fraction=0.2, missing_fraction=0.02, seed=3)
