@@ -27,8 +27,18 @@ script measures both:
    nowhere near equilibrium at this length) — it reads the k=8 cadence
    relaxation's marginal cost at this scale, not the converged posterior.
 
-Usage:  python tools/measure_1m_multisweep.py [n_records] [sweeps_per_point] [quality_sweeps]
-Writes: BENCH_1M_MULTISWEEP_r15.json at the repo root.
+r16 (VERDICT r15 task 2): the r15 artifact carried 2 readings per (p,k)
+cell with 3-4x spreads on some 16p/32p cells — enough to support the
+k=2-saturation recommendation but not "erodes at k=8" as a settled
+fact. Cycles are now a CLI arg defaulting to 3 (median of 3+ readings
+per cell, like every other probe), quality_sweeps=0 skips the
+early-chain quality section (superseded by the kept-sample measurement
+in tools/measure_1m_fused_quality.py), and the artifact name is
+versioned by the tag argument so cross-round diffs never compare
+different-cycle methodologies as the same.
+
+Usage:  python tools/measure_1m_multisweep.py [n_records] [sweeps_per_point] [quality_sweeps] [n_cycles] [tag]
+Writes: BENCH_1M_MULTISWEEP_<tag>.json at the repo root.
 """
 
 from __future__ import annotations
@@ -45,6 +55,8 @@ def main() -> None:
     n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     sweeps_per_point = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     quality_sweeps = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    n_cycles = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    tag = sys.argv[5] if len(sys.argv) > 5 else "r16"
 
     import numpy as np
 
@@ -99,18 +111,17 @@ def main() -> None:
         "n_records": n_records,
         "sweeps_per_point": sweeps_per_point,
         "quality_sweeps": quality_sweeps,
+        "n_cycles": n_cycles,
         "build_sec": build_s,
         "methodology": (
             "every k through transition_multisweep (k=1 = same call path); "
-            "k points interleaved round-robin over cycles, median per k "
-            "(chain-state drift lands on every k equally); per-point "
-            "canary; within-session ratios are the signal"
+            f"k points interleaved round-robin over {n_cycles} cycles, "
+            "median per k (chain-state drift lands on every k equally); "
+            "per-point canary; within-session ratios are the signal"
         ),
     }
 
     import statistics as st
-
-    n_cycles = 2
     bench._canary(spark, warm=True)
     fitted: dict[int, KDTreePartitioner] = {}
     for p in (8, 16, 32):
@@ -151,12 +162,14 @@ def main() -> None:
     from dblink_spark.er.analysis import membership_to_clusters
     from dblink_spark.er.metrics import evaluate_clustering, evaluate_pairwise
 
-    truth = membership_to_clusters(
-        spark.createDataFrame(truth_pdf).select(
-            "rec_id", F.col("ent_id").cast("string").alias("ent_id")
-        )
-    ).cache()
-    truth.count()
+    truth = None
+    if quality_sweeps > 0:
+        truth = membership_to_clusters(
+            spark.createDataFrame(truth_pdf).select(
+                "rec_id", F.col("ent_id").cast("string").alias("ent_id")
+            )
+        ).cache()
+        truth.count()
 
     def final_state_quality(k: int) -> dict:
         s = assign_partitions(s0, fitted[8], 8)
@@ -186,16 +199,23 @@ def main() -> None:
             "ari": round(ari, 4),
         }
 
-    out["quality_8p_k1"] = final_state_quality(1)
-    out["quality_8p_k8"] = final_state_quality(8)
-    out["quality_note"] = (
-        "equal-sweep final-state comparison from the same init + seed "
-        "stream; early-chain (not converged) — reads the k=8 cadence "
-        "relaxation's marginal cost at 1M, not the posterior"
-    )
+    if quality_sweeps > 0:
+        out["quality_8p_k1"] = final_state_quality(1)
+        out["quality_8p_k8"] = final_state_quality(8)
+        out["quality_note"] = (
+            "equal-sweep final-state comparison from the same init + seed "
+            "stream; early-chain (not converged) — reads the k=8 cadence "
+            "relaxation's marginal cost at 1M, not the posterior"
+        )
+    else:
+        out["quality_note"] = (
+            "quality section skipped (quality_sweeps=0): kept-sample "
+            "quality under the recommended k=2 is measured by "
+            "tools/measure_1m_fused_quality.py (BENCH_1M_FUSEDQ_*)"
+        )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "BENCH_1M_MULTISWEEP_r15.json")
+    path = os.path.join(here, f"BENCH_1M_MULTISWEEP_{tag}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"# wrote {path}", file=sys.stderr)
