@@ -207,6 +207,16 @@ def main() -> None:
     out["ari_delta_k2_minus_k1"] = round(
         out["quality_k2"]["ari"] - out["quality_k1"]["ari"], 4
     )
+    if max(out["quality_k1"]["recall"], out["quality_k2"]["recall"]) < 0.5:
+        out["reading"] = (
+            "transient-regime reading: at this chain length both cadences "
+            "are still deep in the mixing transient (heavily under-linked) "
+            "- this measures the longest chain the host affords, not the "
+            "converged posterior; practical consequence: for kept samples "
+            "at this scale prefer multisweepBurninK + multisweepK=1 (the "
+            "burn-in takes the fusion win, kept samples stay on the exact "
+            "k=1 cadence)"
+        )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "BENCH_1M_FUSEDQ_r16.json")
