@@ -200,6 +200,13 @@ R15_QUERIES = [
     "text_strip_template_spans",
 ]
 
+# r16 (optimization round): the near-dup hand-off gate entry added by the
+# interrupted r16 build round was registered but never timed — added here
+# so the k=64/t=0.3 configuration's cost is tracked like its 0.99 twin.
+R16_QUERIES = [
+    "dedup_neardup_handoff",
+]
+
 # Gate infrastructure (NOT pipeline queries): timed and reported as
 # gate_overhead_sec, excluded from every query total (VERDICT r7 task 4 —
 # q_inventory_checksum re-times 21 queries already timed individually;
@@ -293,7 +300,8 @@ def main() -> None:
     all_names = (
         BENCH_QUERIES + EXTENDED_QUERIES + R5_QUERIES + R6_QUERIES
         + R8_QUERIES + R9_QUERIES + R10_QUERIES + R11_QUERIES
-        + R12_QUERIES + R14_QUERIES + R15_QUERIES + GATE_QUERIES
+        + R12_QUERIES + R14_QUERIES + R15_QUERIES + R16_QUERIES
+        + GATE_QUERIES
     )
     unknown = [n for n in all_names if n not in REGISTRY]
     if unknown:
@@ -323,6 +331,7 @@ def main() -> None:
         "r12_total": round(sum(timings[n] for n in R12_QUERIES), 3),
         "r14_total": round(sum(timings[n] for n in R14_QUERIES), 3),
         "r15_total": round(sum(timings[n] for n in R15_QUERIES), 3),
+        "r16_total": round(sum(timings[n] for n in R16_QUERIES), 3),
         "gate_overhead_sec": round(sum(timings[n] for n in GATE_QUERIES), 3),
         "canary_start_sec": canary_start,
         "rebased_baselines": {

@@ -26,38 +26,67 @@ partial-aggregated groupBy, which combines map-side).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor LARGER than u to u's neighborhood minimum
     (including u itself): for each u, m = min(N(u) ∪ {u}); emit (v, m)
-    for v ∈ N(u), v > u."""
+    for v ∈ N(u), v > u.
+
+    r16 (guide §2.4 — remove shuffles outright): the neighborhood minimum
+    rides an unordered WINDOW over u instead of the former
+    groupBy(u).min + equi-join back; the window needs ONE hash exchange
+    of the bidirectional edge relation where the join form shuffled it
+    for the aggregate and again for the probe side (exchange reuse only
+    saved the build side). Same rows out, one exchange fewer per round."""
     bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
-    m = F.least(F.col("u"), F.col("mn"))
+    mn = F.min("v").over(Window.partitionBy("u"))
     return (
-        bidir.join(mins, "u")
+        bidir.withColumn("mn", mn)
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), m.alias("v"))
+        .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, oriented: bool = False) -> DataFrame:
     """Orient edges large→small, then for each u connect u and all its
     smaller neighbors to the minimum: emit (v, m) for v ∈ N(u) ∪ {u},
-    v ≠ m, where m = min(N(u))."""
-    canon = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
-    mins = canon.groupBy("u").agg(F.min("v").alias("mn"))
-    withm = canon.join(mins, "u")
-    to_min = withm.filter(F.col("v") != F.col("mn")).select(
-        F.col("v").alias("u"), F.col("mn").alias("v")
+    v ≠ m, where m = min(N(u)).
+
+    ``oriented=True`` asserts the input already satisfies u > v row-wise
+    and is distinct — true for every `_large_star` output (its rows are
+    (v, least(u, mn)) with v strictly greater), so the alternation inside
+    `connected_components` skips the canonicalization distinct: one full
+    exchange + dedup aggregate saved per round (guide §2.4). The
+    standalone path keeps the exact r15 semantics.
+
+    The per-u minimum rides the same unordered-window form as
+    `_large_star` (one exchange instead of groupBy + join back), and both
+    star edges — (v, mn) for non-minimum neighbors plus the (u, mn)
+    self-edge — explode ROW-LOCALLY out of the single windowed relation:
+    the r15 shape unioned two branches over the same subtree, which
+    evaluated the whole upstream star twice per round unless exchange
+    reuse fired. The closing ``distinct`` dedupes the per-row self-edge
+    copies exactly like it deduped the old union."""
+    if oriented:
+        canon = edges
+    else:
+        canon = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+    withm = canon.withColumn("mn", F.min("v").over(Window.partitionBy("u")))
+    self_edge = F.struct(F.col("u").alias("su"), F.col("mn").alias("sv"))
+    to_min = F.struct(F.col("v").alias("su"), F.col("mn").alias("sv"))
+    both = F.when(
+        F.col("v") != F.col("mn"), F.array(to_min, self_edge)
+    ).otherwise(F.array(self_edge))
+    return (
+        withm.select(F.explode(both).alias("e"))
+        .select(F.col("e.su").alias("u"), F.col("e.sv").alias("v"))
+        .distinct()
     )
-    self_edge = mins.select(F.col("u"), F.col("mn").alias("v"))
-    return to_min.union(self_edge).distinct()
 
 
 def connected_components(
@@ -106,7 +135,11 @@ def connected_components(
         # below derives a new aggregate plan that recomputes the full
         # untruncated lineage instead — measured no faster and up to ~60%
         # slower across runs (local[32] timing noise is large here).
-        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # oriented=True: _large_star output is distinct with u > v row-wise,
+        # so the small-star canonicalization exchange is skipped (r16)
+        stepped = _small_star(
+            _large_star(edges), oriented=True
+        ).localCheckpoint(eager=True)
         new_sig = _sig(stepped)
         # signature equality is necessary for set equality; only then pay
         # the exact exceptAll confirmation (once, on the final round,

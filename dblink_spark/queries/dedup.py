@@ -478,12 +478,72 @@ def bottomk_prefix(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: `bottomk_sketch_pairs` carries the sketch arrays THROUGH the prefix
+#: relation (verify-in-join, no reattach joins) when the prefix is at most
+#: this many hashes per doc — i.e. when the explode multiplies the sketch
+#: payload by a small constant. Above it, the r15 two-phase shape (narrow
+#: prefix join, sketches reattached per side) keeps the exchanged bytes
+#: proportional to the prefix, the guide-§8 "shuffle keys, not payloads"
+#: trade. At the exact-dup operating point (t=0.99, prefix=1) carry mode
+#: wins outright: same candidate set, two joins and one persisted
+#: intermediate fewer.
+_CARRY_SKETCH_MAX_PREFIX = 8
+
+
 def bottomk_sketch_pairs(
     d: DataFrame, k: int = 8, threshold: float = 0.99
 ) -> DataFrame:
     """Bottom-k sketch-Jaccard near-dup pairs ``(doc1, doc2, sketch_jaccard)``
     with within-language blocking, prefix-filtered (see bottomk_prefix) and
-    exactly verified via array_intersect over the candidate pairs only."""
+    exactly verified via array_intersect over the candidate pairs only.
+
+    Two value-identical plan shapes (r16, guide §2.4/§3):
+
+    - prefix ≤ `_CARRY_SKETCH_MAX_PREFIX` hashes (e.g. the 0.99 exact-dup
+      config, prefix=1): the sketch rides the prefix relation and the
+      candidate equi-join verifies in place — no candidate ``distinct``
+      pre-pass, no sketch-reattach joins, no persisted sketch frame. The
+      closing distinct on the verified (doc1, doc2, jaccard) rows dedupes
+      multi-hash collisions exactly like the old candidate distinct
+      (jaccard is a pure function of the pair, so distinct-on-three-cols
+      == distinct-on-pair).
+    - wider prefixes (the k=64 t=0.3 hand-off config, prefix=45): the r15
+      two-phase shape — narrow (doc_id, lang, h) candidate join, distinct,
+      then two sketch joins — because carrying a 64-hash array through a
+      45-way explode would multiply the exchanged payload ~45x (guide §8:
+      decide with small rows, attach the payload once).
+    """
+    plen_max = k - int(-(-k * threshold // 1)) + 1  # k - ceil(t*k) + 1
+    if plen_max <= _CARRY_SKETCH_MAX_PREFIX:
+        docs = bottomk_sketches(d, k)
+        plen = (
+            F.col("k") - F.ceil(F.col("k") * F.lit(threshold)) + 1
+        ).cast("int")
+        pre = docs.select(
+            "doc_id",
+            "lang",
+            "sketch",
+            "k",
+            F.explode(F.slice("sketch", F.lit(1), plen)).alias("h"),
+        )
+        a, b = pre.alias("a"), pre.alias("b")
+        n_inter = F.size(F.array_intersect(F.col("a.sketch"), F.col("b.sketch")))
+        jac = n_inter.cast("double") / (F.col("a.k") + F.col("b.k") - n_inter)
+        return (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+                jac.alias("sketch_jaccard"),
+            )
+            .filter(F.col("sketch_jaccard") >= threshold)
+            .distinct()
+        )
     docs = bottomk_sketches(d, k).persist()  # feeds prefix + both verify sides
     pre = bottomk_prefix(docs, threshold)
     a, b = pre.alias("a"), pre.alias("b")

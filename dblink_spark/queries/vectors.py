@@ -905,7 +905,22 @@ def _cos_to_cent(vec_col, sq_col, cvals):
 #: pinned by tests/test_ann_quality.py), so the threshold only picks the
 #: PLAN: zero-shuffle narrow expression at small K, broadcast crossJoin +
 #: map-side-combining max_by at large K (one vec_id exchange).
-_IVF_LITERAL_MAX_K = 64
+#:
+#: r16 (guide §1.2 — per-task work after job shape): measured at K=31
+#: (dedup_semantic, sf0.1) the literal arm's ~12k-node expression makes
+#: analysis + codegen the dominant cost — best-of-3 8.0s literal vs 4.0s
+#: join arm in one session. Threshold lowered 64 → 16 so K=31 rides the
+#: join arm; at K ≤ 16 (the IVF demo quantizers) the literal arm's
+#: zero-exchange plan still wins. `vector_semantic_decontaminate` keeps
+#: its own 64 threshold (`_DECON_LITERAL_MAX_K`) — its suite is bounded
+#: at 512 and its literal plan is pinned zero-exchange at small SF.
+_IVF_LITERAL_MAX_K = 16
+
+#: suite-size dispatch for `vector_semantic_decontaminate` — the r15
+#: value, deliberately decoupled from `_IVF_LITERAL_MAX_K` (r16): the
+#: decon suite is capped at 512 and the small-SF fixtures' literal plan
+#: (zero exchanges) is pinned by tests/test_plan_audit.py.
+_DECON_LITERAL_MAX_K = 64
 
 
 def ivf_assign_cells(
@@ -1930,8 +1945,9 @@ def vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     by the membership rule, like trained centroids or classifier
     weights), so the corpus never joins another corpus-sized relation.
     Two value-exact arms share the quantized-cosine spec, dispatched on
-    suite size exactly like `ivf_assign_cells`: up to `_IVF_LITERAL_MAX_K`
-    (64) eval vectors bake into a zero-exchange greatest-over-structs
+    suite size exactly like `ivf_assign_cells`: up to
+    `_DECON_LITERAL_MAX_K` (64) eval vectors bake into a
+    zero-exchange greatest-over-structs
     narrow expression (sf0.001/sf0.01 take this arm); above that, K
     broadcast eval rows crossJoin the corpus and collapse under a
     map-side-combining max(struct(cos, -eval_id)) — ONE vec_id exchange
@@ -1952,7 +1968,7 @@ def vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         "embedding",
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
     )
-    if len(evals) <= _IVF_LITERAL_MAX_K:
+    if len(evals) <= _DECON_LITERAL_MAX_K:
         best = corpus.select(
             "vec_id", "label", decon_best_literal(evals).alias("m")
         )

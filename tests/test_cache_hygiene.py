@@ -17,11 +17,15 @@ SF = "/root/testdata/sf0.001"
 _PERSISTING = [
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_bottomk_jaccard",
+    # r16: dedup_bottomk_jaccard left this list — at its 0.99 operating
+    # point the prefix is 1 hash/doc, so the pair build now carries the
+    # sketch through the prefix join (verify-in-join) and persists nothing
+    # (see bottomk_sketch_pairs; test_bottomk_carry_persists_nothing pins
+    # the new shape)
     "pairwise_metrics",
-    # persists the quality-filtered corpus; its internal pair-sketch cache
-    # is released before return (closure is eager), leaving exactly one
-    # owned cache on the result
+    # persists the quality-filtered corpus metadata (the r16 carry-sketch
+    # pair build persists nothing itself), leaving exactly one owned
+    # cache on the result
     "pipeline_corpus_prep",
     # persists the exploded gram table (feeds boiler set + totals + hits)
     "text_boilerplate_grams",
@@ -119,6 +123,19 @@ def test_non_persisting_queries_are_noop(spark):
     df = REGISTRY["dedup_exact"].fn(spark, SF)
     df.count()
     release_caches(df)  # must not raise
+
+
+def test_bottomk_carry_persists_nothing(spark):
+    """r16: the high-threshold (carry-sketch) arm of bottomk_sketch_pairs
+    must not persist — the sketch rides the prefix join, so there is no
+    multi-consumer intermediate left to cache. The wide-prefix arm keeps
+    the persisted sketch frame (released internally by its consumers)."""
+    cm = _cache_manager(spark)
+    spark.catalog.clearCache()
+    df = REGISTRY["dedup_bottomk_jaccard"].fn(spark, SF)
+    df.count()
+    assert cm.isEmpty(), "carry-sketch arm must not persist"
+    release_caches(df)  # must be a no-op, not raise
 
 
 def test_outstanding_registry_detects_derived_frame_leak(spark):
