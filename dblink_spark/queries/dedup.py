@@ -13,7 +13,7 @@ Scale notes (these run unchanged on 100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from dblink_spark.queries import load, owns_caches, register
 
@@ -513,38 +513,59 @@ def bottomk_sketch_pairs(
       45-way explode would multiply the exchanged payload ~45x (guide §8:
       decide with small rows, attach the payload once).
     """
-    plen_max = k - int(-(-k * threshold // 1)) + 1  # k - ceil(t*k) + 1
-    if plen_max <= _CARRY_SKETCH_MAX_PREFIX:
-        docs = bottomk_sketches(d, k)
-        plen = (
-            F.col("k") - F.ceil(F.col("k") * F.lit(threshold)) + 1
-        ).cast("int")
-        pre = docs.select(
-            "doc_id",
-            "lang",
-            "sketch",
-            "k",
-            F.explode(F.slice("sketch", F.lit(1), plen)).alias("h"),
-        )
-        a, b = pre.alias("a"), pre.alias("b")
-        n_inter = F.size(F.array_intersect(F.col("a.sketch"), F.col("b.sketch")))
-        jac = n_inter.cast("double") / (F.col("a.k") + F.col("b.k") - n_inter)
-        return (
-            a.join(
-                b,
-                (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.lang") == F.col("b.lang"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc1"),
-                F.col("b.doc_id").alias("doc2"),
-                jac.alias("sketch_jaccard"),
-            )
-            .filter(F.col("sketch_jaccard") >= threshold)
-            .distinct()
-        )
+    if _prefix_len_max(k, threshold) <= _CARRY_SKETCH_MAX_PREFIX:
+        return _sketch_pairs_carry(bottomk_sketches(d, k), threshold)
     docs = bottomk_sketches(d, k).persist()  # feeds prefix + both verify sides
+    out = _sketch_pairs_wide(docs, threshold)
+    return owns_caches(out, docs)  # caller releases after materializing
+
+
+def _prefix_len_max(k: int, threshold: float) -> int:
+    return k - int(-(-k * threshold // 1)) + 1  # k - ceil(t*k) + 1
+
+
+def _sketch_pairs_carry(docs: DataFrame, threshold: float) -> DataFrame:
+    """Carry-mode pair arm over a prebuilt sketches frame (see
+    `bottomk_sketch_pairs`): the sketch rides the prefix relation and the
+    candidate equi-join verifies in place. Persists nothing — the input
+    frame has exactly one consumer here (the caller owns any cache)."""
+    plen = (
+        F.col("k") - F.ceil(F.col("k") * F.lit(threshold)) + 1
+    ).cast("int")
+    pre = docs.select(
+        "doc_id",
+        "lang",
+        "sketch",
+        "k",
+        F.explode(F.slice("sketch", F.lit(1), plen)).alias("h"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    n_inter = F.size(F.array_intersect(F.col("a.sketch"), F.col("b.sketch")))
+    jac = n_inter.cast("double") / (F.col("a.k") + F.col("b.k") - n_inter)
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            jac.alias("sketch_jaccard"),
+        )
+        .filter(F.col("sketch_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def _sketch_pairs_wide(docs: DataFrame, threshold: float) -> DataFrame:
+    """Wide-prefix pair arm over a prebuilt sketches frame (see
+    `bottomk_sketch_pairs`): narrow (doc_id, lang, h) candidate join,
+    distinct, then two sketch-reattach joins. ``docs`` feeds three
+    consumers (prefix + both verify sides) — the CALLER decides whether
+    to persist it (the registered pair query does; `bottomk_components`
+    derives it from an already-persisted annotated frame instead)."""
     pre = bottomk_prefix(docs, threshold)
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
@@ -565,14 +586,94 @@ def bottomk_sketch_pairs(
     )
     n_inter = F.size(F.array_intersect("sk1", "sk2"))
     jac = n_inter.cast("double") / (F.col("k1") + F.col("k2") - n_inter)
-    out = (
+    return (
         cand.join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn("sketch_jaccard", jac)
         .filter(F.col("sketch_jaccard") >= threshold)
         .select("doc1", "doc2", "sketch_jaccard")
     )
-    return owns_caches(out, docs)  # caller releases after materializing
+
+
+def bottomk_components(
+    d: DataFrame, k: int = 8, threshold: float = 0.99
+) -> DataFrame:
+    """``(node, component)`` — value-identical to
+    ``connected_components(bottomk_sketch_pairs(d, k, t), "doc1", "doc2")``
+    but with IDENTICAL-SKETCH CONTRACTION before the pair build (r16,
+    guide §2.3/§2.4: don't shuffle rows whose grouping is already decided
+    row-locally).
+
+    Why it is exact: sketch-Jaccard is a pure function of the two (lang,
+    sketch) values, so docs sharing one (lang, sketch) group are pairwise
+    linked at ANY threshold (jac = 1, and identical sketches always share
+    their prefix hash), and a group member's links to other groups are
+    exactly its representative's links. Contracting each group to its
+    minimum doc_id therefore preserves components exactly; and because
+    every representative is its group's minimum, the contracted closure's
+    component labels (min node id) equal the uncontracted ones. Docs with
+    NULL lang never satisfy the ``a.lang = b.lang`` pair predicate (SQL
+    null semantics) and are excluded up front — a window partition would
+    otherwise group them together.
+
+    Why it is faster: at the 0.99 operating point qualifying pairs exist
+    ONLY inside identical-sketch groups (with n <= min(k1, k2) sketch
+    hashes shared, jac >= 0.99 forces n = k1 = k2), so the sf0.1 fixture's
+    252,823 clique pairs collapse to ZERO contracted edges — the closure's
+    O(log n) star rounds never see the cliques, and the candidate join
+    runs over 1,947 representatives instead of 5,000 docs. At the k=64 /
+    t=0.3 hand-off point the same fixture contracts 5,000 docs to 4,266
+    reps and ~3.0M verified pairs to ~2.1M — a constant-factor cut.
+
+    The result is eagerly materialized (localCheckpoint, same discipline
+    as `connected_components`' per-round relations) so the annotated
+    sketch cache can be released before returning — callers get a clean
+    frame owning nothing."""
+    from dblink_spark.operators.components import connected_components
+
+    sk = bottomk_sketches(d, k).filter(F.col("lang").isNotNull())
+    grp = Window.partitionBy("lang", "sketch")
+    ann = sk.select(
+        "doc_id",
+        "lang",
+        "sketch",
+        "k",
+        F.min("doc_id").over(grp).alias("rep"),
+        F.count(F.lit(1)).over(grp).alias("gsize"),
+    ).persist()
+    reps = ann.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "lang", "sketch", "k"
+    )
+    pair_fn = (
+        _sketch_pairs_carry
+        if _prefix_len_max(k, threshold) <= _CARRY_SKETCH_MAX_PREFIX
+        else _sketch_pairs_wide
+    )
+    rep_comps = connected_components(pair_fn(reps, threshold), "doc1", "doc2")
+    out = (
+        ann.select("doc_id", "rep", "gsize")
+        .join(
+            rep_comps.select(F.col("node").alias("rep"), "component"),
+            "rep",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias("node"),
+            F.coalesce(
+                F.col("component"),
+                # a group of >= 2 identical sketches whose rep joined no
+                # cross-group pair is a component of its own, labeled by
+                # its minimum (= the rep); unpaired singletons get NULL
+                # here and are dropped, exactly like nodes absent from the
+                # uncontracted pair set
+                F.when(F.col("gsize") >= 2, F.col("rep")),
+            ).alias("component"),
+        )
+        .filter(F.col("component").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    ann.unpersist()
+    return out
 
 
 @register(
@@ -830,18 +931,18 @@ def dedup_components(
     in-session — deliberate duplication at gate scale, where each entry
     must be a self-contained (spark, sf_dir) -> frame program."""
     from dblink_spark.operators.components import connected_components
-    from dblink_spark.queries import release_caches
 
-    own_pairs = pairs is None
-    if own_pairs:
-        pairs = bottomk_sketch_pairs(
+    if pairs is None:
+        # self-contained arm: identical-sketch contraction before the pair
+        # build + closure (r16, guide §2.3/§2.4 — see bottomk_components
+        # for the exactness argument and the measured collapse)
+        comps = bottomk_components(
             load(spark, sf_dir, "documents"), k=8, threshold=0.99
         )
-    comps = connected_components(pairs, "doc1", "doc2")
-    # the closure materialized eagerly (localCheckpoint) — the sketch cache
-    # has served every consumer and can be freed before returning
-    if own_pairs:
-        release_caches(pairs)
+    else:
+        # amortization seam (persisted pair table): the pairs are given,
+        # so the closure runs them directly — unchanged r15 shape
+        comps = connected_components(pairs, "doc1", "doc2")
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -878,16 +979,17 @@ def dedup_neardup_handoff(
     O(log n) closure rounds. Emits (doc_id, component) for every doc in a
     qualifying pair."""
     from dblink_spark.operators.components import connected_components
-    from dblink_spark.queries import release_caches
 
-    own_pairs = pairs is None
-    if own_pairs:
-        pairs = bottomk_sketch_pairs(
+    if pairs is None:
+        # contraction arm (r16): at this dense operating point the sf0.1
+        # fixture contracts 5,000 docs -> 4,266 reps and ~3.0M verified
+        # pairs -> ~2.1M closure edges — a constant-factor cut of both the
+        # candidate join and every star round (see bottomk_components)
+        comps = bottomk_components(
             load(spark, sf_dir, "documents"), k=64, threshold=0.3
         )
-    comps = connected_components(pairs, "doc1", "doc2")
-    if own_pairs:
-        release_caches(pairs)
+    else:
+        comps = connected_components(pairs, "doc1", "doc2")
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -931,18 +1033,15 @@ def dedup_survivors(
     shared). Default rebuilds everything in-session for the
     self-contained gate path."""
     from dblink_spark.operators.components import connected_components
-    from dblink_spark.queries import release_caches
 
     if comps is None:
-        own_pairs = pairs is None
-        if own_pairs:
-            pairs = bottomk_sketch_pairs(
+        if pairs is None:
+            # contraction arm (r16) — see bottomk_components
+            comps = bottomk_components(
                 load(spark, sf_dir, "documents"), k=8, threshold=0.99
             )
-        comps = connected_components(pairs, "doc1", "doc2")
-        if own_pairs:
-            # closure materialized; cache served all consumers
-            release_caches(pairs)
+        else:
+            comps = connected_components(pairs, "doc1", "doc2")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len")
     )

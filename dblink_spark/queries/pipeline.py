@@ -112,9 +112,7 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lang`` is null-safe (NULL groups as '') so the three yield aggregates
     join consistently in both engines.
     """
-    from dblink_spark.operators.components import connected_components
-    from dblink_spark.queries import release_caches
-    from dblink_spark.queries.dedup import bottomk_sketch_pairs
+    from dblink_spark.queries.dedup import bottomk_components
 
     d = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
@@ -154,11 +152,10 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing_meta = passing.select("doc_id", "lang", "len", "n_words").persist()
 
     # near-dup closure over the FILTERED corpus only (within-lang blocking
-    # inside bottomk_sketch_pairs matches the oracle's a.lang = b.lang);
-    # scans the source once, un-persisted
-    pairs = bottomk_sketch_pairs(passing, k=8, threshold=0.99)
-    comps = connected_components(pairs, "doc1", "doc2")
-    release_caches(pairs)  # closure materialized eagerly (localCheckpoint)
+    # inside the pair build matches the oracle's a.lang = b.lang); r16:
+    # identical-sketch contraction before the pair build + closure (see
+    # bottomk_components — materialized eagerly, owns nothing)
+    comps = bottomk_components(passing, k=8, threshold=0.99)
 
     surv = (
         comps.join(passing_meta.select(F.col("doc_id").alias("node"), "len"), "node")
@@ -1457,17 +1454,15 @@ def q_docs_dedup_bias_audit(
     (r13) shares the CLOSURE too (`load_comps_table`) — the bench showed
     the closure, not the pair build, dominates once pairs are shared."""
     from dblink_spark.operators.components import connected_components
-    from dblink_spark.queries import release_caches
-    from dblink_spark.queries.dedup import bottomk_sketch_pairs
+    from dblink_spark.queries.dedup import bottomk_components
 
     d = load(spark, sf_dir, "documents")
     if comps is None:
-        own_pairs = pairs is None
-        if own_pairs:
-            pairs = bottomk_sketch_pairs(d, k=8, threshold=0.99)
-        comps = connected_components(pairs, "doc1", "doc2")
-        if own_pairs:
-            release_caches(pairs)
+        if pairs is None:
+            # contraction arm (r16) — see bottomk_components
+            comps = bottomk_components(d, k=8, threshold=0.99)
+        else:
+            comps = connected_components(pairs, "doc1", "doc2")
     docs = d.select(
         "doc_id",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len"),

@@ -229,3 +229,78 @@ class TestHotBucketCap:
         assert len(rows) == 10
         assert all(r.old_id == 1000 for r in rows)
         assert {r.new_id for r in rows} == set(range(10))
+
+
+class TestBottomkComponentsContraction:
+    """`bottomk_components` (r16) must be VALUE-IDENTICAL to the
+    uncontracted composition `connected_components(bottomk_sketch_pairs)`
+    — the contraction is a plan-shape optimization, and these corpora are
+    built to hit every seam of the equivalence argument: identical-sketch
+    groups with and without cross-group links, unpaired singletons,
+    subset sketches (same prefix, jac < 1), NULL-lang docs (never
+    pairable under SQL null semantics, must not self-group), and
+    cross-lang identical text (blocked)."""
+
+    CORPUS = [
+        # clique of 3 identical docs (identical sketches)
+        ("a1", "en", "alpha beta gamma delta"),
+        ("a2", "en", "delta gamma beta alpha"),
+        ("a3", "en", "alpha beta beta gamma delta delta"),
+        # pair of identical docs, isolated group (no cross links)
+        ("b1", "en", "epsilon zeta eta theta"),
+        ("b2", "en", "theta eta zeta epsilon"),
+        # near-dup ladder (non-identical sketches, linked at low t only)
+        ("c1", "en", "t0 t1 t2 t3 t4 t5 t6 t7"),
+        ("c2", "en", "t0 t1 t2 t3 t4 t5 x1 x2"),
+        ("c3", "en", "t0 t1 t2 t3 x1 x2 x3 x4"),
+        # singleton, never pairs
+        ("s1", "en", "unique words only here truly"),
+        # NULL lang: identical text, must NOT pair or group
+        ("n1", None, "omega psi chi phi"),
+        ("n2", None, "omega psi chi phi"),
+        # same text as the a-clique but different lang: blocked
+        ("x1", "fr", "alpha beta gamma delta"),
+        ("x2", "fr", "delta gamma beta alpha"),
+    ]
+
+    def _both(self, spark, k, t):
+        from dblink_spark.operators.components import connected_components
+        from dblink_spark.queries import release_caches
+        from dblink_spark.queries.dedup import (
+            bottomk_components,
+            bottomk_sketch_pairs,
+        )
+
+        d = spark.createDataFrame(
+            self.CORPUS, "doc_id string, lang string, text string"
+        )
+        pairs = bottomk_sketch_pairs(d, k=k, threshold=t)
+        old = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs, "doc1", "doc2").collect()
+        }
+        release_caches(pairs)
+        new = {
+            (r["node"], r["component"])
+            for r in bottomk_components(d, k=k, threshold=t).collect()
+        }
+        return old, new
+
+    def test_exact_dup_point(self, spark):
+        old, new = self._both(spark, 8, 0.99)
+        assert new == old
+        # the a-clique and b-pair survive; NULL-lang twins must be absent
+        nodes = {n for n, _ in new}
+        assert {"a1", "a2", "a3", "b1", "b2", "x1", "x2"} <= nodes
+        assert not nodes & {"n1", "n2", "s1"}
+
+    def test_low_threshold_cross_group_links(self, spark):
+        old, new = self._both(spark, 8, 0.4)
+        assert new == old
+        # the c-ladder links through c2 at this t: one component
+        comp = {n: c for n, c in new}
+        assert comp["c1"] == comp["c2"] == comp["c3"] == "c1"
+
+    def test_handoff_configuration(self, spark):
+        old, new = self._both(spark, 64, 0.3)
+        assert new == old
