@@ -105,12 +105,23 @@ def _safe_cosine(dot, sq_a, sq_b):
 
 
 def _band_col(band):
-    col = F.lit(0)
-    emb = F.col("embedding")
+    """Band-key Column over the frame's ``embedding`` array — built as ONE
+    SQL string handed to a single ``F.expr`` (r16, guide §1.2 per-task →
+    driver work): the per-hyperplane Column algebra cost ~6 py4j round
+    trips per bit, making frame BUILD (not execution) the dominant wall
+    time of every banded query at gate scale (profiled: ann_lsh_recall
+    spent ~1.9s of its 3.0s in driver-side Column construction). The
+    string form is the IDENTICAL expression tree — 0-based array access,
+    double casts on both operands, int CASE terms, left-assoc sum — just
+    parsed JVM-side in one call."""
+    terms = ["0"]
     for k, (i, j, s) in enumerate(band):
-        proj = emb[i - 1].cast("double") + F.lit(float(s)) * emb[j - 1].cast("double")
-        col = col + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    return col
+        proj = (
+            f"(CAST(embedding[{i - 1}] AS DOUBLE) + "
+            f"(CAST('{float(s)!r}' AS DOUBLE) * CAST(embedding[{j - 1}] AS DOUBLE)))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 @register(
@@ -765,24 +776,24 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     build runs anyway to write its cell directory."""
     e = load(spark, sf_dir, "embeddings")
     cents = _trained_centroids_cached(e, sf_dir)
-    # one set of per-centroid cosine Columns shared by the search AND the
-    # balance arm: plan-BUILD time is linear in K x dim and constant in
+    # one set of per-centroid cosine SQL strings shared by the search AND
+    # the balance arm: plan-BUILD time is linear in K x dim and constant in
     # data size — irrelevant at scale, but it dominates small-SF wall time
-    # if duplicated (measured: build 4.3s vs exec 1.1s before sharing)
-    cos_cols = [
-        _cos_to_cent(F.col("embedding"), F.col("sq"), cvals) for _, cvals in cents
-    ]
+    # if duplicated (measured: build 4.3s vs exec 1.1s before sharing;
+    # r16 moved the sharing from Column objects to SQL text so the K
+    # cosines also COMPOSE into single F.expr calls downstream)
+    cos_sqls = [_cos_to_cent_sql(cvals) for _, cvals in cents]
     # ONE cell-assignment frame feeds both the search and the balance arm —
     # the assignment is the K-cosines-per-row pass over the whole corpus,
     # and duplicating it doubles the dominant scan work
-    cells = ivf_assign_cells(e, cents, cos_cols=cos_cols)
+    cells = ivf_assign_cells(e, cents, cos_sqls=cos_sqls)
     ivf = ivf_search(
         e,
         cents,
         n_query=_IVF_NQUERY,
         nprobe=_IVF_TRAINED_NPROBE,
         topk=_IVF_TOPK,
-        cos_cols=cos_cols,
+        cos_sqls=cos_sqls,
         cells=cells,
     ).select("query_id", "neighbor_id")
     brute = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
@@ -872,13 +883,6 @@ def train_ivf_centroids(
     return [(cid, [float(v) for v in cent[cid]]) for cid in range(k)]
 
 
-def _lit_vec(vals):
-    # ONE py4j literal call for the whole array — element-wise F.lit()
-    # construction made plan BUILD time the dominant cost of the IVF
-    # queries (thousands of driver round-trips for K x 64 literals)
-    return F.lit([float(v) for v in vals])
-
-
 def _quantized_dot_py(a, b, scale: float = 1_000_000_000.0) -> int:
     """Driver-side twin of functions.vector.quantized_dot for two KNOWN
     vectors (e.g. a centroid with itself): ``(x*y)*scale`` is the same
@@ -891,9 +895,46 @@ def _quantized_dot_py(a, b, scale: float = 1_000_000_000.0) -> int:
 
 
 def _cos_to_cent(vec_col, sq_col, cvals):
-    cl = _lit_vec(cvals)
-    csq = F.lit(_quantized_dot_py(cvals, cvals))
-    return _safe_cosine(_dot_q(vec_col, cl), sq_col, csq)
+    """Quantized cosine of the frame's ``embedding``/``sq`` columns against
+    ONE literal centroid — built as a single SQL string handed to one
+    ``F.expr`` (r16, guide §1.2 per-task → driver work). The Column-algebra
+    form cost ~700 py4j round trips PER CENTROID (element-wise ``F.lit``
+    over the 64-float array plus two higher-order lambdas), so at K=16 the
+    driver spent ~2.2s just BUILDING the assignment expressions — more
+    than the query's whole execution (profiled on ann_ivf_trained: build
+    2.6s vs exec 1.0s). The string is the IDENTICAL expression tree —
+    ``aggregate(zip_with(...))`` quantized dot with ((x*y)*scale) ordering
+    and FLOOR→BIGINT per term, sqrt-product guard, double-zero else — and
+    literal doubles round-trip exactly through ``CAST('repr' AS DOUBLE)``.
+
+    ``vec_col`` / ``sq_col`` are column NAMES (always "embedding" / "sq"
+    at every call site); Columns are not accepted because the expression
+    is assembled as text."""
+    if not (isinstance(vec_col, str) and isinstance(sq_col, str)):
+        raise TypeError("_cos_to_cent takes column NAMES (expression is built as SQL text)")
+    return F.expr(_cos_to_cent_sql(cvals, vec_col, sq_col))
+
+
+def _cos_to_cent_sql(cvals, vec: str = "embedding", sq: str = "sq") -> str:
+    """The SQL TEXT behind `_cos_to_cent` — exposed so multi-centroid
+    consumers (greatest-struct assignment, probe-struct arrays, classifier
+    sweeps) can compose K cosines into ONE ``F.expr`` instead of K Column
+    objects stitched together through K× more py4j calls."""
+    csq = _quantized_dot_py(cvals, cvals)
+    arr = "array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in cvals
+    ) + ")"
+    scale = "CAST('1000000000.0' AS DOUBLE)"
+    dot = (
+        f"aggregate(zip_with({vec}, {arr}, (x, y) -> "
+        f"CAST(FLOOR((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * {scale}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    den = f"(SQRT(CAST({sq} AS DOUBLE)) * SQRT(CAST({csq} AS DOUBLE)))"
+    return (
+        f"CASE WHEN {den} > 0 THEN CAST({dot} AS DOUBLE) / {den} "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
 
 
 #: above this K, cell assignment switches from the literal-expression arm
@@ -926,36 +967,35 @@ _DECON_LITERAL_MAX_K = 64
 def ivf_assign_cells(
     e: DataFrame,
     cents: list,
-    cos_cols: "list | None" = None,
+    cos_sqls: "list | None" = None,
     max_literal_k: "int | None" = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment ``(vec_id, embedding, sq, cid)``:
     max over K (cosine, -cid) structs built from literal centroid arrays —
     a NARROW column expression, zero shuffle, no crossJoin (the quantizer
-    is a driver-side constant, like trained model weights). ``cos_cols``
-    lets a caller that already built the per-centroid cosine Columns (over
-    ``embedding``/``sq``) reuse them — Column objects are immutable, and
-    rebuilding K 64-element folds is driver time wasted. Above
-    ``max_literal_k`` centroids (default `_IVF_LITERAL_MAX_K`) the
-    value-exact broadcast-join arm takes over — see the constant's note."""
+    is a driver-side constant, like trained model weights). ``cos_sqls``
+    lets a caller that already built the per-centroid cosine SQL strings
+    (over ``embedding``/``sq`` — `_cos_to_cent_sql`) reuse them. The whole
+    greatest-over-K-structs assignment is ONE ``F.expr`` (r16): the Column
+    form cost ~40 py4j round trips per centroid on top of the per-cosine
+    construction. Above ``max_literal_k`` centroids (default
+    `_IVF_LITERAL_MAX_K`) the value-exact broadcast-join arm takes over —
+    see the constant's note."""
     base = e.select(
         "vec_id", "embedding", _dot_q(F.col("embedding"), F.col("embedding")).alias("sq")
     )
     if max_literal_k is None:
         max_literal_k = _IVF_LITERAL_MAX_K
-    if cos_cols is None and len(cents) > max_literal_k:
+    if cos_sqls is None and len(cents) > max_literal_k:
         return _ivf_assign_cells_join(base, cents, e.sparkSession)
-    if cos_cols is None:
-        cos_cols = [
-            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals)
-            for _, cvals in cents
-        ]
-    structs = [
-        F.struct(cos.alias("cos"), F.lit(-cid).alias("ncid"))
-        for (cid, _), cos in zip(cents, cos_cols)
-    ]
+    if cos_sqls is None:
+        cos_sqls = [_cos_to_cent_sql(cvals) for _, cvals in cents]
+    structs = ", ".join(
+        f"named_struct('cos', {cos}, 'ncid', {-cid})"
+        for (cid, _), cos in zip(cents, cos_sqls)
+    )
     return base.withColumn(
-        "cid", (-F.greatest(*structs).getField("ncid")).cast("int")
+        "cid", F.expr(f"CAST(-(greatest({structs}).ncid) AS INT)")
     )
 
 
@@ -967,8 +1007,8 @@ def _ivf_assign_cells_join(base: DataFrame, cents: list, spark) -> DataFrame:
     one exchange carries a single row per vector.
 
     Value parity with the literal arm is exact by construction: ``ce`` is
-    stored as array<double> (the literal arm's `_lit_vec` is a double
-    array — a float column would silently narrow TRAINED centroids), the
+    stored as array<double> (the literal arm embeds double literals — a
+    float column would silently narrow TRAINED centroids), the
     cosine is the same `quantized_dot`/`_safe_cosine` spec (element casts
     to double either way), ``csq`` is the same Python-computed
     `_quantized_dot_py`, and max(struct(cos, -cid)) is the same
@@ -1010,26 +1050,23 @@ def ivf_search(
     nprobe: int = _IVF_NPROBE,
     topk: int = _IVF_TOPK,
     query_ids: "list | None" = None,
-    cos_cols: "list | None" = None,
+    cos_sqls: "list | None" = None,
     cells: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF search against an arbitrary coarse quantizer ``[(cid, vec)]`` —
     the plan shape documented on `ann_ivf_untrained_baseline` (narrow literal-array cell
     assignment, broadcast probe equi-join on cid, windowed top-k).
     ``query_ids`` selects an explicit query set (default: vec_id < n_query,
-    the registered-query spec); ``cos_cols`` / ``cells`` let the caller
-    share already-built per-centroid cosine Columns and the cell-assignment
-    frame (see `ivf_assign_cells`)."""
-    # per-centroid cosine Columns built ONCE and reused by both the cell
+    the registered-query spec); ``cos_sqls`` / ``cells`` let the caller
+    share already-built per-centroid cosine SQL strings and the
+    cell-assignment frame (see `ivf_assign_cells`)."""
+    # per-centroid cosine SQL built ONCE and reused by both the cell
     # assignment and the probe ranking (driver-side plan-build cost is
     # linear in K x dim; duplicating it dominated wall time before)
-    if cos_cols is None:
-        cos_cols = [
-            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals)
-            for _, cvals in cents
-        ]
+    if cos_sqls is None:
+        cos_sqls = [_cos_to_cent_sql(cvals) for _, cvals in cents]
     if cells is None:
-        cells = ivf_assign_cells(e, cents, cos_cols=cos_cols)
+        cells = ivf_assign_cells(e, cents, cos_sqls=cos_sqls)
     base = cells.drop("cid")
 
     # per-query probe list: rank the K cells per query (K rows per query —
@@ -1039,18 +1076,17 @@ def ivf_search(
         n_query = len(query_ids)
     else:
         q = base.filter(F.col("vec_id") < n_query)
+    probe_structs = ", ".join(
+        f"named_struct('cid', {cid}, 'ccos', {cos})"
+        for (cid, _), cos in zip(cents, cos_sqls)
+    )
     probe_rows = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("sq").alias("qsq"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(cid).alias("cid"), cos.alias("ccos"))
-                    for (cid, _), cos in zip(cents, cos_cols)
-                ]
-            )
-        ).alias("pc"),
+        # ONE expr for the whole exploded probe-struct array (r16 — same
+        # build-cost motivation as ivf_assign_cells)
+        F.expr(f"explode(array({probe_structs}))").alias("pc"),
     ).select("query_id", "qe", "qsq", F.col("pc.cid").alias("cid"), F.col("pc.ccos").alias("ccos"))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cid")
@@ -1499,14 +1535,14 @@ def vector_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
     )
-    structs = [
-        F.struct(
-            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias("cos"),
-            F.lit(-lbl).alias("nlbl"),
-        )
-        for lbl, cvals in cents
-    ]
-    best = F.greatest(*structs)
+    # ONE expr for the whole greatest-struct sweep (r16 — build-cost cut,
+    # same expression tree as the former per-label F.struct chain)
+    best = F.expr(
+        "greatest(" + ", ".join(
+            f"named_struct('cos', {_cos_to_cent_sql(cvals)}, 'nlbl', {-lbl})"
+            for lbl, cvals in cents
+        ) + ")"
+    )
     return base.select(
         "vec_id",
         "label",
@@ -1678,13 +1714,13 @@ def vector_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot_q(F.col("embedding"), F.col("embedding")).alias("sq"),
     )
     structs = [
-        F.struct(
-            _cos_to_cent(F.col("embedding"), F.col("sq"), cvals).alias("cos"),
-            F.lit(-lbl).alias("nlbl"),
-        )
+        f"named_struct('cos', {_cos_to_cent_sql(cvals)}, 'nlbl', {-lbl})"
         for lbl, cvals in cents
     ]
-    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    # ONE expr for the sweep (r16 — build-cost cut, identical tree)
+    best = F.expr(
+        f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    )
     is_train = F.col("k") >= _HOLDOUT_VALID_THR
     hit = F.col("pred_label") == F.col("label")
     per = (
@@ -1886,20 +1922,19 @@ def decon_best_literal(evals: list):
     batch and stream consume this same spec so they cannot disagree on a
     verdict."""
     structs = [
-        F.struct(
-            _cos_to_cent(F.col("embedding"), F.col("sq"), vec).alias("cos"),
-            F.lit(-eid).alias("neid"),
-        )
+        f"named_struct('cos', {_cos_to_cent_sql(vec)}, 'neid', {-eid})"
         for eid, vec in evals
     ]
-    # F.greatest requires >= 2 args (ADVICE r11) — a 1-vector eval suite
-    # is legal (same guard as vector_centroid_classifier), an empty one
-    # is a caller error worth naming rather than a py4j arity blowup.
+    # greatest requires >= 2 args (ADVICE r11) — a 1-vector eval suite is
+    # legal (same guard as vector_centroid_classifier), an empty one is a
+    # caller error worth naming rather than a parse blowup.
     if not structs:
         raise ValueError(
             "decon_best_literal: empty eval suite — nothing to sweep"
         )
-    return F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return F.expr(
+        f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    )
 
 
 
