@@ -37,3 +37,30 @@ def constant_similarity():
     """sim ≡ 0 — the frequency-only distortion model
     (ref: SimilarityFn.scala:49-59)."""
     return ConstantSim().column(None, None)
+
+
+def eval_once(col):
+    """Pushdown barrier for an EXPENSIVE non-negative double Column that a
+    downstream ``.filter`` would otherwise duplicate (r16, guide §4.4: the
+    optimizer pushes a filter on a computed column below the projection
+    and evaluates the expression once in the pushed filter and again in
+    the projection — for interpreted higher-order folds like
+    `quantized_dot` / `array_intersect` sizes that doubles the dominant
+    per-candidate CPU; measured 2.30s → 1.53s on
+    dedup_embedding_cosine_scaled's verify stage).
+
+    Mechanism: ``col + 0.0 * rand(7)`` — the added term is EXACTLY +0.0
+    for every draw (rand ∈ [0, 1), and 0.0 * x == +0.0 for all finite x),
+    and ``x + 0.0 == x`` bit-for-bit for every double except -0.0, so the
+    VALUE is untouched for the non-negative columns this is documented
+    for (similarities, Jaccards, guarded cosines — all either integer-
+    derived or CASE-guarded, never -0.0). The nondeterministic marker is
+    what blocks the optimizer from duplicating or reordering past it —
+    the same rule as `udf.asNondeterministic` in the guide; task retries
+    are safe because the term is value-erased before it can differ.
+
+    Use ONLY on a column that (a) is about to be filtered on, (b) is
+    expensive to evaluate, and (c) can never be negative zero."""
+    from pyspark.sql import functions as F
+
+    return col + F.lit(0.0) * F.rand(7)

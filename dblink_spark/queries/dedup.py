@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from dblink_spark.functions import eval_once
 from dblink_spark.queries import load, owns_caches, register
 
 N_HASHES = 16  # minhash signature size; 4 bands x 4 rows (S-curve midpoint ~0.84)
@@ -541,7 +542,13 @@ def _sketch_pairs_carry(docs: DataFrame, threshold: float) -> DataFrame:
     )
     a, b = pre.alias("a"), pre.alias("b")
     n_inter = F.size(F.array_intersect(F.col("a.sketch"), F.col("b.sketch")))
-    jac = n_inter.cast("double") / (F.col("a.k") + F.col("b.k") - n_inter)
+    # eval_once (r16, guide §4.4): the threshold filter would otherwise be
+    # pushed below the projection and the array_intersect verify would run
+    # TWICE per band-collision candidate; the filter still runs before the
+    # closing distinct's exchange, so only verified pairs shuffle
+    jac = eval_once(
+        n_inter.cast("double") / (F.col("a.k") + F.col("b.k") - n_inter)
+    )
     return (
         a.join(
             b,
@@ -585,7 +592,12 @@ def _sketch_pairs_wide(docs: DataFrame, threshold: float) -> DataFrame:
         F.col("doc_id").alias("doc2"), F.col("sketch").alias("sk2"), F.col("k").alias("k2")
     )
     n_inter = F.size(F.array_intersect("sk1", "sk2"))
-    jac = n_inter.cast("double") / (F.col("k1") + F.col("k2") - n_inter)
+    # eval_once: same §4.4 duplication as the carry arm — at the wide-
+    # prefix operating point (k=64 t=0.3, millions of candidates) the
+    # doubled array_intersect was the dominant verify CPU
+    jac = eval_once(
+        n_inter.cast("double") / (F.col("k1") + F.col("k2") - n_inter)
+    )
     return (
         cand.join(s1, "doc1")
         .join(s2, "doc2")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from dblink_spark.functions import eval_once
 from dblink_spark.functions.vector import quantized_dot as _dot_q
 from dblink_spark.queries import load, owns_caches, register
 
@@ -255,10 +256,17 @@ def embedding_near_dups(
         F.col("bd.band_key").alias("band_key"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    cosine = _safe_cosine(
-        _dot_q(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.sq"),
-        F.col("b.sq"),
+    # eval_once (r16, guide §4.4): without the barrier the threshold
+    # filter is pushed below this projection and the interpreted
+    # quantized-dot fold runs TWICE per candidate — measured 2.30s →
+    # 1.53s on the sf0.1 verify stage; the filter still runs BEFORE the
+    # pair-dedup exchange, so only survivors shuffle (the scale property)
+    cosine = eval_once(
+        _safe_cosine(
+            _dot_q(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.sq"),
+            F.col("b.sq"),
+        )
     )
     return (
         a.join(
@@ -1387,11 +1395,14 @@ def _semdedup_pairs(tagged: DataFrame, cap: int | None = None) -> DataFrame:
         cap = HOT_BUCKET_CAP
     cold = tagged.filter(F.col("occ") <= cap)
     a, b = cold.alias("a"), cold.alias("b")
-    cos_cold = _safe_cosine(
+    # eval_once on both arms (r16, guide §4.4): the caller's tau filter
+    # pushes below the union and would re-evaluate each arm's quantized
+    # cosine fold per in-cell candidate
+    cos_cold = eval_once(_safe_cosine(
         _dot_q(F.col("a.embedding"), F.col("b.embedding")),
         F.col("a.sq"),
         F.col("b.sq"),
-    )
+    ))
     pairs_cold = a.join(
         b,
         (F.col("a.cid") == F.col("b.cid"))
@@ -1416,11 +1427,11 @@ def _semdedup_pairs(tagged: DataFrame, cap: int | None = None) -> DataFrame:
         F.col("embedding").alias("rep_embedding"),
         F.col("sq").alias("rep_sq"),
     )
-    cos_hot = _safe_cosine(
+    cos_hot = eval_once(_safe_cosine(
         _dot_q(F.col("rep_embedding"), F.col("embedding")),
         F.col("rep_sq"),
         F.col("sq"),
-    )
+    ))
     pairs_hot = hot.join(reps, "cid").select(
         "vec_id", F.col("rep_id").alias("earlier"), cos_hot.alias("cos")
     )
