@@ -721,10 +721,6 @@ def dedup_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_sketch_pairs(load(spark, sf_dir, "documents"), k=8, threshold=0.99)
 
 
-def _hex_to_int_spark(col, start: int, width: int):
-    return F.conv(F.substring(col, start, width), 16, 10).cast("bigint")
-
-
 @register(
     "dedup_simhash",
     oracle="""
@@ -801,44 +797,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on ``(lang, band_idx, band_bits)``, Hamming-verified on
     the carried full fingerprint. Candidate volume tracks near-dup volume
     (docs sharing an 8-bit half-fingerprint), not N²-per-language — the
-    all-pairs-within-lang join this replaces was N²/|langs| at 100 TB."""
+    all-pairs-within-lang join this replaces was N²/|langs| at 100 TB.
+
+    r16 (guide §2.3/§2.4, the bottomk_components discipline): the banded
+    join runs over the DISTINCT ``(lang, simhash)`` GROUPS, not the docs.
+    Docs sharing a fingerprint are pairwise near-dups of each other
+    (Hamming 0) and share every cross-group partner, so the per-doc
+    rollup is pure arithmetic over group-level quantities:
+
+      n_near_dups(d) = (gsize - 1) + sum(adjacent groups' sizes)
+      min_partner(d) = min(rep if d != rep else second-min of the group,
+                           min over adjacent groups' min doc_id)
+
+    where adjacent = same lang, Hamming distance exactly 1 (distance 0
+    between DISTINCT groups is impossible, so no candidate ever double-
+    emits and the old pair ``distinct`` disappears with the pair set).
+    At sf0.1 this contracts 960,361 qualifying doc pairs (the clique
+    blowup the old shape shuffled through distinct + a 2x-union adjacency
+    aggregate) to 1,364 groups and 3,814 adjacent ordered group pairs.
+    NULL-lang docs are excluded up front — they can never satisfy the
+    pair predicate ``a.lang = b.lang`` (the window would have grouped
+    them; same guard as bottomk_components)."""
     d = load(spark, sf_dir, "documents")
     # per-doc bit sums computed ROW-LOCALLY: hash the distinct tokens once
     # into an int array, then 16 array-aggregates accumulate the ±1 bit
     # votes — zero shuffles (the former explode -> distinct -> groupBy
-    # build shuffled the full token table twice; see bottomk_sketches)
-    hs = F.transform(
-        F.array_distinct(F.split("text", " ")),
-        lambda t: _hex_to_int_spark(F.md5(t), 1, 8),
-    )
+    # build shuffled the full token table twice; see bottomk_sketches).
+    # r16 (guide §1.2, the ANN change-6 lesson): the 16 vote folds + the
+    # bit recombination are assembled as ONE SQL string handed to a single
+    # ``F.expr`` — the Column-algebra form (16 F.aggregate lambdas + 16
+    # when-terms) cost ~2s of py4j round trips PER INVOCATION at gate
+    # scale, more than the query's whole execution. The string is the
+    # IDENTICAL expression tree: same CASE/bitmask/± votes, same
+    # left-assoc integer sums, same BIGINT accumulator.
     base = _widen_small_scan(d.filter(F.col("text").isNotNull())).select(
-        "doc_id", "lang", hs.alias("hs")
-    )
-    def _bit_vote(i: int):
-        # two-parameter merge lambda bound via factory: pyspark infers the
-        # lambda's arity from its signature, so a default-arg third param
-        # would be mistaken for a higher-arity callable (same caveat as
-        # streaming/events.py:minhash_key)
-        mask = F.lit(1 << i)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(mask) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    sig_cols = [
-        F.aggregate("hs", F.lit(0).cast("bigint"), _bit_vote(i)).alias(f"b{i}")
-        for i in range(16)
-    ]
-    sig = base.select("doc_id", "lang", *sig_cols)
-    fp_expr = None
-    for i in range(16):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp_expr = term if fp_expr is None else fp_expr + term
-    fp = sig.select("doc_id", "lang", fp_expr.cast("bigint").alias("simhash"))
-    fp = fp.persist()  # feeds both sides of the banded self-join
-    bands = fp.select(
         "doc_id",
         "lang",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), "
+            "t -> CAST(CONV(SUBSTRING(md5(t), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    def _vote_sql(i: int) -> str:
+        return (
+            f"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END))"
+        )
+
+    fp_sql = " + ".join(
+        f"(CASE WHEN {_vote_sql(i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    fp = base.select(
+        "doc_id", "lang", F.expr(f"CAST({fp_sql} AS BIGINT)").alias("simhash")
+    )
+    # one (lang, simhash) window annotates every doc with its group's rep
+    # (min doc_id), size, and — consumed by the rep row only — the group's
+    # second-smallest doc_id (lead over the ordered twin of the window);
+    # persisted because it feeds both group-join sides AND the expansion
+    grp = Window.partitionBy("lang", "simhash")
+    ann = (
+        fp.filter(F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "simhash",
+            F.min("doc_id").over(grp).alias("rep"),
+            F.count(F.lit(1)).over(grp).alias("gsize"),
+            F.lead("doc_id").over(grp.orderBy("doc_id")).alias("nxt"),
+        )
+        .persist()
+    )
+    groups = ann.filter(F.col("doc_id") == F.col("rep")).select(
+        "lang", "simhash", F.col("rep").alias("m1"), "gsize"
+    )
+    bands = groups.select(
+        "lang",
         "simhash",
+        "m1",
+        "gsize",
         F.explode(
             F.array(
                 F.struct(
@@ -851,31 +888,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "lang", "simhash", "band.band_idx", "band.band_bits")
+    ).select("lang", "simhash", "m1", "gsize", "band.band_idx", "band.band_bits")
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    pairs = (
+    # ordered group pairs (a, b) — each emitted exactly once: distinct
+    # same-lang groups have Hamming >= 1, and a Hamming-1 pair agrees on
+    # exactly one band (the old doc-level distinct existed only for the
+    # Hamming-0 pairs that are now intra-group)
+    adj = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") != F.col("b.simhash")),
         )
         .filter(ham <= 1)
-        # Hamming-0 pairs agree on BOTH bands -> emitted twice; dedup before
-        # the per-doc rollup counts them.
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
+        .groupBy(F.col("a.lang").alias("lang"), F.col("a.simhash").alias("simhash"))
+        .agg(F.sum("b.gsize").alias("adj_n"), F.min("b.m1").alias("adj_min"))
     )
-    adj = pairs.select(
-        F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner")
-    ).unionAll(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("partner")))
-    out = adj.groupBy("doc_id").agg(
-        F.count("*").alias("n_near_dups"), F.min("partner").alias("min_partner")
+    out = (
+        ann.join(adj, ["lang", "simhash"], "left")
+        .select(
+            "doc_id",
+            (F.col("gsize") - 1 + F.coalesce(F.col("adj_n"), F.lit(0))).alias(
+                "n_near_dups"
+            ),
+            # F.least skips NULLs: a singleton rep (nxt NULL) falls back to
+            # adj_min; a group with no adjacency (adj_min NULL) keeps the
+            # in-group partner; both NULL -> n_near_dups = 0 -> filtered,
+            # exactly like a doc absent from the old pair set
+            F.least(
+                F.when(F.col("doc_id") == F.col("rep"), F.col("nxt")).otherwise(
+                    F.col("rep")
+                ),
+                F.col("adj_min"),
+            ).alias("min_partner"),
+        )
+        .filter(F.col("n_near_dups") > 0)
     )
-    return owns_caches(out, fp)  # caller releases after materializing
+    return owns_caches(out, ann)  # caller releases after materializing
 
 
 # The bottom-k near-dup pairs + transitive-closure oracle fragment, ONE copy

@@ -2141,6 +2141,17 @@ _LM_J_SQL = " + ".join(
     f"(CASE WHEN r >= {th!r} THEN 1 ELSE 0 END)" for th in _LM_THRESHOLDS
 )
 
+#: the Spark twin of `_LM_J_SQL` as ONE expr string (r16, guide §1.2): the
+#: 15-term F.when chain cost ~8 py4j round trips per threshold on every
+#: consumer's frame BUILD; the doubles round-trip exactly through
+#: CAST('repr' AS DOUBLE) (a bare SQL decimal literal would parse as
+#: DECIMAL in Spark), so after constant folding the expression tree is
+#: literal-identical to the old chain
+_LM_J_SPARK_SQL = " + ".join(
+    f"(CASE WHEN r >= CAST('{th!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
+    for th in _LM_THRESHOLDS
+)
+
 
 # The LM scoring pipeline as ONE shared CTE body: `lmscored` is the
 # per-doc (doc_id, n_bigrams, n_oov, sum_qlp16) relation every
@@ -2257,12 +2268,9 @@ def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r", F.expr("shiftleft(c, s)").cast("double") / F.col("tw").cast("double")
         )
     )
-    j = None
-    for th in _LM_THRESHOLDS:
-        term = F.when(F.col("r") >= F.lit(th), 1).otherwise(0)
-        j = term if j is None else j + term
     model = m.select(
-        "bigram", (-16 * F.col("s") + j).cast("long").alias("qlp")
+        "bigram",
+        (-16 * F.col("s") + F.expr(_LM_J_SPARK_SQL)).cast("long").alias("qlp"),
     )
     per_doc = (
         bg.join(F.broadcast(model), "bigram", "left")
@@ -2395,17 +2403,38 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator uses)."""
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()
-    toks = F.split("text", " ")
-    pairs = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("token"),
-            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
-        ),
-    )
+    # r16 (guide §1.2 per-task work): (token, tf) pairs by sorted-run
+    # counting — sort the token array once, find run starts, and each
+    # run's length IS the tf. The previous form scanned the full token
+    # array once per DISTINCT token (`size(filter(toks, x == t))`),
+    # O(distinct x tokens) per doc — quadratic in document length, ~3x
+    # slower at this corpus's 54-token/23-distinct docs and far worse on
+    # long documents. Same (token, tf) multiset per doc (runs in the
+    # sorted array are exactly the occurrence counts), so the exploded
+    # relation is row-identical; only the struct-array ORDER inside the
+    # row differs (sorted vs first-occurrence), which explode erases.
     tf_rel = (
-        d.select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", "p.token", F.col("p.tf").cast("long").alias("tf"))
+        d.select("doc_id", F.expr("sort_array(split(text, ' '))").alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.expr(
+                "filter(sequence(1, size(s)), "
+                "i -> i = 1 OR element_at(s, i) != element_at(s, i - 1))"
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(st, (stv, k) -> named_struct("
+                    "'token', element_at(s, stv), "
+                    "'tf', CAST((coalesce(try_element_at(st, k + 2), "
+                    "size(s) + 1) - stv) AS BIGINT)))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.token", F.col("p.tf").alias("tf"))
         .persist()
     )
     s0_py = n_docs.bit_length()
@@ -2421,12 +2450,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     i3 = i2.withColumn(
         "r", F.expr("shiftleft(df, s)").cast("double") / F.lit(float(n_docs))
     )
-    j = None
-    for th in _LM_THRESHOLDS:
-        term = F.when(F.col("r") >= F.lit(th), 1).otherwise(0)
-        j = term if j is None else j + term
     idf = i3.select(
-        "token", "df", (16 * F.col("s") - j).cast("long").alias("idf16")
+        "token",
+        "df",
+        (16 * F.col("s") - F.expr(_LM_J_SPARK_SQL)).cast("long").alias("idf16"),
     )
     from pyspark.sql import Window
 

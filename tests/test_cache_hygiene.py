@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #: every registered query that persists an intermediate (grep .persist())
 _PERSISTING = [
     "dedup_minhash_lsh",
+    # r16: persists the window-annotated (doc, group rep/size/next)
+    # relation — group-join sides + the per-doc expansion all read it
     "dedup_simhash",
     # r16: dedup_bottomk_jaccard left this list — at its 0.99 operating
     # point the prefix is 1 hash/doc, so the pair build now carries the

@@ -304,3 +304,93 @@ class TestBottomkComponentsContraction:
     def test_handoff_configuration(self, spark):
         old, new = self._both(spark, 64, 0.3)
         assert new == old
+
+
+class TestSimhashContraction:
+    """`dedup_simhash` (r16) runs its banded join over DISTINCT
+    (lang, simhash) groups and expands the per-doc rollup arithmetically;
+    it must be value-identical to the doc-level pair formulation. The
+    reference here is an INDEPENDENT pure-Python replay of the spec
+    (md5 low-32 bit votes, pairwise Hamming <= 1 within lang), so the
+    contraction arithmetic — (gsize - 1) + adjacent sizes, rep vs
+    second-min partner, singleton groups, NULL-lang exclusion — is
+    checked against brute force, not against another Spark plan.
+
+    The corpus is deterministic: single-token docs have fp = md5_low16,
+    and ("w4", "w64") differ in exactly one bit (18962 vs 19090), so the
+    cross-group Hamming-1 adjacency path is guaranteed to be exercised,
+    in both directions, including a singleton group adjacent to a clique.
+    """
+
+    def _corpus(self):
+        rows = [
+            # 3-doc identical-fp clique (same token, one group)
+            (1, "en", "w4"),
+            (2, "en", "w4"),
+            (3, "en", "w4"),
+            # hamming-1 neighbors of the clique: a 2-doc group
+            (4, "en", "w64"),
+            (5, "en", "w64"),
+            # same tokens, other lang: blocked from the en groups
+            (6, "fr", "w4"),
+            (7, "fr", "w64"),
+            # NULL lang twins: must never pair or group
+            (8, None, "w4"),
+            (9, None, "w4"),
+            # multi-token docs: identical distinct-token sets -> same fp
+            (10, "en", "alpha beta gamma"),
+            (11, "en", "gamma beta alpha alpha"),
+            # isolated singleton (whatever its fp, reference decides)
+            (12, "en", "w212"),
+        ]
+        return rows
+
+    @staticmethod
+    def _fp(text: str) -> int:
+        toks = list(dict.fromkeys(text.split(" ")))
+        votes = [0] * 16
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for i in range(16):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(16) if votes[i] > 0)
+
+    def _reference(self, rows):
+        fps = {d: (lang, self._fp(text)) for d, lang, text in rows}
+        out = {}
+        for d1, (l1, f1) in fps.items():
+            partners = [
+                d2
+                for d2, (l2, f2) in fps.items()
+                if d2 != d1 and l1 is not None and l1 == l2
+                and bin(f1 ^ f2).count("1") <= 1
+            ]
+            if partners:
+                out[d1] = (len(partners), min(partners))
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        from dblink_spark.queries import REGISTRY, release_caches
+        import os, tempfile
+
+        rows = self._corpus()
+        ref = self._reference(rows)
+        # coverage sanity: the corpus really exercises cross-group
+        # adjacency (clique <-> pair in en) and in-group partners
+        assert ref[1] == (4, 2)   # 2 clique peers + the 2-doc w64 group
+        assert ref[4] == (4, 1)   # its group peer + the 3-doc clique
+        assert 8 not in ref and 9 not in ref  # NULL lang excluded
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(d, lang, t, None, None) for d, lang, t in rows],
+                "doc_id bigint, lang string, text string, "
+                "source string, url string",
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            df = REGISTRY["dedup_simhash"].fn(spark, td)
+            got = {
+                r["doc_id"]: (r["n_near_dups"], r["min_partner"])
+                for r in df.collect()
+            }
+            release_caches(df)
+        assert got == ref
+

@@ -2809,3 +2809,50 @@ def test_template_spans_close_the_past_cap_class(spark, tmp_path):
         assert ladder[i]["n_removed"] == 62, ladder[i]
     for r in tpl.values():
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+
+
+def test_tfidf_sorted_run_tf_matches_counter(spark):
+    """The r16 tf build counts token occurrences as RUNS of the sorted
+    token array (one sort + one linear pass, replacing the per-distinct-
+    token `size(filter(...))` rescan). The exploded (doc_id, token, tf)
+    relation must equal a Python Counter over exactly the same split —
+    including single-token docs, all-identical docs, empty-string tokens
+    from leading/trailing/double spaces, and a doc that is one long run."""
+    from collections import Counter
+
+    import os, tempfile
+
+    from dblink_spark.queries import REGISTRY, release_caches
+
+    texts = [
+        (1, "a b a c a b"),
+        (2, "solo"),
+        (3, "x x x x x x"),
+        (4, " lead and  double  space "),
+        (5, "z y x w v u t s r q p"),
+        (6, "m m m n"),
+    ]
+    expected = {
+        (d, tok, c)
+        for d, t in texts
+        for tok, c in Counter(t.split(" ")).items()
+    }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, "en", t, None, None) for d, t in texts],
+            "doc_id bigint, lang string, text string, source string, url string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        df = REGISTRY["text_tfidf_topk"].fn(spark, td)
+        # reach the persisted tf relation through the registered query's
+        # own output: every (doc, token) appears in the top-5 here because
+        # no doc has more than 5 DISTINCT tokens with nonzero idf... the
+        # 11-distinct doc 5 does, so check it via its own rows only.
+        got = {
+            (r["doc_id"], r["token"], r["tf"]) for r in df.collect()
+        }
+        release_caches(df)
+    # rows the query emits must all carry the Counter tf; and for docs
+    # with <= 5 distinct tokens the emission must be complete
+    assert got <= expected
+    small = {d for d, t in texts if len(set(t.split(" "))) <= 5}
+    assert {e for e in expected if e[0] in small} <= got
