@@ -255,24 +255,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owns_caches(out, docs, tagged)  # caller releases after materializing
 
 
+def _mh_chunks_spark_sql(toks_sql: str) -> str:
+    """SQL text twin of `mh_token_chunks` (r16, guide §1.2): identical
+    nested-transform tree, assembled driver-side as one string."""
+    terms = ", ".join(
+        f"CAST(CONV(SUBSTRING(m, {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+        for j in range(4)
+    )
+    return f"transform(transform({toks_sql}, t -> md5(t)), m -> array({terms}))"
+
+
+def _mh_family_spark_sql(i: int) -> str:
+    """SQL text twin of `mh_family(i)` — same rotate-xor over the same
+    0-based chunk accesses (`c[a]` is GetArrayItem in both forms)."""
+    a, b, r = mh_mix(i)
+    ca = f"c[{a}]"
+    rot = (
+        ca
+        if r == 0
+        else f"((SHIFTLEFT({ca}, {r}) | SHIFTRIGHT({ca}, {32 - r})) & 4294967295)"
+    )
+    return f"({rot} ^ c[{b}])"
+
+
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """Per-doc MinHash signature table ``(doc_id, h0..h15, toks, n_tok)`` —
     the index every LSH consumer builds once and persists (in production:
     writes to parquet alongside the corpus snapshot). ONE md5 per distinct
     token, then 16 cheap rotate-xor array passes (see mh_mix); computed
-    ROW-LOCALLY with higher-order functions — zero shuffles."""
-    toks_arr = F.array_distinct(F.split("text", " "))
+    ROW-LOCALLY with higher-order functions — zero shuffles.
+
+    r16 (guide §1.2, the ANN change-6 lesson): the 16 family columns are
+    SQL strings through one ``selectExpr`` — the Column-algebra form (16
+    transform lambdas over the chunk arrays) cost ~2.5k py4j round trips
+    per signature table, twice that for the incremental query's two
+    snapshots. The strings are the IDENTICAL expression trees (same
+    0-based chunk indexing, same shift/or/and/xor shapes); the streaming
+    twin (`streaming/events.py:minhash_key`) keeps the Column form and
+    the stream==batch parity tests pin the values equal."""
+    toks_sql = "array_distinct(split(text, ' '))"
     return (
         _widen_small_scan(d.filter(F.col("text").isNotNull()))
-        .withColumn("_chunks", mh_token_chunks(toks_arr))
-        .select(
+        .withColumn("_chunks", F.expr(_mh_chunks_spark_sql(toks_sql)))
+        .selectExpr(
             "doc_id",
             *[
-                F.array_min(F.transform("_chunks", mh_family(i))).alias(f"h{i}")
+                f"array_min(transform(_chunks, c -> {_mh_family_spark_sql(i)})) AS h{i}"
                 for i in range(N_HASHES)
             ],
-            F.sort_array(toks_arr).alias("toks"),
-            F.size(toks_arr).cast("long").alias("n_tok"),
+            f"sort_array({toks_sql}) AS toks",
+            f"CAST(size({toks_sql}) AS BIGINT) AS n_tok",
         )
     )
 

@@ -434,26 +434,36 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     resized = resize_image(media, 8, 8, codec=_fake_resize_codec())
     # unpack the 64 pixel bytes JVM-side (hex/conv over binary substrings —
-    # same trick as multimodal_resize_stats; no second Python stage)
-    px_arr = F.transform(
-        F.sequence(F.lit(1), F.lit(_PHASH_PX)),
-        lambda i: F.conv(F.hex(F.substring("pixels", i, 1)), 16, 10).cast(
-            "long"
-        ),
+    # same trick as multimodal_resize_stats; no second Python stage).
+    # r16 (guide §1.2, the ANN change-6 lesson): the 64 bit-vote terms are
+    # assembled as SQL strings handed to two ``F.expr`` calls — the Column-
+    # algebra form (64 when/multiply chains + per-element lambdas) made the
+    # frame BUILD this query's single largest cost (~7k py4j round trips,
+    # measured via cProfile over send_command). Identical expression tree:
+    # same element_at/CASE/multiply shapes, same left-assoc integer sums.
+    sig = resized.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, {_PHASH_PX}), "
+            "i -> CAST(CONV(HEX(SUBSTRING(pixels, i, 1)), 16, 10) AS BIGINT))"
+        ).alias("px"),
+    ).withColumn(
+        "total", F.expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
     )
-    sig = resized.select("doc_id", px_arr.alias("px")).withColumn(
-        "total",
-        F.aggregate("px", F.lit(0).cast("long"), lambda acc, x: acc + x),
+    def _bit_sql(k: int) -> str:
+        return (
+            f"(CASE WHEN (element_at(px, {k + 1}) * {_PHASH_PX}) > total "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    lo_sql = " + ".join(f"{_bit_sql(k)} * {1 << k}" for k in range(32))
+    hi_sql = " + ".join(
+        f"{_bit_sql(k)} * {1 << (k - 32)}" for k in range(32, _PHASH_PX)
     )
-    bit = lambda k: F.when(  # noqa: E731
-        F.element_at("px", k + 1) * _PHASH_PX > F.col("total"), 1
-    ).otherwise(0)
-    lo = sum(bit(k) * F.lit(1 << k) for k in range(32))
-    hi = sum(bit(k) * F.lit(1 << (k - 32)) for k in range(32, _PHASH_PX))
     fp = sig.select(
         "doc_id",
-        lo.cast("long").alias("phash_lo"),
-        hi.cast("long").alias("phash_hi"),
+        F.expr(f"CAST({lo_sql} AS BIGINT)").alias("phash_lo"),
+        F.expr(f"CAST({hi_sql} AS BIGINT)").alias("phash_hi"),
     ).persist()
     pairs = phash_capped_pairs(fp)
     adj = pairs.select(

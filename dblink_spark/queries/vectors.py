@@ -481,22 +481,24 @@ def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-side weights (broadcast semantics, zero data-derived state), no
     shuffle, no UDF; `zip_with`/`aggregate` keep the fold JVM-side."""
     e = load(spark, sf_dir, "embeddings")
-    cols = []
+    # r16 (guide §1.2, the ANN change-6 lesson): each dim's sign array +
+    # fold is one SQL string through a single selectExpr — the Column-
+    # algebra form built the 64-element literal array ELEMENT-WISE per
+    # dim (~3.3k py4j round trips per invocation). Identical expression
+    # tree: ((x*s)*1e6) ordering, FLOOR→BIGINT per term, BIGINT
+    # accumulator; double literals round-trip via CAST('repr' AS DOUBLE).
+    scale = "CAST('1000000.0' AS DOUBLE)"
+    dims = []
     for j, signs in enumerate(_RP_SIGNS):
-        lits = F.array(*[F.lit(float(s)) for s in signs])
-        quantized = F.zip_with(
-            F.col("embedding"),
-            lits,
-            lambda x, s: F.floor(x.cast("double") * s * F.lit(1000000.0)).cast(
-                "long"
-            ),
+        arr = "array(" + ", ".join(
+            f"CAST('{float(s)!r}' AS DOUBLE)" for s in signs
+        ) + ")"
+        dims.append(
+            f"aggregate(zip_with(embedding, {arr}, "
+            f"(x, s) -> CAST(FLOOR(((CAST(x AS DOUBLE) * s) * {scale})) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d{j}"
         )
-        cols.append(
-            F.aggregate(
-                quantized, F.lit(0).cast("long"), lambda acc, v: acc + v
-            ).alias(f"d{j}")
-        )
-    return e.select("vec_id", "label", *cols)
+    return e.selectExpr("vec_id", "label", *dims)
 
 
 # ann_lsh_recall contract (VERDICT r7 task 5 — promote the pytest-only LSH
