@@ -52,9 +52,28 @@ def register(
     return deco
 
 
+#: session-scoped memo of LAZY table handles: (applicationId, sf_dir, name)
+#: -> the unexecuted DataFrame from `spark.read.parquet`. This is a plan
+#: handle, not data — every action on it still lists, reads and computes
+#: from the parquet inputs — but constructing it costs a driver-side
+#: footer/schema read (~80-120ms per table per call, measured r16), paid
+#: by EVERY query invocation for EVERY table it touches (q5 reads six).
+#: Re-resolving an immutable table's schema once per session is exactly
+#: what a catalog does in production; keying on applicationId makes a new
+#: session re-resolve from scratch (fresh driver processes — the gate,
+#: the bench — always start empty).
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one fixture table (projection/predicates push down)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Lazy parquet scan of one fixture table (projection/predicates push
+    down), memoized per (session, dir, table) — see `_LOAD_MEMO`."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_MEMO[key] = df
+    return df
 
 
 #: session-scoped registry of owned caches not yet released (ADVICE r6):
