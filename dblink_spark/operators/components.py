@@ -90,7 +90,11 @@ def _small_star(edges: DataFrame, oriented: bool = False) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "v1", dst: str = "v2", max_rounds: int = 50
+    pairs: DataFrame,
+    src: str = "v1",
+    dst: str = "v2",
+    max_rounds: int = 50,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Transitive closure of a pair set: ``(node, component)`` with
     ``component`` = the smallest node id in the node's connected component.
@@ -103,13 +107,25 @@ def connected_components(
 
     ``max_rounds`` is a diverged-loop guard; the algorithm provably
     converges in O(log n) alternations, so 50 covers any realistic graph.
+
+    ``assume_distinct=True`` (r16, guide §2.4) skips the initial
+    canonicalizing ``distinct`` — one full exchange + two aggregate
+    passes of the edge set — for callers whose pair relation is unique
+    by construction (every `bottomk_sketch_pairs` arm ends in a distinct
+    or a per-pair aggregate, and the persisted pair tables round-trip
+    exactly those rows). Correctness margin even if the contract is
+    violated: each star round ends in its own ``distinct``, so duplicate
+    input edges cannot change any round's OUTPUT (the windows' per-u
+    minima are duplicate-insensitive) — at worst the first convergence
+    signature is computed on the duplicated set, which only delays
+    convergence detection by one round, never changes the fixpoint.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     if edges.isEmpty():
         return edges.select(
             F.col("u").alias("node"), F.col("v").alias("component")

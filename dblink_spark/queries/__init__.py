@@ -76,6 +76,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_small_scan(d: DataFrame) -> DataFrame:
+    """Row-local-heavy builds run at the INPUT's split count — fine at
+    scale (splits >> cores) but a small single-row-group parquet yields
+    ONE task, serializing the whole build on one core. Widen with one
+    input-byte shuffle when the optimizer's scan-size estimate (cheap, no
+    job) says the source cannot yield enough splits: smaller than
+    cores × maxPartitionBytes. At 100 TB the estimate is huge and this is
+    a guaranteed no-op — the exchange exists only below that size, so the
+    scale-shape claims (zero-exchange inference etc.) hold where they
+    matter. (NOT df.rdd.getNumPartitions(): the Python-RDD conversion
+    reports 1 partition pre-execution and its first call costs ~1s of
+    driver time.) Lived in queries/dedup.py since r11 for the sketch
+    builds; promoted here in r16 after measuring the same single-task
+    serialization dominating the gram/cosine families (apply ONLY where
+    an A/B shows a win — the exchange costs more than it buys on queries
+    whose dominant stage is not the row-local build)."""
+    spark = d.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable (non-JVM frame): keep the narrow pass
+        return d
+    return d.repartition(target) if est < target * (128 << 20) else d
+
+
 #: session-scoped registry of owned caches not yet released (ADVICE r6):
 #: id(cache) -> cache frame. Ownership rides on the returned DataFrame
 #: OBJECT, so deriving a new frame and releasing THAT is a silent no-op on

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from dblink_spark.functions import eval_once
-from dblink_spark.queries import load, owns_caches, register
+from dblink_spark.queries import load, owns_caches, register, widen_small_scan
 
 N_HASHES = 16  # minhash signature size; 4 bands x 4 rows (S-curve midpoint ~0.84)
 N_BANDS = 4
@@ -443,23 +443,10 @@ def capped_incremental_candidates(
     return cand_cold.unionAll(cand_hot).distinct()
 
 
-def _widen_small_scan(d: DataFrame) -> DataFrame:
-    """Row-local signature builds run at the INPUT's split count — fine at
-    scale (splits >> cores) but a small input underuses the cluster; widen
-    with one text-byte shuffle, still strictly cheaper than the token-table
-    shuffles these builds replaced. The trigger reads the optimizer's
-    scan-size estimate (cheap, no job): a source smaller than
-    cores × maxPartitionBytes cannot yield enough splits. At 100 TB the
-    estimate is huge and this is a guaranteed no-op. (NOT df.rdd
-    .getNumPartitions(): the Python-RDD conversion reports 1 partition
-    pre-execution and its first call costs ~1s of driver time.)"""
-    spark = d.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    try:
-        est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # stats unavailable (non-JVM frame): keep the narrow pass
-        return d
-    return d.repartition(target) if est < target * (128 << 20) else d
+# r16: promoted to dblink_spark.queries.widen_small_scan (the gram/cosine
+# families measured the same single-task serialization); alias keeps the
+# historical call sites and tests importing the private name working.
+_widen_small_scan = widen_small_scan
 
 
 def bottomk_sketches(d: DataFrame, k: int = 8) -> DataFrame:
@@ -693,7 +680,12 @@ def bottomk_components(
         if _prefix_len_max(k, threshold) <= _CARRY_SKETCH_MAX_PREFIX
         else _sketch_pairs_wide
     )
-    rep_comps = connected_components(pair_fn(reps, threshold), "doc1", "doc2")
+    # assume_distinct: both pair arms emit unique (doc1, doc2) rows by
+    # construction (carry ends in a distinct; wide emits one row per
+    # distinct candidate) — skip the closure's canonicalizing exchange
+    rep_comps = connected_components(
+        pair_fn(reps, threshold), "doc1", "doc2", assume_distinct=True
+    )
     out = (
         ann.select("doc_id", "rep", "gsize")
         .join(
@@ -1038,8 +1030,11 @@ def dedup_components(
         )
     else:
         # amortization seam (persisted pair table): the pairs are given,
-        # so the closure runs them directly — unchanged r15 shape
-        comps = connected_components(pairs, "doc1", "doc2")
+        # so the closure runs them directly. assume_distinct: the saved
+        # table round-trips `bottomk_sketch_pairs`' distinct output (and
+        # duplicates could at worst delay convergence detection one
+        # round, never change the fixpoint — see connected_components)
+        comps = connected_components(pairs, "doc1", "doc2", assume_distinct=True)
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -1086,7 +1081,8 @@ def dedup_neardup_handoff(
             load(spark, sf_dir, "documents"), k=64, threshold=0.3
         )
     else:
-        comps = connected_components(pairs, "doc1", "doc2")
+        # seam arm: saved pair tables round-trip the distinct output
+        comps = connected_components(pairs, "doc1", "doc2", assume_distinct=True)
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -1138,7 +1134,10 @@ def dedup_survivors(
                 load(spark, sf_dir, "documents"), k=8, threshold=0.99
             )
         else:
-            comps = connected_components(pairs, "doc1", "doc2")
+            # seam arm: saved pair tables round-trip the distinct output
+            comps = connected_components(
+                pairs, "doc1", "doc2", assume_distinct=True
+            )
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len")
     )

@@ -1462,7 +1462,10 @@ def q_docs_dedup_bias_audit(
             # contraction arm (r16) — see bottomk_components
             comps = bottomk_components(d, k=8, threshold=0.99)
         else:
-            comps = connected_components(pairs, "doc1", "doc2")
+            # seam arm: saved pair tables round-trip the distinct output
+            comps = connected_components(
+                pairs, "doc1", "doc2", assume_distinct=True
+            )
     docs = d.select(
         "doc_id",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("len"),

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from dblink_spark.queries import load, owns_caches, register
+from dblink_spark.queries import load, owns_caches, register, widen_small_scan
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on"]
 
@@ -2690,7 +2690,10 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same persisted universe relation; everything after the collapse
     is |pairs|-sized. The oracle reaches the identical result through
     the textbook count-filter-join formulation (same two-pass shape)."""
-    d = load(spark, sf_dir, "documents")
+    # r16: widen the single-split gate-scale scan — the row-local 8-gram
+    # md5 build (the query's dominant stage) was serializing on one task
+    # (2.35x best-of-3; a guaranteed no-op at scale, see widen_small_scan)
+    d = widen_small_scan(load(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(

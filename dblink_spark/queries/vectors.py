@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from dblink_spark.functions import eval_once
 from dblink_spark.functions.vector import quantized_dot as _dot_q
-from dblink_spark.queries import load, owns_caches, register
+from dblink_spark.queries import load, owns_caches, register, widen_small_scan
 
 
 _DOT_SQL = """
@@ -153,7 +153,9 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: queries broadcast against the base scan; the per-row dot is
     a JVM higher-order fold (no Python). The window ranks per query."""
-    e = load(spark, sf_dir, "embeddings")
+    # r16: widen the single-split gate-scale scan — the brute per-row dot
+    # fold was serializing on one task (1.30x best-of-3; no-op at scale)
+    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
     # .limit(8) is a semantic no-op (the filter yields exactly 8 rows) but
     # makes the frame's fixed cardinality explicit in the logical plan, which
     # is what licenses the broadcast hint at any SF (plan-audit checked).
@@ -357,7 +359,9 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     the IVF centroids); the oracle derives the identical width from
     COUNT(*) and gates each pre-generated hyperplane term on ``k < bits``,
     with `make_lsh_bands_prefix` guaranteeing the specs agree."""
-    e = load(spark, sf_dir, "embeddings")
+    # r16: widen the single-split gate-scale scan — band keys + quantized
+    # dots were serializing on one task (2.25x best-of-3; no-op at scale)
+    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
     bits = bits_for_corpus(e.count(), _SCALED_TARGET_BUCKET)
     bands = [band[:bits] for band in _SCALED_BANDS_FULL]
     return embedding_near_dups(e, bands=bands, threshold=0.35)
@@ -784,7 +788,10 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline runs it once per index build on a sample, not per
     query; the balance check is the one-shuffle groupBy(cid) any index
     build runs anyway to write its cell directory."""
-    e = load(spark, sf_dir, "embeddings")
+    # r16: widen the single-split gate-scale scan (1.21x best-of-3; no-op
+    # at scale). Training stays deterministic: the sample is orderBy'd
+    # before its limit, so partitioning cannot reach the fit.
+    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
     cents = _trained_centroids_cached(e, sf_dir)
     # one set of per-centroid cosine SQL strings shared by the search AND
     # the balance arm: plan-BUILD time is linear in K x dim and constant in
@@ -1323,7 +1330,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, never sorts in one task); the cell relation is persisted
     once and feeds both join sides plus the anchor (one assignment pass,
     not three)."""
-    e = load(spark, sf_dir, "embeddings")
+    # r16: widen the single-split gate-scale scan — the K quantized
+    # cosines per row were serializing on one task (1.22x best-of-3;
+    # no-op at scale). The centroid collect is sorted(), order-insensitive.
+    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
     k = semdedup_k(e.count())
     cents = sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
@@ -2001,7 +2011,13 @@ def vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     map-side-combining max(struct(cos, -eval_id)) — ONE vec_id exchange
     total (sf0.1 takes this arm, so both plans stay gate-exercised). The
     Δ-sized flagged output is the only thing downstream ever sees."""
-    e = load(spark, sf_dir, "embeddings")
+    # r16: widen the single-split gate-scale scan — the suite-sized
+    # greatest-over-structs sweep was serializing on one task (2.37x
+    # best-of-3). The literal arm's zero-EXCHANGE claim is a 100-TB
+    # property: above cores×maxPartitionBytes the widen is a no-op and
+    # the plan is exchange-free again (test_plan_audit pins the widened
+    # small-SF shape as ≤ 1 round-robin exchange, no join/agg exchange).
+    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
     is_eval = (F.col("vec_id") % _DECON_EVAL_MOD == 0) & (
         F.col("vec_id") < _DECON_EVAL_CAP_ID
     )

@@ -81,3 +81,32 @@ def test_matches_bruteforce_random_graph(spark):
     touched = {n for ab in pairs for n in ab}
     truth = {n: find(n) for n in touched}
     assert _cc(spark, pairs) == truth
+
+
+def test_assume_distinct_parity(spark):
+    """r16: ``assume_distinct=True`` (skips the initial canonicalizing
+    exchange) must return the identical closure on distinct input — and,
+    per the documented correctness margin, even on input that VIOLATES
+    the contract (duplicates / self-pairs), since every star round ends
+    in its own distinct."""
+    import random
+
+    rnd = random.Random(29)
+    nodes = list(range(120))
+    base = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(90)]
+    base = [(a, b) for a, b in base if a != b]
+    distinct_pairs = sorted(set(base))
+    violating = base + base[:17] + [(5, 5), (7, 7)]  # dups + self-pairs
+
+    def run(pairs, assume):
+        df = spark.createDataFrame(pairs, "v1 bigint, v2 bigint")
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, assume_distinct=assume
+            ).collect()
+        }
+
+    truth = run(distinct_pairs, False)
+    assert run(distinct_pairs, True) == truth
+    assert run(violating, True) == truth

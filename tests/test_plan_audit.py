@@ -979,11 +979,17 @@ class TestR11SqlShapes:
 
     def test_semantic_decon_literal_arm_zero_exchange(self, spark):
         """Semantic decontamination, literal arm (suite <= 64): the whole
-        sweep is a narrow greatest-over-structs expression — ZERO
-        exchanges, one embeddings scan, no join node, no Python."""
+        sweep is a narrow greatest-over-structs expression — one
+        embeddings scan, no join node, no Python, and the ONLY exchange
+        allowed is the r16 small-input widen (a round-robin repartition
+        that exists only below cores×maxPartitionBytes; at scale the plan
+        is exchange-free). No join/aggregate exchange may appear."""
         df = q.REGISTRY["vector_semantic_decontaminate"].fn(spark, SF_DIR)
         a = audit_plan(df)
-        assert a.exchanges == 0
+        assert a.exchanges <= 1
+        plan = formatted_plan(df)
+        if a.exchanges == 1:
+            assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
         assert a.n_scans == 1
         assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
         assert a.python_ops == 0
