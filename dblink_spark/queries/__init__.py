@@ -98,7 +98,32 @@ def widen_small_scan(d: DataFrame) -> DataFrame:
         est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # stats unavailable (non-JVM frame): keep the narrow pass
         return d
-    return d.repartition(target) if est < target * (128 << 20) else d
+    # r17 (ADVICE): the per-split size is the session's ACTUAL
+    # spark.sql.files.maxPartitionBytes, not a 128 MB literal — a
+    # deployment that tunes that conf moves the achievable split count,
+    # and the widen trigger must move with it (fallback only if the conf
+    # is unreadable).
+    try:
+        split_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        split_bytes = 128 << 20
+    return d.repartition(target) if est < target * split_bytes else d
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string -> bytes (plain ints are bytes; suffixes
+    b/k/kb/m/mb/g/gb/t/tb per Spark's JavaUtils.byteStringAsBytes)."""
+    s = str(v).strip().lower()
+    for suf, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)].strip()) * mult
+    return int(s)
 
 
 #: session-scoped registry of owned caches not yet released (ADVICE r6):

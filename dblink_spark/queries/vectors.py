@@ -360,9 +360,14 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     COUNT(*) and gates each pre-generated hyperplane term on ``k < bits``,
     with `make_lsh_bands_prefix` guaranteeing the specs agree."""
     # r16: widen the single-split gate-scale scan — band keys + quantized
-    # dots were serializing on one task (2.25x best-of-3; no-op at scale)
-    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
-    bits = bits_for_corpus(e.count(), _SCALED_TARGET_BUCKET)
+    # dots were serializing on one task (2.25x best-of-3; no-op at scale).
+    # r17 (ADVICE): the corpus COUNT runs on the RAW scan — counting the
+    # widened frame executed the round-robin exchange as its own job,
+    # shuffling the embeddings payload to produce a number the narrow
+    # scan yields identically.
+    raw = load(spark, sf_dir, "embeddings")
+    e = widen_small_scan(raw)
+    bits = bits_for_corpus(raw.count(), _SCALED_TARGET_BUCKET)
     bands = [band[:bits] for band in _SCALED_BANDS_FULL]
     return embedding_near_dups(e, bands=bands, threshold=0.35)
 
@@ -790,9 +795,13 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     build runs anyway to write its cell directory."""
     # r16: widen the single-split gate-scale scan (1.21x best-of-3; no-op
     # at scale). Training stays deterministic: the sample is orderBy'd
-    # before its limit, so partitioning cannot reach the fit.
-    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
-    cents = _trained_centroids_cached(e, sf_dir)
+    # before its limit, so partitioning cannot reach the fit. r17
+    # (ADVICE pattern): the training COLLECT runs on the RAW scan — on
+    # the widened frame the TakeOrdered sample executed the round-robin
+    # exchange as its own job; orderBy makes raw-vs-widened identical.
+    raw = load(spark, sf_dir, "embeddings")
+    e = widen_small_scan(raw)
+    cents = _trained_centroids_cached(raw, sf_dir)
     # one set of per-centroid cosine SQL strings shared by the search AND
     # the balance arm: plan-BUILD time is linear in K x dim and constant in
     # data size — irrelevant at scale, but it dominates small-SF wall time
@@ -1333,11 +1342,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: widen the single-split gate-scale scan — the K quantized
     # cosines per row were serializing on one task (1.22x best-of-3;
     # no-op at scale). The centroid collect is sorted(), order-insensitive.
-    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
-    k = semdedup_k(e.count())
+    # r17 (ADVICE): the corpus count AND the centroid collect run on the
+    # RAW scan — each driver action on the widened frame executed the
+    # round-robin exchange as its own job; both are order-insensitive
+    # (count; sorted() collect), so raw-vs-widened values are identical.
+    raw = load(spark, sf_dir, "embeddings")
+    e = widen_small_scan(raw)
+    k = semdedup_k(raw.count())
     cents = sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < k)
+        for r in raw.filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -2017,13 +2031,17 @@ def vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     # property: above cores×maxPartitionBytes the widen is a no-op and
     # the plan is exchange-free again (test_plan_audit pins the widened
     # small-SF shape as ≤ 1 round-robin exchange, no join/agg exchange).
-    e = widen_small_scan(load(spark, sf_dir, "embeddings"))
+    # r17 (ADVICE pattern): the eval-row COLLECT runs on the RAW scan —
+    # on the widened frame it executed the round-robin exchange as its
+    # own job; the list is .sort()ed, so the values are order-insensitive.
+    raw = load(spark, sf_dir, "embeddings")
+    e = widen_small_scan(raw)
     is_eval = (F.col("vec_id") % _DECON_EVAL_MOD == 0) & (
         F.col("vec_id") < _DECON_EVAL_CAP_ID
     )
     evals = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.filter(is_eval).select("vec_id", "embedding").collect()
+        for r in raw.filter(is_eval).select("vec_id", "embedding").collect()
     ]
     evals.sort()
     corpus = e.filter(~is_eval).select(
