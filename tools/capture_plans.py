@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for named registered queries into
-plans/r16/<query>_<tag>.txt (optimization-round evidence artifacts).
+plans/$CAPTURE_PLANS_ROUND/<query>_<tag>.txt (default r17;
+optimization-round evidence artifacts).
 
 Usage: python tools/capture_plans.py <tag> <query> [query ...]
        python tools/capture_plans.py <tag> --top   # the round's touched set
@@ -45,7 +46,9 @@ def main() -> None:
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r16")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("CAPTURE_PLANS_ROUND", "r17")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         spark.sparkContext.setJobDescription(f"capture_plans: {name}")
